@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+ext/ training-data operators) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the correctness gate.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- float aggregates are ROUND()ed (sum→2dp, avg→4dp) so double summation
+  order can't flip the value hash;
+- BIGINT casts on both sides where DuckDB widens (sum(BIGINT)→HUGEINT,
+  len()→BIGINT vs Spark size()→INT);
+- timestamps are compared via explicit literals / unix microseconds.
 """
 
 from __future__ import annotations
@@ -12,27 +18,732 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos long
+        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros, the
+        # same truncation DuckDB's epoch_us applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# core relational queries (SURVEY §2.2-2.9)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy → multi-agg (A1,A2,A3,A6,A10,O1).
+
+    Scale: map-side partial aggregation into 6 groups — no skew risk; the
+    shipdate filter is pushed into the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way equi-join → group → top-k (J1, A6, O1, O2).
+
+    Scale: join keys are the natural shuffle keys; the two filters reach
+    the scans; top-k compiles to TakeOrderedAndProject (no full sort).
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q03_ORACLE = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims (J6).
+
+    Scale: region/nation are tiny at every SF → explicit broadcast; the
+    big fact-fact join (orders⋈lineitem) shuffles on the orderkey.
+    """
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q05_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_filter_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + arithmetic + modulo + CASE WHEN + CAST (P3-P7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 3).alias("k3"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        # per-row FP products are IEEE-deterministic across engines — do
+        # NOT round them (round() semantics differ on exact .xx5 values)
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    ).filter((F.col("l_discount") > 0.02) & (F.col("l_tax") <= 0.07))
+
+
+_Q_FILTER_CASE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey % 3 AS k3,
+       CAST(l_quantity AS BIGINT) AS qty_int,
+       CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       l_extendedprice * (1 - l_discount) AS net
+FROM lineitem
+WHERE l_discount > 0.02 AND l_tax <= 0.07
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING on aggregate (A6, A7)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("order_count") >= 5)
+    )
+
+
+_Q_HAVING_ORACLE = """
+SELECT o_custkey, count(*) AS order_count, round(sum(o_totalprice), 2) AS total_spent
+FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + global aggregate, MIN/MAX (A4, A5, A8, A11)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+_Q_DISTINCT_AGG_ORACLE = """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT as ordinary aggregate (A9) — the reference accepts
+    the DuckDB/Postgres WITHIN GROUP form (olap_test.clj:269-275)."""
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+               round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+_Q_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER / RANK / DENSE_RANK over partitions (W1, W2).
+
+    row_number uses a fully-deterministic order (unique tiebreak);
+    rank/dense_rank rank a tie-prone key, whose values are deterministic.
+    Scale: single shuffle on the partition key, no global sort.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_ties = Window.partitionBy("c_nationkey").orderBy(F.asc("c_mktsegment"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("seg_rank"),
+        F.dense_rank().over(w_ties).alias("seg_dense_rank"),
+    )
+
+
+_Q_WINDOW_RANK_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
+       CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS INT) AS seg_rank,
+       CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS INT)
+           AS seg_dense_rank
+FROM customer
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG / LEAD with NULL edges (W3), per-user ordering by unique key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("value_r"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+_Q_WINDOW_LAG_ORACLE = """
+SELECT event_id, user_id, value AS value_r,
+       lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+FROM events
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM with explicit ROWS frame (W4)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # frame-ordered running sums accumulate in the same defined order in
+    # every engine → bitwise-deterministic, no rounding needed
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("o_totalprice").over(w).alias("running_spend"),
+    )
+
+
+_Q_RUNNING_TOTAL_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders
+"""
+
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) (W5). Note: a global NTILE is inherently single-partition;
+    at 100 TB you'd NTILE within partitions or use approx quantiles."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+_Q_NTILE_ORACLE = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+FROM orders
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in SELECT (Q1)."""
+    _register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               round(p_retailprice - (SELECT avg(p_retailprice) FROM part), 2) AS price_diff
+        FROM part
+        """
+    )
+
+
+_Q_SCALAR_SUBQUERY_ORACLE = """
+SELECT p_partkey,
+       round(p_retailprice - (SELECT avg(p_retailprice) FROM part), 2) AS price_diff
+FROM part
+"""
+
+
+def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left-semi join (Q2/J7)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_Q_EXISTS_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (BigQuery-dialect anti-join)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_Q_NOT_EXISTS_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with NULL-aware count (J2)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+_Q_LEFT_JOIN_ORACLE = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN product (J3)."""
+    r = _t(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_name").alias("a"))
+    r2 = r.select(F.col("r_name").alias("b"))
+    return r1.crossJoin(r2)
+
+
+_Q_CROSS_JOIN_ORACLE = """
+SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2
+"""
+
+
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta join → BroadcastNestedLoopJoin (J4/J5)."""
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("k1"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"))
+    return n1.join(n2, F.col("k1") < F.col("k2"))
+
+
+_Q_THETA_JOIN_ORACLE = """
+SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2
+FROM nation n1, nation n2 WHERE n1.n_nationkey < n2.n_nationkey
+"""
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two branches (O3)."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", F.lit("high").alias("tier")
+    )
+    lo = orders.filter(F.col("o_totalprice") < 5000).select(
+        "o_orderkey", F.lit("low").alias("tier")
+    )
+    return hi.unionAll(lo)
+
+
+_Q_UNION_ALL_ORACLE = """
+SELECT o_orderkey, 'high' AS tier FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, 'low' AS tier FROM orders WHERE o_totalprice < 5000
+"""
+
+
+def q_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs + window + downstream filter (Q4, Q5, W6)."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH cust_totals AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, total,
+                   rank() OVER (ORDER BY total DESC, o_custkey) AS rnk
+            FROM cust_totals
+        )
+        SELECT o_custkey, total, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 100
+        """
+    )
+
+
+_Q_CTE_CHAIN_ORACLE = """
+WITH cust_totals AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, total,
+           rank() OVER (ORDER BY total DESC, o_custkey) AS rnk
+    FROM cust_totals
+)
+SELECT o_custkey, total, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 100
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER/LOWER/CONCAT/LENGTH/REGEXP_CONTAINS (F1-F4)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").rlike("green").alias("has_green"),
+    )
+
+
+_Q_STRING_FUNCS_ORACLE = """
+SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       p_brand || '#' || p_type AS brand_type,
+       regexp_matches(p_name, 'green') AS has_green
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT / DATE literal / DATE_ADD-interval (F5-F7)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        (d >= F.lit("1997-01-01").cast("date")).alias("modern"),
+    )
+
+
+_Q_DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS due_date,
+       CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AS modern
+FROM orders
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP with subtotal/grand-total rows (tier-2 grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+_Q_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (tier-2 STRING_AGG/ARRAY_AGG)."""
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q_STRING_AGG_ORACLE = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the events.props payload."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+    )
+
+
+_Q_JSON_EXTRACT_ORACLE = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — decorrelated to a semi-join by Catalyst."""
+    _register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+_Q_IN_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via LAG + cumulative
+    SUM — the scalable SQL formulation of session windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts"))
+    with_gap = ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.when(
+            (us - F.lag(us).over(w)) > 30 * 60 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_gap.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session").over(w2).alias("session_seq"),
+    )
+
+
+_Q_SESSIONIZE_ORACLE = """
+WITH g AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q = {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_local_supplier": q05_local_supplier,
+        "q_filter_case": q_filter_case,
+        "q_having": q_having,
+        "q_distinct_agg": q_distinct_agg,
+        "q_percentiles": q_percentiles,
+        "q_window_rank": q_window_rank,
+        "q_window_lag": q_window_lag,
+        "q_running_total": q_running_total,
+        "q_ntile": q_ntile,
+        "q_scalar_subquery": q_scalar_subquery,
+        "q_exists_semi": q_exists_semi,
+        "q_not_exists_anti": q_not_exists_anti,
+        "q_left_join": q_left_join,
+        "q_cross_join": q_cross_join,
+        "q_theta_join": q_theta_join,
+        "q_union_all": q_union_all,
+        "q_cte_chain": q_cte_chain,
+        "q_string_funcs": q_string_funcs,
+        "q_date_funcs": q_date_funcs,
+        "q_rollup": q_rollup,
+        "q_string_agg": q_string_agg,
+        "q_json_extract": q_json_extract,
+        "q_in_subquery": q_in_subquery,
+        "q_sessionize": q_sessionize,
+    }
+    try:
+        from bq_duckdb_spark.ext import contract as ext_contract
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        q.update(ext_contract.queries())
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "q01_pricing_summary": _Q01_ORACLE,
+        "q03_shipping_priority": _Q03_ORACLE,
+        "q05_local_supplier": _Q05_ORACLE,
+        "q_filter_case": _Q_FILTER_CASE_ORACLE,
+        "q_having": _Q_HAVING_ORACLE,
+        "q_distinct_agg": _Q_DISTINCT_AGG_ORACLE,
+        "q_percentiles": _Q_PERCENTILES_ORACLE,
+        "q_window_rank": _Q_WINDOW_RANK_ORACLE,
+        "q_window_lag": _Q_WINDOW_LAG_ORACLE,
+        "q_running_total": _Q_RUNNING_TOTAL_ORACLE,
+        "q_ntile": _Q_NTILE_ORACLE,
+        "q_scalar_subquery": _Q_SCALAR_SUBQUERY_ORACLE,
+        "q_exists_semi": _Q_EXISTS_SEMI_ORACLE,
+        "q_not_exists_anti": _Q_NOT_EXISTS_ANTI_ORACLE,
+        "q_left_join": _Q_LEFT_JOIN_ORACLE,
+        "q_cross_join": _Q_CROSS_JOIN_ORACLE,
+        "q_theta_join": _Q_THETA_JOIN_ORACLE,
+        "q_union_all": _Q_UNION_ALL_ORACLE,
+        "q_cte_chain": _Q_CTE_CHAIN_ORACLE,
+        "q_string_funcs": _Q_STRING_FUNCS_ORACLE,
+        "q_date_funcs": _Q_DATE_FUNCS_ORACLE,
+        "q_rollup": _Q_ROLLUP_ORACLE,
+        "q_string_agg": _Q_STRING_AGG_ORACLE,
+        "q_json_extract": _Q_JSON_EXTRACT_ORACLE,
+        "q_in_subquery": _Q_IN_SUBQUERY_ORACLE,
+        "q_sessionize": _Q_SESSIONIZE_ORACLE,
+    }
+    try:
+        from bq_duckdb_spark.ext import contract as ext_contract
+
+        o.update(ext_contract.oracle_sql())
+    except ImportError:
+        pass
+    return o

@@ -1,0 +1,77 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full compute,
+no driver collect) — except tiny-result aggregates where collect() is the
+realistic path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from bq_duckdb_spark import get_spark
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "q_filter_case",
+    "q_having",
+    "q_percentiles",
+    "q_window_rank",
+    "q_running_total",
+    "q_sessionize",
+    "q_rollup",
+    # ext/ training-data operators (present once implemented)
+    "dedup_exact",
+    "text_stats",
+    "sim_cosine_topk",
+    "dedup_minhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bq-duckdb-spark-bench", cpus=cpus)
+    qs = entrymod.queries()
+
+    # warm up the JVM/codegen path once so per-query numbers measure the
+    # plan, not first-call overheads
+    qs["q01_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,317 @@
+"""DAG pipeline: register / infer deps / topo-sort / run / retry.
+
+Re-implements the reference's orchestration layer
+(src/session/pipeline.rs) — the one subsystem the reference implements
+itself rather than delegating to its SQL engine:
+
+- G1 register: upsert defs, classify source (no SQL) vs derived, re-infer
+  every table's dependencies after each batch so forward references
+  resolve (pipeline.rs:114-172).
+- G4 topo sort into levels, alphabetical within a level, "Circular
+  dependency detected" on cycles (pipeline.rs:424-481).
+- G5 serial deterministic run / G6 worker-pool parallel run capped at
+  ``max_concurrency`` (default 8, pipeline.rs:48,254-346).
+- G7 target-subset closure (pipeline.rs:394-414), G10 retry of
+  failed+skipped (manager.rs:102-160), G8/G9 materialization semantics:
+  derived = full snapshot replace; source = create-if-not-exists +
+  append rows on re-run (pipeline.rs:511-593; dag_test.clj:240-258).
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+from dataclasses import dataclass, field
+
+from bq_duckdb_spark.dialect import extract_dependencies
+
+DEFAULT_MAX_CONCURRENCY = 8
+
+
+@dataclass
+class PipelineTable:
+    name: str
+    sql: str | None = None
+    columns: list[dict] | None = None  # BQ ColumnDef dicts (source tables)
+    rows: list | None = None
+    dependencies: list[str] = field(default_factory=list)
+
+    @property
+    def is_source(self) -> bool:
+        return self.sql is None
+
+
+@dataclass
+class PipelineResult:
+    success: bool
+    succeeded: list[str] = field(default_factory=list)
+    failed: list[dict] = field(default_factory=list)  # {"table":…, "error":…}
+    skipped: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {
+            "success": self.success,
+            "succeededTables": self.succeeded,
+            "failedTables": self.failed,
+            "skippedTables": self.skipped,
+        }
+
+
+class Pipeline:
+    def __init__(self, session, materialize_mode: str = "table"):
+        self.session = session
+        self.tables: dict[str, PipelineTable] = {}  # key: name as registered
+        self._lock = threading.RLock()
+        self.materialize_mode = materialize_mode
+
+    # -- registration (G1/G2) ----------------------------------------------
+
+    def register(self, defs: list[dict]) -> dict:
+        """Upsert table definitions. Each def: {"name", "sql"?, "schema"?,
+        "rows"?}. After the batch, dependencies are re-inferred for EVERY
+        registered table so forward references resolve regardless of
+        registration order (pipeline.rs:114-172)."""
+        with self._lock:
+            for d in defs:
+                name = d["name"]
+                self.tables[self._canonical(name)] = PipelineTable(
+                    name=name,
+                    sql=d.get("sql"),
+                    columns=d.get("schema"),
+                    rows=d.get("rows"),
+                )
+            self._reinfer_all_dependencies()
+            return self.get_dag()
+
+    def _canonical(self, name: str) -> str:
+        # case-insensitive matching (pipeline.rs:1541-1554) — keep the
+        # registered spelling in the value, match on lower-case key
+        for key in self.tables:
+            if key.lower() == name.lower():
+                return key
+        return name
+
+    def _reinfer_all_dependencies(self) -> None:
+        known = [t.name for t in self.tables.values()]
+        for t in self.tables.values():
+            if t.is_source:
+                t.dependencies = []
+            else:
+                deps = extract_dependencies(t.sql, known)
+                t.dependencies = [d for d in deps if d.lower() != t.name.lower()]
+
+    # -- topo sort (G4) ----------------------------------------------------
+
+    def topological_sort_levels(self, subset: set[str] | None = None) -> list[list[str]]:
+        """Kahn's algorithm into levels; alphabetical within a level for
+        deterministic serial order (pipeline.rs:424-481; determinism
+        asserted by manager.rs:999-1004)."""
+        with self._lock:
+            names = {t.name for t in self.tables.values()}
+            if subset is not None:
+                names = {n for n in names if n in subset}
+            indeg = {}
+            dependents: dict[str, list[str]] = {n: [] for n in names}
+            for n in names:
+                t = self.tables[self._canonical(n)]
+                deps = [d for d in t.dependencies if d in names]
+                indeg[n] = len(deps)
+                for d in deps:
+                    dependents[d].append(n)
+            levels = []
+            ready = sorted([n for n in names if indeg[n] == 0], key=str.lower)
+            seen = 0
+            while ready:
+                levels.append(ready)
+                seen += len(ready)
+                nxt = []
+                for n in ready:
+                    for m in dependents[n]:
+                        indeg[m] -= 1
+                        if indeg[m] == 0:
+                            nxt.append(m)
+                ready = sorted(nxt, key=str.lower)
+            if seen != len(names):
+                raise ValueError("Circular dependency detected")
+            return levels
+
+    # -- target closure (G7) -----------------------------------------------
+
+    def _closure(self, targets: list[str]) -> set[str]:
+        with self._lock:
+            out: set[str] = set()
+            stack = [self._canonical(t) for t in targets]
+            while stack:
+                key = stack.pop()
+                t = self.tables.get(self._canonical(key))
+                if t is None or t.name in out:
+                    continue
+                out.add(t.name)
+                stack.extend(t.dependencies)
+            return out
+
+    # -- execution (G5/G6/G8/G9) -------------------------------------------
+
+    def run(
+        self,
+        targets: list[str] | None = None,
+        retry_count: int = 0,
+        parallel: bool = False,
+        max_concurrency: int = DEFAULT_MAX_CONCURRENCY,
+    ) -> PipelineResult:
+        subset = self._closure(targets) if targets else None
+        result = self._run_subset(subset, parallel, max_concurrency)
+        for _ in range(retry_count):
+            if result.success:
+                break
+            retry_set = {f["table"] for f in result.failed} | set(result.skipped)
+            retry_res = self._run_subset(retry_set, parallel, max_concurrency)
+            merged_succeeded = sorted(
+                set(result.succeeded) | set(retry_res.succeeded), key=str.lower
+            )
+            result = PipelineResult(
+                success=retry_res.success,
+                succeeded=merged_succeeded,
+                failed=retry_res.failed,
+                skipped=retry_res.skipped,
+            )
+        return result
+
+    def retry_failed(self, prev: PipelineResult, parallel: bool = False) -> PipelineResult:
+        """Standalone ``bq.retryDag`` (pipeline.rs:188-201)."""
+        retry_set = {f["table"] for f in prev.failed} | set(prev.skipped)
+        if not retry_set:
+            return PipelineResult(success=True, succeeded=prev.succeeded)
+        res = self._run_subset(retry_set, parallel, DEFAULT_MAX_CONCURRENCY)
+        res.succeeded = sorted(set(prev.succeeded) | set(res.succeeded), key=str.lower)
+        return res
+
+    def _run_subset(
+        self, subset: set[str] | None, parallel: bool, max_concurrency: int
+    ) -> PipelineResult:
+        levels = self.topological_sort_levels(subset)
+        if parallel:
+            return self._run_streaming(levels, max_concurrency)
+        return self._run_serial(levels)
+
+    def _run_serial(self, levels: list[list[str]]) -> PipelineResult:
+        """Level-by-level, alphabetical — strictly deterministic
+        (pipeline.rs:222-252)."""
+        result = PipelineResult(success=True)
+        blocked: set[str] = set()
+        for level in levels:
+            for name in level:  # already alphabetical
+                t = self.tables[self._canonical(name)]
+                if any(d in blocked for d in t.dependencies):
+                    result.skipped.append(name)
+                    blocked.add(name)
+                    continue
+                try:
+                    self.execute_table(t)
+                    result.succeeded.append(name)
+                except Exception as e:
+                    result.failed.append({"table": name, "error": str(e)})
+                    blocked.add(name)
+        result.success = not result.failed and not result.skipped
+        return result
+
+    def _run_streaming(self, levels: list[list[str]], max_concurrency: int) -> PipelineResult:
+        """Worker-pool run: up to ``max_concurrency`` tables in flight; as
+        each completes, newly-ready tables spawn; a failure immediately
+        skips all transitive dependents (pipeline.rs:254-381). Spark's
+        scheduler is thread-safe, so concurrent ``spark.sql`` actions
+        simply become concurrent jobs."""
+        names = [n for lvl in levels for n in lvl]
+        name_set = set(names)
+        pending_deps = {
+            n: {d for d in self.tables[self._canonical(n)].dependencies if d in name_set}
+            for n in names
+        }
+        dependents: dict[str, set[str]] = {n: set() for n in names}
+        for n in names:
+            for d in pending_deps[n]:
+                dependents[d].add(n)
+        result = PipelineResult(success=True)
+        blocked: set[str] = set()
+        futures = {}
+        done_set: set[str] = set()
+
+        def skip_transitively(root: str):
+            stack = list(dependents[root])
+            while stack:
+                m = stack.pop()
+                if m in blocked or m in done_set:
+                    continue
+                blocked.add(m)
+                result.skipped.append(m)
+                stack.extend(dependents[m])
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            ready = sorted([n for n in names if not pending_deps[n]], key=str.lower)
+            for n in ready:
+                futures[pool.submit(self.execute_table, self.tables[self._canonical(n)])] = n
+            while futures:
+                done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                for fut in done:
+                    n = futures.pop(fut)
+                    done_set.add(n)
+                    err = fut.exception()
+                    if err is not None:
+                        result.failed.append({"table": n, "error": str(err)})
+                        skip_transitively(n)
+                    else:
+                        result.succeeded.append(n)
+                        for m in sorted(dependents[n], key=str.lower):
+                            if m in blocked:
+                                continue
+                            pending_deps[m].discard(n)
+                            if not pending_deps[m]:
+                                futures[
+                                    pool.submit(
+                                        self.execute_table, self.tables[self._canonical(m)]
+                                    )
+                                ] = m
+        result.success = not result.failed and not result.skipped
+        return result
+
+    def execute_table(self, t: PipelineTable) -> None:
+        """Materialize one table (pipeline.rs:511-593).
+
+        derived: full snapshot replace (DROP + CREATE from query result in
+        the reference → one ``materialize`` here).
+        source: create-if-not-exists + INSERT rows — re-running a source
+        registration APPENDS (dag_test.clj:240-258).
+        """
+        if t.is_source:
+            self.session.create_table(t.name, t.columns or [], if_not_exists=True)
+            if t.rows:
+                self.session.insert(t.name, t.rows)
+        else:
+            df = self.session.query(t.sql)
+            self.session.materialize(t.name, df, mode=self.materialize_mode)
+
+    # -- introspection (G11/G12) -------------------------------------------
+
+    def get_dag(self) -> dict:
+        with self._lock:
+            return {
+                "tables": [
+                    {
+                        "name": t.name,
+                        "isSource": t.is_source,
+                        "dependencies": list(t.dependencies),
+                    }
+                    for t in self.tables.values()
+                ]
+            }
+
+    def clear(self) -> None:
+        """Drop every registered table, then empty the registry
+        (pipeline.rs:483-502)."""
+        with self._lock:
+            for t in self.tables.values():
+                try:
+                    self.session.drop_table(t.name, if_exists=True)
+                except Exception:
+                    pass
+            self.tables.clear()

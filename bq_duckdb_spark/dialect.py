@@ -1,0 +1,409 @@
+"""BigQuery-SQL → Spark-SQL dialect shim + SQL text analysis.
+
+Two jobs (SURVEY.md §4.2, §2.10):
+
+1. ``transpile(sql)`` — rewrite the BigQuery-isms Spark SQL doesn't accept
+   verbatim (REGEXP_CONTAINS, SAFE_CAST, DATE_ADD(d, INTERVAL n DAY),
+   UNNEST, array/struct literals, qualified ``project.dataset.table``
+   names). Everything else passes straight through to ``spark.sql`` where
+   Catalyst parses/optimizes it.
+
+2. ``extract_cte_names(sql)`` / ``extract_dependencies(sql, known)`` — the
+   DAG dependency-inference semantics of the reference
+   (extract_cte_names: src/session/pipeline.rs:616-688;
+   extract_dependencies + is_table_referenced: pipeline.rs:595-614,690-723),
+   re-implemented: word-boundary matching, CTE-name exclusion,
+   case-insensitive, sorted output.
+
+No sqlglot in this environment — the shim is a hand-written scanner that
+respects string literals and balanced parens.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# low-level SQL text scanning helpers (quote/paren aware)
+# ---------------------------------------------------------------------------
+
+
+def _skip_string(sql: str, i: int) -> int:
+    """Given sql[i] is a quote char, return index just past the literal."""
+    q = sql[i]
+    j = i + 1
+    while j < len(sql):
+        if sql[j] == "\\":
+            j += 2
+            continue
+        if sql[j] == q:
+            # '' escape inside '-quoted strings
+            if q == "'" and j + 1 < len(sql) and sql[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return j
+
+
+def _find_matching_paren(sql: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx (string-aware)."""
+    depth = 0
+    i = open_idx
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"Unbalanced parentheses in SQL starting at {open_idx}")
+
+
+def _split_top_level_args(s: str) -> list[str]:
+    """Split a function-argument string on top-level commas."""
+    args, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        c = s[i]
+        if c in "'\"`":
+            j = _skip_string(s, i)
+            cur.append(s[i:j])
+            i = j
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _rewrite_calls(sql: str, func: str, rewriter) -> str:
+    """Rewrite every ``func( … )`` call (case-insensitive, balanced parens).
+
+    ``rewriter(args: list[str]) -> str | None`` — None keeps the original.
+    """
+    pat = re.compile(rf"\b{func}\s*\(", re.IGNORECASE)
+    out = []
+    i = 0
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        open_idx = sql.index("(", m.start())
+        try:
+            close_idx = _find_matching_paren(sql, open_idx)
+        except ValueError:
+            out.append(sql[i:])
+            break
+        inner = sql[open_idx + 1 : close_idx]
+        # recurse into nested calls first
+        inner_rewritten = _rewrite_calls(inner, func, rewriter)
+        replacement = rewriter(_split_top_level_args(inner_rewritten))
+        if replacement is None:
+            replacement = sql[m.start() : open_idx + 1] + inner_rewritten + ")"
+        out.append(sql[i : m.start()])
+        out.append(replacement)
+        i = close_idx + 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# individual transforms
+# ---------------------------------------------------------------------------
+
+_INTERVAL_RE = re.compile(r"^INTERVAL\s+(.+?)\s+(\w+)$", re.IGNORECASE)
+
+
+def _date_add_sub(sign: str):
+    def rw(args: list[str]):
+        # BigQuery: DATE_ADD(date_expr, INTERVAL n unit)
+        if len(args) != 2:
+            return None
+        m = _INTERVAL_RE.match(args[1].strip())
+        if not m:
+            # Spark's own 2-arg date_add(date, days) — leave as is.
+            return None
+        n, unit = m.group(1), m.group(2).upper()
+        return f"({args[0]} {sign} INTERVAL {n} {unit})"
+
+    return rw
+
+
+def _date_diff(args: list[str]):
+    # BigQuery: DATE_DIFF(end, start, unit); Spark: datediff(end, start) for
+    # DAY, otherwise timestampdiff(unit, start, end).
+    if len(args) != 3:
+        return None
+    end, start, unit = args[0], args[1], args[2].strip().upper()
+    if unit == "DAY":
+        return f"datediff({end}, {start})"
+    return f"timestampdiff({unit}, {start}, {end})"
+
+
+def _unnest_from(sql: str) -> str:
+    """Rewrite ``FROM UNNEST(expr) AS alias`` / ``FROM UNNEST(expr) alias``
+    → ``FROM (SELECT explode(expr) AS alias)`` and correlated
+    ``, UNNEST(expr) AS alias`` → `` LATERAL VIEW explode(expr) AS alias``.
+    """
+    pat = re.compile(r"(\bFROM\s+|,\s*|\bJOIN\s+)UNNEST\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _find_matching_paren(sql, open_idx)
+        expr = sql[open_idx + 1 : close_idx]
+        rest = sql[close_idx + 1 :]
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", rest)
+        alias = am.group(1) if am else "f0"
+        rest_after = rest[am.end() :] if am else rest
+        lead = m.group(1)
+        if lead.strip().rstrip(",") == "" or lead.strip() == ",":
+            # correlated: table, UNNEST(col) alias → LATERAL VIEW
+            repl = f" LATERAL VIEW explode({expr}) AS {alias} "
+        else:
+            repl = f"{lead}(SELECT explode({expr}) AS {alias}) "
+        sql = sql[: m.start()] + repl + rest_after
+
+
+_ARRAY_LITERAL_SAFE_PREV = re.compile(r"[\w\)\]'\"`]$")
+
+
+def _bracket_literals(sql: str) -> str:
+    """BigQuery array literal ``[1, 2, 3]`` → ``array(1, 2, 3)``.
+
+    A ``[`` directly following an identifier/``)``/``]`` is subscript
+    indexing and is left alone.
+    """
+    out = []
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "[":
+            prev = "".join(out).rstrip()
+            if not _ARRAY_LITERAL_SAFE_PREV.search(prev):
+                # find matching ]
+                depth, j = 0, i
+                while j < len(sql):
+                    if sql[j] in "'\"`":
+                        j = _skip_string(sql, j)
+                        continue
+                    if sql[j] == "[":
+                        depth += 1
+                    elif sql[j] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                inner = _bracket_literals(sql[i + 1 : j])
+                out.append(f"array({inner})")
+                i = j + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_STRUCT_BRACE_RE = re.compile(r"\{\s*'")
+
+
+def _brace_struct_literals(sql: str) -> str:
+    """DuckDB-style struct literal ``{'k': v, …}`` (accepted by the
+    reference engine, src/utils.rs:13-19) → ``named_struct('k', v, …)``."""
+    while True:
+        m = _STRUCT_BRACE_RE.search(sql)
+        if not m:
+            return sql
+        # find matching }
+        depth, j = 0, m.start()
+        while j < len(sql):
+            if sql[j] in "'\"`":
+                j = _skip_string(sql, j)
+                continue
+            if sql[j] == "{":
+                depth += 1
+            elif sql[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql[m.start() + 1 : j]
+        pairs = _split_top_level_args(inner)
+        fields = []
+        for p in pairs:
+            k, _, v = p.partition(":")
+            fields.append(f"{k.strip()}, {v.strip()}")
+        sql = sql[: m.start()] + "named_struct(" + ", ".join(fields) + ")" + sql[j + 1 :]
+
+
+_SIMPLE_FUNC_RENAMES = {
+    "REGEXP_CONTAINS": "regexp_like",
+    "SAFE_CAST": "try_cast",
+    "SAFE_DIVIDE": "try_divide",
+    "IFNULL": "coalesce",
+    "STARTS_WITH": "startswith",
+    "ENDS_WITH": "endswith",
+    "BYTE_LENGTH": "octet_length",
+    "CHARACTER_LENGTH": "length",
+    "GENERATE_ARRAY": "sequence",
+    "ARRAY_LENGTH": "size",
+    "STRING_AGG": "string_agg",  # Spark 4 has string_agg natively
+}
+
+
+# BigQuery type names → Spark SQL type names, applied in `AS <type>` cast
+# position (CAST/SAFE_CAST) and column-type DDL position.
+_TYPE_RENAMES = {
+    "INT64": "BIGINT",
+    "INTEGER": "BIGINT",
+    "FLOAT64": "DOUBLE",
+    "BOOL": "BOOLEAN",
+    "BYTES": "BINARY",
+    "NUMERIC": "DECIMAL(38,9)",
+    "BIGNUMERIC": "DECIMAL(38,18)",
+    "DATETIME": "TIMESTAMP_NTZ",
+}
+
+
+def _rename_cast_types(sql: str) -> str:
+    def sub(m):
+        return f"{m.group(1)}{_TYPE_RENAMES[m.group(2).upper()]}"
+
+    pat = re.compile(
+        r"(\bAS\s+)(" + "|".join(_TYPE_RENAMES) + r")\b(?!\s*\()", re.IGNORECASE
+    )
+    return pat.sub(sub, sql)
+
+
+def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
+    """BigQuery SQL → Spark SQL.
+
+    ``table_mapping`` maps qualified/registered names (e.g.
+    ``proj.ds.tbl``) to the engine's mangled view names; replacement is
+    case-insensitive, longest-name-first, word-boundary, and also covers
+    the backticked form ``\\`proj.ds.tbl\\```.
+    """
+    out = sql
+    if table_mapping:
+        for name in sorted(table_mapping, key=len, reverse=True):
+            target = table_mapping[name]
+            escaped = re.escape(name)
+            out = re.sub(rf"`{escaped}`", target, out, flags=re.IGNORECASE)
+            out = re.sub(rf"(?<![\w.`]){escaped}(?![\w.`])", target, out, flags=re.IGNORECASE)
+    for src, dst in _SIMPLE_FUNC_RENAMES.items():
+        out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
+    out = _rewrite_calls(out, "DATE_ADD", _date_add_sub("+"))
+    out = _rewrite_calls(out, "DATE_SUB", _date_add_sub("-"))
+    out = _rewrite_calls(out, "TIMESTAMP_ADD", _date_add_sub("+"))
+    out = _rewrite_calls(out, "TIMESTAMP_SUB", _date_add_sub("-"))
+    out = _rewrite_calls(out, "DATE_DIFF", _date_diff)
+    out = _unnest_from(out)
+    out = _bracket_literals(out)
+    out = _brace_struct_literals(out)
+    out = _rename_cast_types(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CTE-name extraction (reference pipeline.rs:616-688 semantics)
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[A-Za-z_][\w.]*")
+
+
+def extract_cte_names(sql: str) -> list[str]:
+    """Names bound by a leading ``WITH [RECURSIVE] name AS (…) [, name2 AS
+    (…)]*`` — paren-depth tracked, stops at the top-level SELECT / INSERT /
+    UPDATE / DELETE (reference unit tests pipeline.rs:2239-2260:
+    recursive keyword, nested parens, multiple CTEs)."""
+    names: list[str] = []
+    m = re.match(r"\s*WITH\s+", sql, re.IGNORECASE)
+    if not m:
+        return names
+    i = m.end()
+    m2 = re.match(r"RECURSIVE\s+", sql[i:], re.IGNORECASE)
+    if m2:
+        i += m2.end()
+    while i < len(sql):
+        wm = _WORD_RE.match(sql, i)
+        if not wm:
+            break
+        word = wm.group(0)
+        if word.upper() in ("SELECT", "INSERT", "UPDATE", "DELETE"):
+            break
+        name = word
+        i = wm.end()
+        am = re.match(r"\s*AS\s*\(", sql[i:], re.IGNORECASE)
+        if not am:
+            break
+        open_idx = i + am.end() - 1
+        try:
+            close_idx = _find_matching_paren(sql, open_idx)
+        except ValueError:
+            break
+        names.append(name)
+        i = close_idx + 1
+        cm = re.match(r"\s*,\s*", sql[i:])
+        if cm:
+            i += cm.end()
+        else:
+            # skip whitespace then expect the main statement
+            i += len(sql[i:]) - len(sql[i:].lstrip())
+    return names
+
+
+# ---------------------------------------------------------------------------
+# dependency inference (reference pipeline.rs:595-614, 690-723 semantics)
+# ---------------------------------------------------------------------------
+
+_REF_CONTEXT_RE_TMPL = r"(?:\bFROM\b|\bJOIN\b|\bINTO\b|,)[\s(]*(?:[A-Za-z_][\w.]*[\s(]*,[\s(]*)*{name}(?![\w.])"
+
+
+def is_table_referenced(sql: str, table: str) -> bool:
+    """Word-boundary, case-insensitive check that ``table`` appears in a
+    FROM / JOIN / comma-list position (so ``users`` does not match
+    ``user``, and select-list columns alone don't count)."""
+    escaped = re.escape(table)
+    # strip string literals so table names inside quotes don't count
+    stripped = re.sub(r"'(?:[^'\\]|\\.)*'", "''", sql)
+    pat = re.compile(
+        rf"(?:\bFROM\b|\bJOIN\b|\bINTO\b|,)\s*\(*\s*`?{escaped}`?(?![\w.])",
+        re.IGNORECASE,
+    )
+    if pat.search(stripped):
+        return True
+    # comma-separated FROM lists: FROM a, b — handled by the comma branch
+    return False
+
+
+def extract_dependencies(sql: str, known_tables: list[str]) -> list[str]:
+    """Return the sorted list of known table names referenced by ``sql``,
+    excluding names bound as CTEs in the same statement (reference
+    pipeline.rs:595-614; CTE-exclusion tests pipeline.rs:2118-2171)."""
+    ctes = {c.lower() for c in extract_cte_names(sql)}
+    deps = []
+    for t in known_tables:
+        if t.lower() in ctes:
+            continue
+        if is_table_referenced(sql, t):
+            deps.append(t)
+    return sorted(set(deps), key=str.lower)

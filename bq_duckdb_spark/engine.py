@@ -1,0 +1,366 @@
+"""Session engine: catalog, query, insert, loaders.
+
+Re-expresses the reference's session/executor layer
+(src/session/manager.rs, src/executor/yachtsql.rs) on Spark:
+
+- Each :class:`Session` owns a private namespace of tables. BigQuery's
+  3-level ``project.dataset.table`` names are kept as the user-facing
+  catalog; physically each table is a Spark temp view with a mangled,
+  session-scoped name so sessions never see each other's tables
+  (isolation semantics of manager.rs:477-521).
+- ``query(sql)`` = dialect transpile → ``spark.sql`` → DataFrame. The
+  Catalyst logical→optimized→physical pipeline replaces the reference's
+  opaque YachtSQL engine (SURVEY §3.1).
+- Parquet loading keeps DataFrames columnar end-to-end — the reference's
+  rows→INSERT-text pivot (yachtsql.rs:75-116) deliberately disappears.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tempfile
+import threading
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bq_duckdb_spark import types as bqtypes
+from bq_duckdb_spark.dialect import transpile
+
+
+@dataclass
+class TableEntry:
+    name: str  # as registered, e.g. "proj.dataset.tbl" or "users"
+    view: str  # mangled session-scoped temp-view name
+    columns: list[dict] = field(default_factory=list)  # BQ ColumnDef dicts
+
+
+def _sanitize(name: str) -> str:
+    return re.sub(r"\W", "_", name)
+
+
+class Session:
+    """One isolated catalog + query context (reference ``Session``:
+    src/session/manager.rs:16-24, one executor/database per session)."""
+
+    def __init__(self, spark: SparkSession, session_id: str | None = None):
+        self.spark = spark
+        self.session_id = session_id or str(uuid.uuid4())
+        self._tag = "s" + _sanitize(self.session_id)[:12]
+        self.tables: dict[str, TableEntry] = {}  # key: lower-cased name
+        self.default_project: str | None = None
+        self._lock = threading.RLock()
+        self._warehouse = tempfile.mkdtemp(prefix=f"bqspark_{self._tag}_")
+        # local import to avoid a module cycle (dag only needs the session)
+        from bq_duckdb_spark.dag import Pipeline
+
+        self.pipeline = Pipeline(self)
+
+    # -- naming ------------------------------------------------------------
+
+    def _view_name(self, name: str) -> str:
+        return f"{self._tag}__{_sanitize(name.lower())}"
+
+    def _resolve_key(self, name: str) -> str | None:
+        """Find the registered key for ``name``; case-insensitive, honors
+        the default project for 2-level names (executor/mod.rs:105-124)."""
+        low = name.lower().strip("`")
+        if low in self.tables:
+            return low
+        if self.default_project and low.count(".") == 1:
+            qualified = f"{self.default_project.lower()}.{low}"
+            if qualified in self.tables:
+                return qualified
+        return None
+
+    def _table_mapping(self) -> dict[str, str]:
+        mapping = {e.name: e.view for e in self.tables.values()}
+        if self.default_project:
+            dp = self.default_project.lower()
+            for key, e in self.tables.items():
+                if key.startswith(dp + "."):
+                    mapping[key[len(dp) + 1 :]] = e.view
+        return mapping
+
+    # -- DDL / DML ---------------------------------------------------------
+
+    def register_dataframe(self, name: str, df: DataFrame) -> TableEntry:
+        with self._lock:
+            view = self._view_name(name)
+            df.createOrReplaceTempView(view)
+            entry = TableEntry(name=name, view=view, columns=bqtypes.columns_from_schema(df.schema))
+            self.tables[name.lower()] = entry
+            return entry
+
+    def create_table(self, name: str, columns: list[dict], if_not_exists: bool = False) -> None:
+        """``bq.createTable`` (reference src/rpc/methods.rs:99-111)."""
+        with self._lock:
+            if self._resolve_key(name):
+                if if_not_exists:
+                    return
+                raise ValueError(f"Table already exists: {name}")
+            schema = bqtypes.schema_from_columns(columns)
+            df = self.spark.createDataFrame([], schema)
+            self.register_dataframe(name, df)
+            self.tables[name.lower()].columns = list(columns)
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        with self._lock:
+            key = self._resolve_key(name)
+            if key is None:
+                if if_exists:
+                    return
+                raise ValueError(f"Table not found: {name}")
+            entry = self.tables.pop(key)
+            self.spark.catalog.dropTempView(entry.view)
+            path = os.path.join(self._warehouse, _sanitize(key))
+            if os.path.exists(path):
+                shutil.rmtree(path, ignore_errors=True)
+
+    def insert(self, name: str, rows: list) -> int:
+        """Multi-row insert from JSON arrays/objects; returns inserted count
+        (``bq.insert``, reference src/rpc/methods.rs:114-148)."""
+        with self._lock:
+            key = self._resolve_key(name)
+            if key is None:
+                raise ValueError(f"Table not found: {name}")
+            entry = self.tables[key]
+            schema = bqtypes.schema_from_columns(entry.columns)
+            prepared = [self._coerce_row(r, entry.columns) for r in rows]
+            new_df = self.spark.createDataFrame(prepared, schema)
+            existing = self.spark.table(entry.view)
+            existing.unionByName(new_df).createOrReplaceTempView(entry.view)
+            return len(prepared)
+
+    @staticmethod
+    def _coerce_row(row, columns: list[dict]):
+        if isinstance(row, dict):
+            return tuple(row.get(c["name"]) for c in columns)
+        return tuple(row)
+
+    # -- query -------------------------------------------------------------
+
+    def query(self, sql: str) -> DataFrame:
+        """Transpile BigQuery SQL and hand the statement to Catalyst."""
+        spark_sql = transpile(sql, self._table_mapping())
+        try:
+            return self.spark.sql(spark_sql)
+        except Exception as e:  # append failed SQL like yachtsql.rs:28
+            raise RuntimeError(f"{e}\nSQL: {sql}") from e
+
+    def table(self, name: str) -> DataFrame:
+        key = self._resolve_key(name)
+        if key is None:
+            raise ValueError(f"Table not found: {name}")
+        return self.spark.table(self.tables[key].view)
+
+    # -- materialization (snapshot semantics, SURVEY §2.10 G8) -------------
+
+    def materialize(self, name: str, df: DataFrame, mode: str = "table") -> int:
+        """Replace ``name`` with a physical snapshot of ``df``.
+
+        mode="table": write parquet under the session warehouse and re-read
+        — a true snapshot that scales (the cluster equivalent is
+        ``saveAsTable(mode="overwrite")``). mode="view": register the
+        DataFrame lazily (fast for tiny DAG tables; not a snapshot).
+        Returns the snapshot row count.
+        """
+        with self._lock:
+            if mode == "view":
+                entry = self.register_dataframe(name, df)
+                return self.spark.table(entry.view).count()
+            path = os.path.join(self._warehouse, _sanitize(name.lower()))
+            tmp = path + "__tmp"
+            df.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(path):
+                shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
+            snap = self.spark.read.parquet(path)
+            self.register_dataframe(name, snap)
+            return snap.count()
+
+    # -- catalog introspection (reference yachtsql.rs:119-187) -------------
+
+    def list_tables(self) -> list[dict]:
+        out = []
+        for key in sorted(self.tables):
+            entry = self.tables[key]
+            out.append({"name": entry.name, "rowCount": self.spark.table(entry.view).count()})
+        return out
+
+    def describe_table(self, name: str) -> dict:
+        key = self._resolve_key(name)
+        if key is None:
+            raise ValueError(f"Table not found: {name}")
+        entry = self.tables[key]
+        df = self.spark.table(entry.view)
+        return {
+            "name": entry.name,
+            "columns": bqtypes.columns_from_schema(df.schema),
+            "rowCount": df.count(),
+        }
+
+    def get_projects(self) -> list[str]:
+        # project names are reported upper-cased (manager.rs:1115-1119)
+        projs = {e.name.split(".")[0].upper() for e in self.tables.values() if e.name.count(".") == 2}
+        return sorted(projs)
+
+    def get_datasets(self, project: str) -> list[str]:
+        p = project.lower()
+        out = {
+            e.name.split(".")[1]
+            for e in self.tables.values()
+            if e.name.count(".") == 2 and e.name.split(".")[0].lower() == p
+        }
+        return sorted(out)
+
+    def get_tables_in_dataset(self, project: str, dataset: str) -> list[str]:
+        p, d = project.lower(), dataset.lower()
+        out = {
+            e.name.split(".")[2]
+            for e in self.tables.values()
+            if e.name.count(".") == 2
+            and e.name.split(".")[0].lower() == p
+            and e.name.split(".")[1].lower() == d
+        }
+        return sorted(out)
+
+    # -- loaders (reference src/session/loader.rs) -------------------------
+
+    def load_parquet(self, name: str, path: str, columns: list[dict] | None = None) -> int:
+        """Read parquet, coerce to the declared BigQuery schema, register
+        as ``name`` (replace) — ``bq.loadParquet``
+        (reference src/executor/yachtsql.rs:43-117, minus the row pivot)."""
+        df = self.spark.read.parquet(path)
+        if columns:
+            schema = bqtypes.schema_from_columns(columns)
+            projected = [
+                df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields
+            ]
+            df = df.select(projected)
+        entry = self.register_dataframe(name, df)
+        if columns:
+            entry.columns = list(columns)
+        return self.spark.table(entry.view).count()
+
+    def discover_files(self, root: str) -> tuple[list[dict], list[dict]]:
+        """Walk exactly ``<root>/<project>/<dataset>/<file>``
+        (reference src/session/loader.rs:30-94). Returns
+        (parquet_files, sql_files); each dict has project/dataset/table
+        plus path (parquet, with required sibling ``<table>.schema.json``)
+        or sql text."""
+        parquet_files, sql_files = [], []
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"Directory not found: {root}")
+        for project in sorted(os.listdir(root)):
+            pdir = os.path.join(root, project)
+            if not os.path.isdir(pdir):
+                continue
+            for dataset in sorted(os.listdir(pdir)):
+                ddir = os.path.join(pdir, dataset)
+                if not os.path.isdir(ddir):
+                    continue
+                for fname in sorted(os.listdir(ddir)):
+                    fpath = os.path.join(ddir, fname)
+                    table, ext = os.path.splitext(fname)
+                    if ext == ".parquet":
+                        schema_path = os.path.join(ddir, f"{table}.schema.json")
+                        if not os.path.exists(schema_path):
+                            # schema sidecar is REQUIRED (loader.rs:118-130)
+                            raise FileNotFoundError(
+                                f"Missing schema file for parquet table: {schema_path}"
+                            )
+                        with open(schema_path) as f:
+                            columns = json.load(f)
+                        parquet_files.append(
+                            {
+                                "project": project,
+                                "dataset": dataset,
+                                "table": table,
+                                "path": fpath,
+                                "columns": columns,
+                            }
+                        )
+                    elif ext == ".sql":
+                        with open(fpath) as f:
+                            sql = f.read()
+                        sql_files.append(
+                            {"project": project, "dataset": dataset, "table": table, "sql": sql}
+                        )
+        return parquet_files, sql_files
+
+    def load_parquet_directory(self, root: str) -> dict:
+        parquet_files, _ = self.discover_files(root)
+        loaded = []
+        for pf in parquet_files:
+            name = f"{pf['project']}.{pf['dataset']}.{pf['table']}"
+            count = self.load_parquet(name, pf["path"], pf["columns"])
+            loaded.append({"table": name, "rowCount": count})
+        return {"tables": loaded}
+
+    def load_sql_directory(self, root: str) -> dict:
+        _, sql_files = self.discover_files(root)
+        defs = [
+            {"name": f"{sf['project']}.{sf['dataset']}.{sf['table']}", "sql": sf["sql"]}
+            for sf in sql_files
+        ]
+        self.pipeline.register(defs)
+        return {"tables": [d["name"] for d in defs]}
+
+    def load_dag_from_directory(self, root: str) -> dict:
+        """S3 + S4 in one call (reference src/session/manager.rs:368-412)."""
+        parquet_result = self.load_parquet_directory(root)
+        sql_result = self.load_sql_directory(root)
+        return {
+            "sourceTables": parquet_result["tables"],
+            "computedTables": sql_result["tables"],
+            "dagInfo": self.pipeline.get_dag(),
+        }
+
+    # -- teardown ----------------------------------------------------------
+
+    def destroy(self) -> None:
+        with self._lock:
+            for entry in list(self.tables.values()):
+                try:
+                    self.spark.catalog.dropTempView(entry.view)
+                except Exception:
+                    pass
+            self.tables.clear()
+            shutil.rmtree(self._warehouse, ignore_errors=True)
+
+
+class SessionManager:
+    """uuid → Session map (reference src/session/manager.rs:16-24)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sessions: dict[str, Session] = {}
+        self._lock = threading.RLock()
+
+    def create_session(self) -> str:
+        with self._lock:
+            s = Session(self.spark)
+            self._sessions[s.session_id] = s
+            return s.session_id
+
+    def get_session(self, session_id: str) -> Session:
+        with self._lock:
+            if session_id not in self._sessions:
+                raise KeyError(f"Session not found: {session_id}")
+            return self._sessions[session_id]
+
+    def destroy_session(self, session_id: str) -> None:
+        with self._lock:
+            s = self._sessions.pop(session_id, None)
+        if s is None:
+            raise KeyError(f"Session not found: {session_id}")
+        s.destroy()
+
+    def session_count(self) -> int:
+        with self._lock:
+            return len(self._sessions)

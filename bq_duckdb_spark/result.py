@@ -1,0 +1,68 @@
+"""DataFrame → BigQuery ``queryResponse`` JSON (the reference's wire
+format, src/executor/yachtsql.rs:207-231: ``schema.fields[]``,
+``rows[].f[].v``, ``totalRows`` as string, ``jobComplete``)."""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import decimal
+import math
+
+from pyspark.sql import DataFrame
+
+from bq_duckdb_spark import types as bqtypes
+
+
+def _encode_value(v):
+    """JSON encoding per SURVEY §1.3: bool/number native, bytes→base64,
+    date/timestamp→ISO strings, decimal→string, arrays/structs recurse,
+    NULL⇄null."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return str(v)
+        return v
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return [_encode_value(x) for x in v]
+    if hasattr(v, "asDict"):  # Row (struct value)
+        return {k: _encode_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _encode_value(x) for k, x in v.items()}
+    return str(v) if not isinstance(v, str) else v
+
+
+def to_query_result(df: DataFrame) -> dict:
+    """Intermediate shape: {"columns": [{"name","type"}], "rows": [[…]]}
+    (reference QueryResult, yachtsql.rs:201-205)."""
+    columns = bqtypes.columns_from_schema(df.schema)
+    rows = [[_encode_value(v) for v in row] for row in df.collect()]
+    return {"columns": columns, "rows": rows}
+
+
+def to_bq_response(df: DataFrame) -> dict:
+    """Full BigQuery ``queryResponse`` shape (yachtsql.rs:208-231)."""
+    qr = to_query_result(df)
+    return {
+        "kind": "bigquery#queryResponse",
+        "schema": {
+            "fields": [
+                {"name": c["name"], "type": c["type"], "mode": "NULLABLE"}
+                for c in qr["columns"]
+            ]
+        },
+        "rows": [{"f": [{"v": v} for v in row]} for row in qr["rows"]],
+        "totalRows": str(len(qr["rows"])),
+        "jobComplete": True,
+    }

@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet dir, compare row count, sorted column names, and an
+order-insensitive value hash (values normalized: floats rounded to 6dp,
+everything else stringified).
+
+Usage: python tools/check_oracle.py [sf_dir] [only_query_prefix]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(normalize(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    import __spark_entry__ as entrymod
+    from bq_duckdb_spark import get_spark
+
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if prefix and not name.startswith(prefix):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle)")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if not problems:
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                # print first differing normalized line for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sl = sorted("|".join(normalize(r[i]) for i in so) for r in srows)
+                ol = sorted("|".join(normalize(r[i]) for i in oo) for r in orows)
+                for a, b in zip(sl, ol):
+                    if a != b:
+                        problems.append(f"  spark : {a[:200]}")
+                        problems.append(f"  duckdb: {b[:200]}")
+                        break
+        dt = time.time() - t0
+        if problems:
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            print(f"pass  {name} ({dt:.1f}s, {len(srows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
