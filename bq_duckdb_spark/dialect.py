@@ -199,7 +199,9 @@ def _bracket_literals(sql: str) -> str:
             i = j
             continue
         if c == "[":
-            prev = "".join(out).rstrip()
+            # subscript indexing only when the bracket directly follows an
+            # identifier/)/'] with no whitespace (arr[0]); otherwise literal
+            prev = "".join(out)
             if not _ARRAY_LITERAL_SAFE_PREV.search(prev):
                 # find matching ]
                 depth, j = 0, i

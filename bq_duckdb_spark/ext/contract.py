@@ -1,0 +1,243 @@
+"""Driver-contract entries for the ext/ training-data operators.
+
+SQL-expressible operators carry a DuckDB oracle; hash-based pipelines
+(MinHash/SimHash/LSH/fingerprint) have no DuckDB equivalent of Spark's
+xxhash64 and are registered rows-only (the driver records the weaker
+check; unit tests in tests/test_ext.py pin their semantics instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import dedup, multimodal, similarity, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row.embedding]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup stats: hash-groupBy on content (one shuffle)."""
+    return dedup.exact_dup_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding candidate pairs (shingle→minhash→band→
+    bucket-join; no all-pairs). Rows-only: xxhash64 has no DuckDB twin."""
+    return dedup.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=8
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit-chunk pigeonhole banding."""
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard over MinHash-banded candidates."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding. The JVM fold
+    dot product is bitwise-deterministic, so a DuckDB oracle applies."""
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+_SIM_COSINE_TOPK_ORACLE = """
+WITH q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+       / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (random hyperplanes,
+    probe hamming<=1 buckets, exact cosine on the candidates)."""
+    qv = _query_vec(spark, sf_dir)
+    return similarity.lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), qv, dim=len(qv), k=10, nbits=8, max_hamming=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword token counts per document."""
+    return text.with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_subwords"
+    )
+
+
+_TEXT_TOKENS_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+            t -> 1 + CAST(floor(greatest(length(t) - 4, 0) / 4) AS INT))) AS BIGINT)
+           AS n_subwords
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (lengths, punct/stopword/distinct
+    ratios) — all per-row JVM expressions, no rounding needed."""
+    return text.with_quality_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "distinct_ratio",
+    )
+
+
+_TEXT_QUALITY_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+            t -> length(t))) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_word_len,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
+FROM documents
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: doc counts and average lengths."""
+    docs = text.with_token_count(_t(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEXT_STATS_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)), 4)
+           AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (heuristic; rows-only)."""
+    return text.with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "pred_lang"
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash winnowing fingerprint per document (rows-only)."""
+    return text.with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob feature extraction through the Arrow/mapInPandas
+    plumbing (decode step stubbed deterministically; rows-only)."""
+    blobs = multimodal.make_blob_table(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+    return multimodal.extract_features(blobs, decode_stub=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_ann_lsh": sim_ann_lsh,
+        "text_tokens": text_tokens,
+        "text_quality": text_quality,
+        "text_stats": text_stats,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "multimodal_features": multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
+        "text_tokens": _TEXT_TOKENS_ORACLE,
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "text_stats": _TEXT_STATS_ORACLE,
+    }

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- Brute-force cosine top-k: exact baseline. The dot product is a
+  sequential JVM fold (``aggregate`` over ``zip_with``) in double —
+  bitwise-deterministic, whole-stage-codegen'd, no Python in the loop.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures; probe
+  only matching buckets (optionally neighboring buckets) — the scale
+  path when the corpus no longer fits a full scan per query.
+- IVF-style variant: partition by coarse centroid id, search the probed
+  partitions only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def dot_expr(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.expr(f"sqrt({dot_expr(vec_col, vec_col)})"))
+
+
+def _query_vec_expr(query_vec: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec) + ")"
+
+
+def cosine_scores(
+    df: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``cosine`` vs a constant query vector. One scan, no shuffle."""
+    q = _query_vec_expr(query_vec)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    dot = dot_expr(vec_col, q)
+    norm = f"sqrt({dot_expr(vec_col, vec_col)})"
+    return df.withColumn("cosine", F.expr(f"({dot}) / ({norm} * {qnorm!r})"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine. orderBy+limit compiles to
+    TakeOrderedAndProject: each partition keeps a k-heap, the driver
+    merges — no global sort even at 10^9 vectors."""
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without RNG state:
+    plane[i][j] derives from a hash of (seed, i, j) mapped to [-1, 1).
+    Stable across runs/machines (no numpy RNG version dependence)."""
+    planes = []
+    for i in range(nbits):
+        row = []
+        for j in range(dim):
+            h = (1103515245 * (seed * 1_000_003 + i * 10_007 + j) + 12345) % (2**31)
+            row.append((h / 2**30) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out: str = "lsh_bucket",
+) -> DataFrame:
+    """Add an ``nbits``-bit sign-of-projection signature. Vectors with
+    equal signatures are cosine-close with high probability; the bucket
+    id becomes the shuffle/partition key for ANN lookups."""
+    planes = _hyperplanes(dim, nbits, seed)
+    bit_terms = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
+        bit_terms.append(
+            f"CASE WHEN {dot_expr(vec_col, arr)} >= 0 THEN shiftleft(1L, {i}) ELSE 0L END"
+        )
+    return df.withColumn(out, F.expr(" | ".join(f"({t})" for t in bit_terms)))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine scan to vectors whose
+    LSH bucket is within ``max_hamming`` bits of the query's bucket.
+
+    Scale: candidate set shrinks ~2^-nbits per hamming step; the bucket
+    column is precomputable and partition-prunable (store bucketed-by
+    ``lsh_bucket`` at rest for O(probed buckets) reads).
+    """
+    planes = _hyperplanes(dim, nbits, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * float(b) for a, b in zip(p, query_vec)) >= 0:
+            qbucket |= 1 << i
+    sig = with_lsh_signature(df, dim, nbits, seed, vec_col)
+    cands = sig.filter(
+        F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming
+    )
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (by dot product of
+    normalized centroids). ``centroids`` is a small driver-side list
+    (the coarse codebook); at scale the table is repartitioned/stored
+    by cell so probes read only matching cells."""
+    scores = []
+    for ci, c in enumerate(centroids):
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        scores.append(f"named_struct('cell', {ci}, 'score', {dot_expr(vec_col, arr)})")
+    best = (
+        "aggregate(array(" + ", ".join(scores) + "), "
+        "named_struct('cell', -1, 'score', CAST('-Infinity' AS DOUBLE)), "
+        "(acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END).cell"
+    )
+    return df.withColumn(out, F.expr(best))

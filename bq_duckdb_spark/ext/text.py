@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything is built from JVM-side string/array functions (split, regexp,
+higher-order folds) so the hot path codegens; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "in", "zu"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men"],
+}
+
+
+def _tokens(text_col: str) -> str:
+    return f"split(trim({text_col}), '\\\\s+')"
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword count (word-piece
+    estimate: words plus extra pieces for every 4 chars beyond 4)."""
+    toks = _tokens(text_col)
+    return df.withColumn(
+        "n_tokens", F.expr(f"CAST(size({toks}) AS BIGINT)")
+    ).withColumn(
+        "n_subwords",
+        F.expr(
+            f"CAST(aggregate({toks}, 0, "
+            f"(acc, t) -> acc + 1 + CAST(floor(greatest(length(t) - 4, 0) / 4) AS INT)) "
+            f"AS BIGINT)"
+        ),
+    )
+
+
+def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: char/word lengths, punctuation and
+    whitespace ratios, stopword ratio, distinct-token ratio."""
+    toks = _tokens(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return (
+        df.withColumn("n_chars_calc", F.expr(f"CAST(length({text_col}) AS BIGINT)"))
+        .withColumn("n_words", F.expr(f"CAST(size({toks}) AS BIGINT)"))
+        .withColumn(
+            "mean_word_len",
+            F.expr(
+                f"CAST(aggregate({toks}, 0, (a, t) -> a + length(t)) AS DOUBLE) "
+                f"/ size({toks})"
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.expr(
+                f"CAST(length(regexp_replace({text_col}, '[^.,;:!?]', '')) AS DOUBLE) "
+                f"/ length({text_col})"
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.expr(
+                f"CAST(size(filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE) "
+                f"/ size({toks})"
+            ),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.expr(f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (n-gram/stopword-profile heuristic; ties break alphabetically).
+    A real pipeline would swap in fastText — same operator shape."""
+    toks = _tokens(text_col)
+    scored = []
+    for lang in sorted(_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+        scored.append(
+            f"named_struct('lang', '{lang}', "
+            f"'score', size(filter({toks}, t -> t IN ({words}))))"
+        )
+    best = (
+        "aggregate(array(" + ", ".join(scored) + "), "
+        "named_struct('lang', 'und', 'score', -1), "
+        "(acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END).lang"
+    )
+    return df.withColumn("pred_lang", F.expr(best))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 4) -> DataFrame:
+    """Document fingerprint: min-of-rolling-window hashes (winnowing-style
+    min selection over token k-gram hashes) — a stable 64-bit content id
+    robust to small edits at the document tail."""
+    toks = _tokens(text_col)
+    shingles = (
+        f"CASE WHEN size({toks}) < {shingle_k} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(0, size({toks}) - {shingle_k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {shingle_k}))) END"
+    )
+    return df.withColumn(
+        "fingerprint", F.expr(f"array_min(transform({shingles}, s -> xxhash64(s)))")
+    )

@@ -34,10 +34,11 @@ def _encode_value(v):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if hasattr(v, "asDict"):  # Row (struct value) — a tuple subclass, so
+        # this check must precede the list/tuple branch
+        return {k: _encode_value(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_encode_value(x) for x in v]
-    if hasattr(v, "asDict"):  # Row (struct value)
-        return {k: _encode_value(x) for k, x in v.asDict().items()}
     if isinstance(v, dict):
         return {k: _encode_value(x) for k, x in v.items()}
     return str(v) if not isinstance(v, str) else v

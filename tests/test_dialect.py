@@ -1,0 +1,151 @@
+"""Dialect shim + SQL-text analysis.
+
+CTE-name extraction and dependency inference replicate the reference's
+semantics (unit tests at src/session/pipeline.rs:2118-2260): recursive
+keyword, nested parens, multiple CTEs, prefix non-match, subquery alias,
+case-insensitivity.
+"""
+
+from bq_duckdb_spark.dialect import (
+    extract_cte_names,
+    extract_dependencies,
+    is_table_referenced,
+    transpile,
+)
+
+
+class TestTranspile:
+    def test_safe_cast(self):
+        assert "try_cast('x' AS BIGINT)" in transpile("SELECT SAFE_CAST('x' AS INT64)")
+
+    def test_cast_type_names(self):
+        out = transpile("SELECT CAST(a AS FLOAT64), CAST(b AS BOOL), CAST(c AS BYTES)")
+        assert "AS DOUBLE" in out and "AS BOOLEAN" in out and "AS BINARY" in out
+
+    def test_regexp_contains(self):
+        assert "regexp_like(" in transpile("SELECT REGEXP_CONTAINS(x, 'p') FROM t")
+
+    def test_date_add_interval(self):
+        out = transpile("SELECT DATE_ADD(d, INTERVAL 5 DAY) FROM t")
+        assert out == "SELECT (d + INTERVAL 5 DAY) FROM t"
+
+    def test_date_sub_interval(self):
+        assert "(d - INTERVAL 2 MONTH)" in transpile(
+            "SELECT DATE_SUB(d, INTERVAL 2 MONTH)"
+        )
+
+    def test_date_add_two_arg_passthrough(self):
+        # Spark's own date_add(date, days) must survive untouched
+        assert transpile("SELECT date_add(d, 5)") == "SELECT date_add(d, 5)"
+
+    def test_date_diff(self):
+        assert "datediff(a, b)" in transpile("SELECT DATE_DIFF(a, b, DAY)")
+        assert "timestampdiff(MONTH, b, a)" in transpile("SELECT DATE_DIFF(a, b, MONTH)")
+
+    def test_unnest_from(self):
+        out = transpile("SELECT x FROM UNNEST([1,2,3]) AS x")
+        assert "explode(array(1,2,3)) AS x" in out
+
+    def test_array_literal_vs_subscript(self):
+        out = transpile("SELECT [1, 2], arr[0] FROM t")
+        assert "array(1, 2)" in out
+        assert "arr[0]" in out
+
+    def test_brace_struct_literal(self):
+        assert "named_struct('k', 5)" in transpile("SELECT {'k': 5}")
+
+    def test_table_mapping_word_boundary(self):
+        out = transpile(
+            "SELECT * FROM users, users2", {"users": "v_users", "users2": "v_users2"}
+        )
+        assert "FROM v_users, v_users2" in out
+
+    def test_table_mapping_backticks_and_case(self):
+        out = transpile("SELECT * FROM `Proj.DS.T`", {"proj.ds.t": "v"})
+        assert "FROM v" in out
+
+    def test_nested_date_add(self):
+        out = transpile("SELECT CAST(DATE_ADD(DATE '2024-01-01', INTERVAL 1 DAY) AS STRING)")
+        assert "(DATE '2024-01-01' + INTERVAL 1 DAY)" in out
+
+    def test_string_literal_untouched(self):
+        out = transpile("SELECT 'DATE_ADD(d, INTERVAL 5 DAY)' AS s")
+        # the call inside the string still transpiles harmlessly or not at
+        # all — what matters is the statement stays parseable; check quotes
+        assert out.count("'") == 2
+
+
+class TestCteNames:
+    def test_single(self):
+        assert extract_cte_names("WITH a AS (SELECT 1) SELECT * FROM a") == ["a"]
+
+    def test_multiple(self):
+        sql = "WITH a AS (SELECT 1), b AS (SELECT * FROM a) SELECT * FROM b"
+        assert extract_cte_names(sql) == ["a", "b"]
+
+    def test_recursive_keyword(self):
+        sql = "WITH RECURSIVE seq AS (SELECT 1 UNION ALL SELECT n+1 FROM seq) SELECT * FROM seq"
+        assert extract_cte_names(sql) == ["seq"]
+
+    def test_nested_parens(self):
+        sql = "WITH a AS (SELECT (1 + (2 * 3)) AS v FROM (SELECT 1) x) SELECT * FROM a"
+        assert extract_cte_names(sql) == ["a"]
+
+    def test_no_cte(self):
+        assert extract_cte_names("SELECT * FROM t") == []
+
+    def test_stops_at_main_statement(self):
+        sql = "WITH a AS (SELECT 1) SELECT with_col FROM a"
+        assert extract_cte_names(sql) == ["a"]
+
+
+class TestDependencies:
+    def test_basic_from_join(self):
+        sql = "SELECT * FROM orders o JOIN customers c ON o.cid = c.id"
+        assert extract_dependencies(sql, ["orders", "customers", "other"]) == [
+            "customers",
+            "orders",
+        ]
+
+    def test_cte_excluded(self):
+        sql = "WITH orders AS (SELECT 1) SELECT * FROM orders"
+        assert extract_dependencies(sql, ["orders"]) == []
+
+    def test_cte_excluded_but_real_dep_found(self):
+        sql = "WITH tmp AS (SELECT * FROM base) SELECT * FROM tmp"
+        assert extract_dependencies(sql, ["base", "tmp_other"]) == ["base"]
+
+    def test_prefix_no_match(self):
+        # reference pipeline.rs:2173-2191: `user` must not match `users`
+        sql = "SELECT * FROM users"
+        assert extract_dependencies(sql, ["user", "users"]) == ["users"]
+
+    def test_subquery_alias_not_a_dep(self):
+        sql = "SELECT v FROM (SELECT v FROM real_table) AS sub"
+        assert extract_dependencies(sql, ["real_table", "sub"]) == ["real_table"]
+
+    def test_case_insensitive(self):
+        sql = "SELECT * FROM Sales_Data"
+        assert extract_dependencies(sql, ["sales_data"]) == ["sales_data"]
+
+    def test_comma_join(self):
+        sql = "SELECT * FROM a, b WHERE a.x = b.x"
+        assert extract_dependencies(sql, ["a", "b", "c"]) == ["a", "b"]
+
+    def test_select_list_name_not_a_dep(self):
+        assert not is_table_referenced("SELECT orders FROM t", "orders")
+
+    def test_recursive_cte_self_excluded(self):
+        sql = (
+            "WITH RECURSIVE numbers AS (SELECT 1 AS n UNION ALL "
+            "SELECT n + 1 FROM numbers WHERE n < 10) SELECT * FROM numbers"
+        )
+        assert extract_dependencies(sql, ["numbers", "seed"]) == []
+
+    def test_qualified_names(self):
+        sql = "SELECT * FROM proj.ds.orders"
+        assert extract_dependencies(sql, ["proj.ds.orders"]) == ["proj.ds.orders"]
+
+    def test_sorted_output(self):
+        sql = "SELECT * FROM zeta JOIN alpha ON 1=1"
+        assert extract_dependencies(sql, ["zeta", "alpha"]) == ["alpha", "zeta"]

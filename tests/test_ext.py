@@ -1,0 +1,175 @@
+"""ext/ operator semantics: planted duplicates must be found, similarity
+must rank the true neighbor first, text metrics must be exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import dedup, multimodal, similarity, text
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    near = base.replace("tonight", "today")  # small edit → near-dup
+    other = "completely different content about spark query engines and shuffles here"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+
+def test_exact_dup_stats(docs):
+    stats = {r.keep_id: r.dup_count for r in dedup.exact_dup_stats(docs, "text", "doc_id").collect()}
+    assert stats[1] == 2  # docs 1 and 2 identical
+    assert stats[3] == 1 and stats[4] == 1
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidate_pairs(docs, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup lands in a shared band
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_scores(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.2 <= got[(1, 3)] < 1.0
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_deterministic(docs):
+    a = dedup.with_simhash64(docs, "text").select("doc_id", "simhash").collect()
+    b = dedup.with_simhash64(docs, "text").select("doc_id", "simhash").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+
+    def unit(seed):
+        raw = [((seed * 37 + i * 13) % 19) - 9.0 for i in range(8)]
+        n = math.sqrt(sum(x * x for x in raw))
+        return [x / n for x in raw]
+
+    data = [(i, unit(i)) for i in range(20)]
+    data.append((99, unit(5)))  # exact copy of vec 5 under a new id
+    return spark.createDataFrame(data, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_cosine_topk_self_first(vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 5").first().embedding]
+    top = rows(similarity.cosine_topk(vecs, q, k=3))
+    assert top[0][0] == 5 and top[1][0] == 99  # self then its exact copy
+    assert abs(top[0][1] - 1.0) < 1e-6
+    assert abs(top[1][1] - 1.0) < 1e-6
+
+
+def test_lsh_ann_finds_copy(vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 5").first().embedding]
+    got = [r[0] for r in rows(similarity.lsh_ann_topk(vecs, q, dim=8, k=5, nbits=6))]
+    assert 5 in got and 99 in got
+
+
+def test_lsh_signature_deterministic(vecs):
+    a = rows(similarity.with_lsh_signature(vecs, dim=8, nbits=8), "vec_id", "lsh_bucket")
+    b = rows(similarity.with_lsh_signature(vecs, dim=8, nbits=8), "vec_id", "lsh_bucket")
+    assert sorted(a) == sorted(b)
+
+
+def test_ivf_assign(vecs):
+    centroids = [[1.0, 0, 0, 0, 0, 0, 0, 0], [-1.0, 0, 0, 0, 0, 0, 0, 0]]
+    out = similarity.ivf_assign(vecs, centroids)
+    for r in out.collect():
+        expect = 0 if r.embedding[0] >= 0 else 1
+        assert r.ivf_cell == expect
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "short words here"), (2, "internationalization")],
+                               ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.n_subwords) for r in text.with_token_count(df).collect()}
+    assert got[1] == (3, 3)
+    # "internationalization" = 20 chars → 1 + floor((20-4)/4) = 5 pieces
+    assert got[2] == (1, 5)
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([(1, "the cat, the hat!")], ["doc_id", "text"])
+    r = text.with_quality_scores(df).collect()[0]
+    assert r.n_words == 4
+    assert r.stopword_ratio == 0.5  # "the" twice out of 4 tokens
+    assert r.punct_ratio == pytest.approx(2 / 17)
+    assert r.distinct_ratio == 0.75  # the, cat,, hat! → "the" repeats
+
+
+def test_lang_id_english(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the hat and it is a good hat")], ["doc_id", "text"]
+    )
+    assert text.with_lang_id(df).collect()[0].pred_lang == "en"
+
+
+def test_fingerprint_stable_under_tail_edit(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron rho"),  # tail edit
+            (3, "totally unrelated words without any overlap at all whatsoever "
+                "in this string"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in text.with_fingerprint(df).collect()}
+    # min-hash over shared 4-gram shingles usually survives a tail edit
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world", "src0"), (2, "", "src1")],
+                               ["doc_id", "text", "source"])
+    blobs = multimodal.make_blob_table(df, "doc_id", "text", "source")
+    assert [f.name for f in blobs.schema.fields] == [
+        "blob_id", "payload", "media_type", "meta"]
+    feats = multimodal.extract_features(blobs, decode_stub=True)
+    got = {r.blob_id: r for r in feats.collect()}
+    assert got[1].n_bytes == 11
+    assert len(got[1].feature) == 8
+    assert got[2].n_bytes == 0 and got[2].feature == [0.0] * 8
+    # deterministic across runs
+    again = {r.blob_id: r.feature for r in
+             multimodal.extract_features(blobs, decode_stub=True).collect()}
+    assert again[1] == got[1].feature
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_one(b"bytes", decode_stub=False)
