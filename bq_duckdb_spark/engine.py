@@ -289,27 +289,54 @@ class Session:
                         with open(fpath) as f:
                             sql = f.read()
                         sql_files.append(
-                            {"project": project, "dataset": dataset, "table": table, "sql": sql}
+                            {
+                                "project": project,
+                                "dataset": dataset,
+                                "table": table,
+                                "path": fpath,
+                                "sql": sql,
+                            }
                         )
         return parquet_files, sql_files
 
     def load_parquet_directory(self, root: str) -> dict:
+        """Result entries use the reference's ParquetTableInfo shape
+        (src/rpc/types.rs:464-472)."""
         parquet_files, _ = self.discover_files(root)
         loaded = []
         for pf in parquet_files:
             name = f"{pf['project']}.{pf['dataset']}.{pf['table']}"
             count = self.load_parquet(name, pf["path"], pf["columns"])
-            loaded.append({"table": name, "rowCount": count})
+            loaded.append(
+                {
+                    "project": pf["project"],
+                    "dataset": pf["dataset"],
+                    "table": pf["table"],
+                    "path": pf["path"],
+                    "rowCount": count,
+                }
+            )
         return {"tables": loaded}
 
     def load_sql_directory(self, root: str) -> dict:
+        """Result entries use the reference's SqlTableInfo shape
+        (src/rpc/types.rs:440-446)."""
         _, sql_files = self.discover_files(root)
-        defs = [
-            {"name": f"{sf['project']}.{sf['dataset']}.{sf['table']}", "sql": sf["sql"]}
-            for sf in sql_files
-        ]
+        defs, infos = [], []
+        for sf in sql_files:
+            defs.append(
+                {"name": f"{sf['project']}.{sf['dataset']}.{sf['table']}", "sql": sf["sql"]}
+            )
+            infos.append(
+                {
+                    "project": sf["project"],
+                    "dataset": sf["dataset"],
+                    "table": sf["table"],
+                    "path": sf["path"],
+                }
+            )
         self.pipeline.register(defs)
-        return {"tables": [d["name"] for d in defs]}
+        return {"tables": infos}
 
     def load_dag_from_directory(self, root: str) -> dict:
         """S3 + S4 in one call (reference src/session/manager.rs:368-412)."""

@@ -134,8 +134,11 @@ def test_load_dag_from_directory(session, tmp_path):
     (manager.rs:368-412)."""
     root = str(_write_tree(tmp_path))
     out = session.load_dag_from_directory(root)
-    assert out["sourceTables"] == [{"table": "proj.raw.users", "rowCount": 2}]
-    assert out["computedTables"] == ["proj.raw.doubled"]
+    (src,) = out["sourceTables"]
+    assert (src["project"], src["dataset"], src["table"], src["rowCount"]) == (
+        "proj", "raw", "users", 2)
+    (comp,) = out["computedTables"]
+    assert (comp["project"], comp["dataset"], comp["table"]) == ("proj", "raw", "doubled")
     deps = {t["name"]: t["dependencies"] for t in out["dagInfo"]["tables"]}
     # parquet tables are engine tables, not DAG nodes — deps only track
     # registered DAG tables (reference manager.rs:368-412 registers only
