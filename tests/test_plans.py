@@ -1,0 +1,78 @@
+"""Plan-shape regression tests over the sf0.001 data: pushdown reaches
+the parquet scans, schemas are pruned, small dims broadcast, theta joins
+use nested-loop, scans-only pipelines have zero exchanges. These pin the
+properties that make the same code viable at 100 TB."""
+
+import pytest
+
+import __spark_entry__ as entry
+from bq_duckdb_spark.plans import audit_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    qs = entry.queries()
+    return lambda name: qs[name](spark, SF)
+
+
+def test_q01_filter_pushdown_and_pruning(q):
+    a = audit_plan(q("q01_pricing_summary"))
+    a.assert_pushed_filter("lineitem", "l_shipdate")
+    # 2 group keys + 4 measure columns + shipdate = 7 of 11 columns
+    a.assert_pruned_schema("lineitem", 7)
+    assert a.aqe
+
+
+def test_q03_all_filters_reach_scans(q):
+    a = audit_plan(q("q03_shipping_priority"))
+    a.assert_pushed_filter("customer", "c_mktsegment")
+    a.assert_pushed_filter("orders", "o_orderdate")
+    a.assert_pushed_filter("lineitem", "l_shipdate")
+    a.assert_pruned_schema("customer", 2)
+    assert a.broadcast_joins >= 1
+
+
+def test_q05_broadcasts_dimensions(q):
+    a = audit_plan(q("q05_local_supplier"))
+    a.assert_pushed_filter("region", "r_name")
+    assert a.broadcast_joins >= 2, "region/nation dims must broadcast"
+    assert a.sortmerge_joins == 0, "no SMJ expected at this scale"
+
+
+def test_map_only_query_has_no_exchange(q):
+    a = audit_plan(q("q_filter_case"))
+    assert a.exchanges == 0, f"map-only pipeline must not shuffle\n{a.formatted}"
+    a.assert_pushed_filter("lineitem", "l_discount")
+    assert a.codegen_spans >= 1
+
+
+def test_theta_join_uses_nested_loop(q):
+    a = audit_plan(q("q_theta_join"))
+    assert a.nested_loop_joins >= 1
+
+
+def test_window_single_shuffle(q):
+    a = audit_plan(q("q_window_rank"))
+    # one partitionBy shuffle (doubled in AQE's initial+final printout)
+    assert a.exchanges <= 2, f"window should shuffle once\n{a.formatted}"
+
+
+def test_semi_join_shape(q):
+    a = audit_plan(q("q_exists_semi"))
+    assert a.broadcast_joins + a.sortmerge_joins >= 1
+    a.assert_pushed_filter("orders", "o_totalprice")
+
+
+def test_dedup_exact_single_shuffle(q):
+    a = audit_plan(q("dedup_exact"))
+    # hash-groupBy: partial agg → exchange → final agg
+    assert a.exchanges <= 2
+
+
+def test_cosine_topk_no_shuffle_scan(q):
+    """Brute-force top-k must be scan + TakeOrdered — no exchange."""
+    a = audit_plan(q("sim_cosine_topk"))
+    assert "TakeOrderedAndProject" in a.formatted
+    assert a.exchanges == 0, f"top-k should not shuffle\n{a.formatted}"

@@ -1,0 +1,141 @@
+"""Structured Streaming operators: streamed results must agree with the
+equivalent batch computation over the same files."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark import streaming
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(SRC, str(d / "part-000.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    df = spark.read.parquet(SRC)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_windowed_counts_match_batch(spark, stream_dir, batch_events):
+    stream = streaming.read_event_stream(spark, stream_dir)
+    # complete mode: append would (correctly) hold back windows newer
+    # than the watermark horizon, but here we want all of them to compare
+    # against the batch result
+    q = streaming.run_available_now(
+        streaming.windowed_counts(stream, window="6 hours"),
+        "win_counts",
+        output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            batch_events.groupBy(
+                F.window("ts", "6 hours").alias("win"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .collect()
+        )
+    }
+    assert got.keys() == expected.keys()
+    for k, (n, total) in expected.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(total)
+    q.stop()
+
+
+def test_session_windows_stream(spark, stream_dir):
+    stream = streaming.read_event_stream(spark, stream_dir)
+    q = streaming.run_available_now(
+        streaming.session_windows(stream, gap="30 minutes"), "sessions"
+    )
+    sessions = spark.table("sessions").collect()
+    assert len(sessions) > 0
+    by_user = {}
+    for r in sessions:
+        assert r.session_end >= r.session_start
+        by_user.setdefault(r.user_id, []).append(r)
+    # sessions of one user never overlap
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.session_start)
+        for a, b in zip(rs, rs[1:]):
+            assert a.session_end <= b.session_start
+    q.stop()
+
+
+def test_stateful_user_stats(spark, stream_dir, batch_events):
+    stream = streaming.read_event_stream(spark, stream_dir)
+    q = streaming.run_available_now(
+        streaming.stateful_user_stats(stream), "user_stats", output_mode="update"
+    )
+    # update mode: take the last emitted row per user
+    got = {}
+    for r in spark.table("user_stats").collect():
+        got[r.user_id] = (r.n_events, r.total_value, r.max_value)
+    expected = {
+        r.user_id: (r.n, r.total, r.mx)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got.keys() == expected.keys()
+    for uid, (n, total, mx) in expected.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(total)
+        assert got[uid][2] == pytest.approx(mx)
+    q.stop()
+
+
+def test_incremental_second_file_appends(spark, stream_dir, tmp_path):
+    """New files are picked up incrementally by a second availableNow
+    drain (checkpointed file tracking)."""
+    out = str(tmp_path / "chk")
+    stream = streaming.read_event_stream(spark, stream_dir)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("inc_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = {r.event_type: r.n for r in spark.table("inc_counts").collect()}
+    # add a second copy of the data → counts double on the next drain
+    shutil.copy(SRC, stream_dir + "/part-001.parquet")
+    q2 = (
+        counts.writeStream.format("memory")
+        .queryName("inc_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    second = {r.event_type: r.n for r in spark.table("inc_counts").collect()}
+    assert second == {k: 2 * v for k, v in first.items()}
