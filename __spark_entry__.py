@@ -708,6 +708,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(ext_contract.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier2
+
+        q.update(contract_tier2.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -744,6 +750,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark.ext import contract as ext_contract
 
         o.update(ext_contract.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier2
+
+        o.update(contract_tier2.oracle_sql())
     except ImportError:
         pass
     return o

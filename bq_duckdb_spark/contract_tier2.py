@@ -1,0 +1,346 @@
+"""Tier-2 driver-contract entries: SQL surface beyond the reference's
+hard-verified core (SURVEY §2 marks these unattested-but-in-dialect) plus
+the custom operators (as-of join, range join).
+
+Everything here is oracle-checked except approx aggregates (engine-
+specific sketches → rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bq_duckdb_spark.operators import asof_join, range_join
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE (SURVEY Q6 — native in Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE sequence generator joined to a real table
+    (the reference's own recursive-CTE fixture shape, pipeline.rs:2194)."""
+    _views(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE seq AS (
+            SELECT 1 AS n UNION ALL SELECT n + 1 FROM seq WHERE n < 25
+        )
+        SELECT n, n_name FROM seq JOIN nation ON n_nationkey = n - 1
+        """
+    )
+
+
+_Q_RECURSIVE_CTE_ORACLE = """
+WITH RECURSIVE seq AS (
+    SELECT 1 AS n UNION ALL SELECT n + 1 FROM seq WHERE n < 25
+)
+SELECT n, n_name FROM seq JOIN nation ON n_nationkey = n - 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return building.intersect(big)
+
+
+_Q_INTERSECT_ORACLE = """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.subtract(orders)  # EXCEPT DISTINCT semantics
+
+
+_Q_EXCEPT_ORACLE = """
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey AS k FROM orders
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+_Q_UNION_DISTINCT_ORACLE = """
+SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# window tier-2: FIRST/LAST_VALUE, RANGE frames
+# ---------------------------------------------------------------------------
+
+
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first_value("c_acctbal").over(w).alias("first_bal"),
+        F.last_value("c_acctbal").over(w).alias("last_bal"),
+    )
+
+
+_Q_FIRST_LAST_VALUE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       first_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_bal,
+       last_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_bal
+FROM customer
+"""
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: sum of prices of orders whose key is within 100 below
+    the current key, per customer — a value-range (not row-count) frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
+    )
+
+
+_Q_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS nearby_total
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation tier-2
+# ---------------------------------------------------------------------------
+
+
+def q_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY_VALUE over singleton groups — deterministic by construction."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_custkey").agg(
+        F.any_value("c_name").alias("name"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_Q_ANY_VALUE_ORACLE = """
+SELECT c_custkey, any_value(c_name) AS name, count(*) AS n
+FROM customer GROUP BY c_custkey
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_Q_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_COUNT_DISTINCT — HLL sketches are engine-specific, so this
+    is rows-only; the companion exact count bounds the estimate."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.countDistinct("o_custkey").alias("exact_cust"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar tier-2
+# ---------------------------------------------------------------------------
+
+
+def q_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery DIV (integer division) + MOD semantics on positive keys."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderkey div 7").alias("d7"),
+        (F.col("o_orderkey") % 7).alias("m7"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open?")).alias(
+            "status_or_default"
+        ),
+    )
+
+
+_Q_DIV_MOD_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey // 7 AS d7,
+       o_orderkey % 7 AS m7,
+       coalesce(nullif(o_orderstatus, 'O'), 'open?') AS status_or_default
+FROM orders
+"""
+
+
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q_DATE_TRUNC_ORACLE = """
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# custom operators: as-of join, range join
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event picks the user's most recent order
+    at-or-before the event (union + carry-forward window; one shuffle)."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=[],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderdate_right").cast("string").alias("last_order_date"),
+    )
+
+
+_Q_ASOF_JOIN_ORACLE = """
+SELECT e.event_id, e.user_id,
+       CAST(o.o_orderdate AS VARCHAR) AS last_order_date
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: orders bucketed into price bands via broadcast range
+    join (interval side is tiny → BroadcastNestedLoopJoin)."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(i, float(i * 100000), float((i + 1) * 100000)) for i in range(6)],
+        ["band_id", "lo", "hi"],
+    )
+    joined = range_join(orders, bands, "o_totalprice", "lo", "hi")
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+    )
+
+
+_Q_RANGE_JOIN_BANDS_ORACLE = """
+WITH bands(band_id, lo, hi) AS (
+    VALUES (0, 0.0, 100000.0), (1, 100000.0, 200000.0), (2, 200000.0, 300000.0),
+           (3, 300000.0, 400000.0), (4, 400000.0, 500000.0), (5, 500000.0, 600000.0)
+)
+SELECT band_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS band_total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q_recursive_cte": q_recursive_cte,
+        "q_intersect": q_intersect,
+        "q_except": q_except,
+        "q_union_distinct": q_union_distinct,
+        "q_first_last_value": q_first_last_value,
+        "q_range_frame": q_range_frame,
+        "q_any_value": q_any_value,
+        "q_grouping_sets": q_grouping_sets,
+        "q_approx_distinct": q_approx_distinct,
+        "q_div_mod": q_div_mod,
+        "q_date_trunc": q_date_trunc,
+        "q_asof_join": q_asof_join,
+        "q_range_join_bands": q_range_join_bands,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q_recursive_cte": _Q_RECURSIVE_CTE_ORACLE,
+        "q_intersect": _Q_INTERSECT_ORACLE,
+        "q_except": _Q_EXCEPT_ORACLE,
+        "q_union_distinct": _Q_UNION_DISTINCT_ORACLE,
+        "q_first_last_value": _Q_FIRST_LAST_VALUE_ORACLE,
+        "q_range_frame": _Q_RANGE_FRAME_ORACLE,
+        "q_any_value": _Q_ANY_VALUE_ORACLE,
+        "q_grouping_sets": _Q_GROUPING_SETS_ORACLE,
+        "q_div_mod": _Q_DIV_MOD_ORACLE,
+        "q_date_trunc": _Q_DATE_TRUNC_ORACLE,
+        "q_asof_join": _Q_ASOF_JOIN_ORACLE,
+        "q_range_join_bands": _Q_RANGE_JOIN_BANDS_ORACLE,
+    }

@@ -1,0 +1,13 @@
+"""Custom relational operators Spark lacks as single primitives,
+re-expressed as compositions of DataFrame ops (never driver-side loops):
+
+- ``asof``       — as-of (point-in-time) join via the union + carry-forward
+                   window formulation: one shuffle per key, linear state.
+- ``range_join`` — interval/band joins with broadcast or bucketed
+                   strategies.
+"""
+
+from bq_duckdb_spark.operators.asof import asof_join
+from bq_duckdb_spark.operators.range_join import range_join
+
+__all__ = ["asof_join", "range_join"]

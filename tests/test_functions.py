@@ -1,0 +1,85 @@
+"""BigQuery SQL-UDF registry: functions resolve in plain spark.sql and
+implement BigQuery semantics (NULL-safe division, fingerprints, codecs)."""
+
+import math
+
+import pytest
+
+from bq_duckdb_spark.functions import register_bigquery_functions
+
+
+@pytest.fixture(scope="module", autouse=True)
+def registered(spark):
+    names = register_bigquery_functions(spark)
+    assert "SAFE_DIVIDE" in names
+    return names
+
+
+def test_safe_divide(spark):
+    r = spark.sql(
+        "SELECT SAFE_DIVIDE(10.0, 4.0) AS a, SAFE_DIVIDE(1.0, 0.0) AS b"
+    ).collect()[0]
+    assert r.a == 2.5 and r.b is None
+
+
+def test_ieee_divide(spark):
+    r = spark.sql(
+        "SELECT IEEE_DIVIDE(1.0, 0.0) AS pinf, IEEE_DIVIDE(-1.0, 0.0) AS ninf, "
+        "IEEE_DIVIDE(0.0, 0.0) AS nan"
+    ).collect()[0]
+    assert r.pinf == float("inf") and r.ninf == float("-inf") and math.isnan(r.nan)
+
+
+def test_div_builtin(spark):
+    """BigQuery DIV is covered by Spark's builtin div (same semantics)."""
+    r = spark.sql("SELECT DIV(7, 2) AS a, DIV(-7, 2) AS b").collect()[0]
+    assert r.a == 3 and r.b == -3  # truncation toward zero
+
+
+def test_regexp_contains_function(spark):
+    r = spark.sql(
+        "SELECT REGEXP_CONTAINS('abc', 'b') AS y, REGEXP_CONTAINS('abc', '^b') AS n"
+    ).collect()[0]
+    assert r.y is True and r.n is False
+
+
+def test_hex_base64_roundtrip(spark):
+    r = spark.sql(
+        "SELECT TO_HEX(CAST('hi' AS BINARY)) AS h, "
+        "CAST(FROM_HEX('6869') AS STRING) AS s, "
+        "TO_BASE64(CAST('hi' AS BINARY)) AS b64, "
+        "CAST(FROM_BASE64('aGk=') AS STRING) AS s2"
+    ).collect()[0]
+    assert r.h == "6869" and r.s == "hi" and r.b64 == "aGk=" and r.s2 == "hi"
+
+
+def test_unix_times_builtin(spark):
+    """UNIX_SECONDS/MILLIS are Spark builtins matching BigQuery."""
+    r = spark.sql(
+        "SELECT UNIX_SECONDS(TIMESTAMP '1970-01-01 00:01:00Z') AS s, "
+        "UNIX_MILLIS(TIMESTAMP '1970-01-01 00:00:01Z') AS ms"
+    ).collect()[0]
+    assert r.s == 60 and r.ms == 1000
+
+
+def test_farm_fingerprint_deterministic(spark):
+    a = spark.sql("SELECT FARM_FINGERPRINT('doc') AS f").collect()[0].f
+    b = spark.sql("SELECT FARM_FINGERPRINT('doc') AS f").collect()[0].f
+    c = spark.sql("SELECT FARM_FINGERPRINT('other') AS f").collect()[0].f
+    assert a == b != c
+
+
+def test_strpos_and_safe_offset(spark):
+    r = spark.sql(
+        "SELECT STRPOS('banana', 'na') AS p, "
+        "SAFE_OFFSET(array('a','b'), 1) AS ok, "
+        "SAFE_OFFSET(array('a','b'), 9) AS oob"
+    ).collect()[0]
+    assert r.p == 3 and r.ok == "b" and r.oob is None
+
+
+def test_functions_inline_into_codegen(spark):
+    """SQL UDFs must inline as expressions — no Python eval nodes."""
+    df = spark.sql("SELECT SAFE_DIVIDE(CAST(id AS DOUBLE), 2.0) AS h FROM range(10)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
