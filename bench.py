@@ -31,11 +31,15 @@ BENCH_QUERIES = [
     "q_running_total",
     "q_sessionize",
     "q_rollup",
-    # ext/ training-data operators (present once implemented)
+    "q_asof_join",
+    # ext/ training-data operators
     "dedup_exact",
-    "text_stats",
-    "sim_cosine_topk",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_stats",
+    "multimodal_features",
 ]
 
 

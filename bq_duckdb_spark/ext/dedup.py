@@ -15,8 +15,12 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -50,6 +54,16 @@ def _tokens_expr(text_col: str) -> str:
     return f"split(trim({text_col}), '\\\\s+')"
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """CPU-bound hashing stages need one task per core even when the
+    input is a single small file (file-split partitioning follows bytes,
+    not compute cost). Only widens — never coalesces a big input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingles_expr(text_col: str, k: int) -> str:
     """Token k-gram shingles as an array<string> (distinct)."""
     toks = _tokens_expr(text_col)
@@ -60,21 +74,64 @@ def _shingles_expr(text_col: str, k: int) -> str:
     )
 
 
+def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash coefficients (odd multipliers +
+    offsets from a fixed LCG) — stable across runs and machines."""
+    a, b, state = [], [], 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        a.append(state | 1)  # odd → bijective mod 2^64
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        b.append(state)
+    return a, b
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """array<shingle-hash> → array<minhash_i> via vectorized universal
+    hashing: sig[i] = min over shingles of (a_i * h + b_i) mod 2^64.
+
+    The base shingle hash is one JVM-side xxhash64 pass; deriving the
+    ``num_hashes`` permutations happens in numpy with natural uint64
+    wraparound — one multiply-add per (shingle, seed) instead of
+    ``num_hashes`` interpreted re-hashes of every shingle string.
+    """
+    a_np: "np.ndarray" = np.array(_minhash_coeffs(num_hashes)[0], dtype=np.uint64)
+    b_np: "np.ndarray" = np.array(_minhash_coeffs(num_hashes)[1], dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        err = np.seterr(over="ignore")
+        try:
+            for hs in hashes:
+                if hs is None or len(hs) == 0:
+                    out.append([0] * num_hashes)
+                    continue
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # (n_shingles, num_hashes) wrap-around multiply-add
+                m = (h[:, None] * a_np[None, :] + b_np[None, :]).min(axis=0)
+                out.append(m.astype(np.int64).tolist())
+        finally:
+            np.seterr(**err)
+        return pd.Series(out)
+
+    return sig
+
+
 def with_minhash_signature(
     df: DataFrame, text_col: str, num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
-    """Add ``signature: array<bigint>`` — minimum of xxhash64(shingle,
-    seed_i) over the document's shingles, one element per seed. Pure
-    JVM expression (no UDF); deterministic."""
+    """Add ``signature: array<bigint>`` — ``num_hashes`` permutation
+    minima over the document's shingle set. Shingle hashing is one JVM
+    xxhash64 pass; permutations are Arrow-batched numpy (see
+    _minhash_sig_udf). Deterministic."""
     sh = _shingles_expr(text_col, shingle_k)
-    sigs = ", ".join(
-        f"array_min(transform(__shingles, s -> xxhash64(s, {seed})))"
-        for seed in range(num_hashes)
-    )
+    sig = _minhash_sig_udf(num_hashes)
     return (
-        df.withColumn("__shingles", F.expr(sh))
-        .withColumn("signature", F.expr(f"array({sigs})"))
-        .drop("__shingles")
+        _ensure_parallelism(df)
+        .withColumn("__sh_hashes", F.expr(f"transform({sh}, s -> xxhash64(s))"))
+        .withColumn("signature", sig(F.col("__sh_hashes")))
+        .drop("__sh_hashes")
     )
 
 
@@ -107,6 +164,9 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the self-join below reads this twice — persist so the signature
+    # pipeline (shingle + hash UDF) computes once, not once per side
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -140,7 +200,7 @@ def ngram_jaccard_pairs(
     cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     sh = df.select(
         F.col(id_col), F.expr(_shingles_expr(text_col, shingle_k)).alias("sh")
-    )
+    ).persist()  # joined twice (a-side and b-side)
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -160,29 +220,44 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Vectorized bit-vote packer: token xxhash64s (computed JVM-side) →
+# 64-bit SimHash via numpy. The naive all-SQL formulation (a fold
+# updating a 64-int vote array per token) runs as *interpreted*
+# higher-order functions — 64 ops per token outside codegen, ~100×
+# slower. Hashing stays in the JVM; only the bit-packing crosses to
+# Python, Arrow-batched and fully vectorized.
+@pandas_udf(LongType())  # DataType instance: a "long" DDL string would
+def _simhash_pack(hashes: pd.Series) -> pd.Series:  # need a live session at import
+    out = np.zeros(len(hashes), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        # bits[t, b] = bit b of token t's hash; vote = sum(±1)
+        bits = (h[:, None] >> shifts) & np.uint64(1)
+        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+        fp = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(fp.astype(np.int64))
+    return pd.Series(out)
+
+
 def with_simhash64(df: DataFrame, text_col: str) -> DataFrame:
     """Add ``simhash: bigint`` — 64-bit SimHash of the token set.
 
     Classic bit-vote construction: each token votes ±1 per bit position
     of its xxhash64; the fingerprint sets bits with positive vote sum.
-    Expressed entirely with higher-order functions (fold over tokens).
+    Token hashing runs JVM-side; vote packing is an Arrow-batched
+    numpy UDF (see _simhash_pack_udf for why not pure SQL).
     """
     toks = _tokens_expr(text_col)
-    votes = (
-        f"aggregate({toks}, cast(array_repeat(0, 64) as array<int>), "
-        f"(acc, t) -> zip_with(acc, transform(sequence(0, 63), "
-        f"i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1 ELSE -1 END), "
-        f"(a, b) -> a + b))"
-    )
-    pack = (
-        "aggregate(sequence(0, 63), 0L, "
-        "(s, i) -> CASE WHEN element_at(__votes, i + 1) > 0 "
-        "THEN s | shiftleft(1L, i) ELSE s END)"
-    )
     return (
-        df.withColumn("__votes", F.expr(votes))
-        .withColumn("simhash", F.expr(pack))
-        .drop("__votes")
+        _ensure_parallelism(df)
+        .withColumn("__tok_hashes", F.expr(f"transform({toks}, t -> xxhash64(t))"))
+        .withColumn("simhash", _simhash_pack(F.col("__tok_hashes")))
+        .drop("__tok_hashes")
     )
 
 
@@ -208,6 +283,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    chunked = chunked.persist()  # self-joined below
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(

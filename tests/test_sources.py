@@ -1,0 +1,74 @@
+"""Source readers: format round-trips under a declared BigQuery schema."""
+
+import pytest
+
+COLUMNS = [
+    {"name": "id", "type": "INT64"},
+    {"name": "name", "type": "STRING"},
+    {"name": "score", "type": "FLOAT64"},
+    {"name": "active", "type": "BOOL"},
+]
+ROWS = [(1, "a", 1.5, True), (2, "b", 2.5, False), (3, None, None, None)]
+
+
+from bq_duckdb_spark.sources import read_csv, read_json, read_parquet, write_parquet
+
+
+@pytest.fixture()
+def sample(spark):
+    from bq_duckdb_spark.types import schema_from_columns
+
+    return spark.createDataFrame(ROWS, schema_from_columns(COLUMNS))
+
+
+def _check(df):
+    got = sorted([tuple(r) for r in df.collect()])
+    assert got == sorted(ROWS)
+    assert [f.name for f in df.schema.fields] == ["id", "name", "score", "active"]
+    assert df.schema["id"].dataType.simpleString() == "bigint"
+    assert df.schema["score"].dataType.simpleString() == "double"
+
+
+def test_parquet_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    write_parquet(sample, p)
+    _check(read_parquet(spark, p, COLUMNS))
+
+
+def test_csv_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.csv")
+    sample.write.option("header", "true").csv(p)
+    _check(read_csv(spark, p, COLUMNS))
+
+
+def test_json_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.json")
+    sample.write.json(p)
+    _check(read_json(spark, p, COLUMNS))
+
+
+def test_csv_without_schema_infers(spark, sample, tmp_path):
+    p = str(tmp_path / "t2.csv")
+    sample.write.option("header", "true").csv(p)
+    df = read_csv(spark, p)
+    assert df.count() == 3
+
+
+def test_partitioned_write_prunes(spark, sample, tmp_path):
+    p = str(tmp_path / "part")
+    write_parquet(sample, p, partition_by=["active"])
+    df = read_parquet(spark, p).filter("active = true")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 1
+    # partition filter must prune at the source, not post-filter
+    assert "PartitionFilters: [isnotnull(active" in plan
+
+
+def test_coercion_casts_types(spark, tmp_path):
+    """An INT64 parquet column declared FLOAT64 arrives as double."""
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    p = str(tmp_path / "c.parquet")
+    df.write.parquet(p)
+    out = read_parquet(spark, p, [{"name": "v", "type": "FLOAT64"}])
+    assert out.schema["v"].dataType.simpleString() == "double"
+    assert sorted(r.v for r in out.collect()) == [1.0, 2.0]
