@@ -272,6 +272,23 @@ _SIMPLE_FUNC_RENAMES = {
 }
 
 
+def _apply_outside_strings(sql: str, fn) -> str:
+    """Apply ``fn`` to the code segments of ``sql``, leaving '-quoted
+    string literals untouched (table names inside literals must never be
+    rewritten)."""
+    out, seg_start, i = [], 0, 0
+    while i < len(sql):
+        if sql[i] == "'":
+            out.append(fn(sql[seg_start:i]))
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = seg_start = j
+        else:
+            i += 1
+    out.append(fn(sql[seg_start:]))
+    return "".join(out)
+
+
 # BigQuery type names → Spark SQL type names, applied in `AS <type>` cast
 # position (CAST/SAFE_CAST) and column-type DDL position.
 _TYPE_RENAMES = {
@@ -306,11 +323,18 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
     """
     out = sql
     if table_mapping:
-        for name in sorted(table_mapping, key=len, reverse=True):
-            target = table_mapping[name]
-            escaped = re.escape(name)
-            out = re.sub(rf"`{escaped}`", target, out, flags=re.IGNORECASE)
-            out = re.sub(rf"(?<![\w.`]){escaped}(?![\w.`])", target, out, flags=re.IGNORECASE)
+
+        def _map_code(segment: str) -> str:
+            for name in sorted(table_mapping, key=len, reverse=True):
+                target = table_mapping[name]
+                escaped = re.escape(name)
+                segment = re.sub(rf"`{escaped}`", target, segment, flags=re.IGNORECASE)
+                segment = re.sub(
+                    rf"(?<![\w.`]){escaped}(?![\w.`])", target, segment, flags=re.IGNORECASE
+                )
+            return segment
+
+        out = _apply_outside_strings(out, _map_code)
     for src, dst in _SIMPLE_FUNC_RENAMES.items():
         out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
     out = _rewrite_calls(out, "DATE_ADD", _date_add_sub("+"))

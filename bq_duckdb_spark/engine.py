@@ -27,8 +27,10 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from bq_duckdb_spark import types as bqtypes
+from bq_duckdb_spark.dialect import _split_top_level_args as _split_top_level_commas
 from bq_duckdb_spark.dialect import transpile
 
 
@@ -145,12 +147,93 @@ class Session:
     # -- query -------------------------------------------------------------
 
     def query(self, sql: str) -> DataFrame:
-        """Transpile BigQuery SQL and hand the statement to Catalyst."""
-        spark_sql = transpile(sql, self._table_mapping())
+        """Execute one BigQuery-SQL statement.
+
+        DDL/DML statements (SURVEY §2.9 D1-D6: CREATE [OR REPLACE] TABLE
+        [IF NOT EXISTS], CTAS, DROP TABLE, INSERT INTO … VALUES/SELECT)
+        are routed to the session catalog so they stay session-scoped;
+        everything else transpiles and goes to Catalyst.
+        """
+        handled = self._try_execute_statement(sql)
+        if handled is not None:
+            return handled
+        mapping = self._table_mapping()
+        if "information_schema" in sql.lower():
+            mapping.update(self._register_information_schema())
+        spark_sql = transpile(sql, mapping)
         try:
             return self.spark.sql(spark_sql)
         except Exception as e:  # append failed SQL like yachtsql.rs:28
             raise RuntimeError(f"{e}\nSQL: {sql}") from e
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    _CREATE_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([\w.`]+)\s*(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_RE = re.compile(
+        r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$", re.IGNORECASE
+    )
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+([\w.`]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+    )
+
+    def _try_execute_statement(self, sql: str) -> DataFrame | None:
+        """Handle session-scoped DDL/DML; return None for plain queries."""
+        m = self._DROP_RE.match(sql)
+        if m:
+            self.drop_table(m.group(2).strip("`"), if_exists=bool(m.group(1)))
+            return self._empty_result()
+
+        m = self._CREATE_RE.match(sql)
+        if m:
+            replace, if_not_exists = bool(m.group(1)), bool(m.group(2))
+            name, rest = m.group(3).strip("`"), m.group(4).strip().rstrip(";").strip()
+            if replace:
+                self.drop_table(name, if_exists=True)
+            if rest.upper().startswith("AS"):
+                # CTAS: materialized snapshot of the query result (D3/G8)
+                df = self.query(rest[2:].strip())
+                self.materialize(name, df)
+                return self._empty_result()
+            if rest.startswith("("):
+                close = rest.rfind(")")
+                columns = []
+                for part in _split_top_level_commas(rest[1:close]):
+                    cname, _, ctype = part.strip().partition(" ")
+                    columns.append({"name": cname.strip("`"), "type": ctype.strip()})
+                self.create_table(name, columns, if_not_exists=if_not_exists)
+                return self._empty_result()
+            raise ValueError(f"Unsupported CREATE TABLE form: {sql[:120]}")
+
+        m = self._INSERT_RE.match(sql)
+        if m:
+            name, rest = m.group(1).strip("`"), m.group(2).strip().rstrip(";")
+            key = self._resolve_key(name)
+            if key is None:
+                raise ValueError(f"Table not found: {name}")
+            entry = self.tables[key]
+            target_schema = self.spark.table(entry.view).schema
+            if rest.upper().startswith("VALUES"):
+                src = self.spark.sql(transpile(rest, None))
+            else:
+                src = self.query(rest)
+            # positional insert semantics: cast columns to the target
+            aligned = src.select(
+                [
+                    src[c].cast(f.dataType).alias(f.name)
+                    for c, f in zip(src.columns, target_schema.fields)
+                ]
+            )
+            with self._lock:
+                existing = self.spark.table(entry.view)
+                existing.unionByName(aligned).createOrReplaceTempView(entry.view)
+            return self._empty_result()
+
+        return None
 
     def table(self, name: str) -> DataFrame:
         key = self._resolve_key(name)
@@ -182,6 +265,32 @@ class Session:
             snap = self.spark.read.parquet(path)
             self.register_dataframe(name, snap)
             return snap.count()
+
+    # -- information_schema emulation (D7, yachtsql.rs:119-141) ------------
+
+    def _register_information_schema(self) -> dict[str, str]:
+        """Synthesize ``information_schema.tables`` / ``.columns`` views
+        from the session catalog (the reference's list/describe queries
+        use table_schema='public' and ordinal_position)."""
+        tables_rows, cols_rows = [], []
+        for key in sorted(self.tables):
+            entry = self.tables[key]
+            tables_rows.append((entry.name, "public"))
+            schema = self.spark.table(entry.view).schema
+            for pos, f in enumerate(schema.fields, start=1):
+                cols_rows.append(
+                    (entry.name, "public", f.name, bqtypes.spark_to_bq(f.dataType), pos)
+                )
+        tv, cv = f"{self._tag}__infoschema_tables", f"{self._tag}__infoschema_columns"
+        self.spark.createDataFrame(
+            tables_rows, "table_name string, table_schema string"
+        ).createOrReplaceTempView(tv)
+        self.spark.createDataFrame(
+            cols_rows,
+            "table_name string, table_schema string, column_name string, "
+            "data_type string, ordinal_position int",
+        ).createOrReplaceTempView(cv)
+        return {"information_schema.tables": tv, "information_schema.columns": cv}
 
     # -- catalog introspection (reference yachtsql.rs:119-187) -------------
 

@@ -1,0 +1,108 @@
+"""DDL/DML as SQL text through Session.query (SURVEY §2.9 D1-D7) —
+the statement forms the reference itself generates (methods.rs:99-148,
+pipeline.rs:498-593, yachtsql.rs:64-141)."""
+
+import pytest
+
+from tests.conftest import rows
+
+
+def test_create_insert_select(session):
+    """D1 + D5: CREATE TABLE (col TYPE), multi-row INSERT VALUES."""
+    session.query("CREATE TABLE users (id INT64, name STRING)")
+    session.query("INSERT INTO users VALUES (1, 'Alice'), (2, 'Bob')")
+    got = rows(session.query("SELECT id, name FROM users ORDER BY id"))
+    assert got == [(1, "Alice"), (2, "Bob")]
+
+
+def test_create_if_not_exists(session):
+    """D2 (pipeline.rs:565-570)."""
+    session.query("CREATE TABLE t (v INT64)")
+    session.query("INSERT INTO t VALUES (1)")
+    session.query("CREATE TABLE IF NOT EXISTS t (v INT64)")  # no-op, keeps rows
+    assert rows(session.query("SELECT count(*) AS c FROM t")) == [(1,)]
+
+
+def test_create_or_replace(session):
+    """D3 (yachtsql.rs:64-68): replace drops prior contents."""
+    session.query("CREATE TABLE t (v INT64)")
+    session.query("INSERT INTO t VALUES (1)")
+    session.query("CREATE OR REPLACE TABLE t (v INT64, extra STRING)")
+    assert rows(session.query("SELECT count(*) AS c FROM t")) == [(0,)]
+    assert session.describe_table("t")["columns"] == [
+        {"name": "v", "type": "INT64"},
+        {"name": "extra", "type": "STRING"},
+    ]
+
+
+def test_drop_table(session):
+    """D4 (pipeline.rs:498,517)."""
+    session.query("CREATE TABLE t (v INT64)")
+    session.query("DROP TABLE IF EXISTS t")
+    session.query("DROP TABLE IF EXISTS t")  # idempotent
+    with pytest.raises(Exception):
+        session.query("SELECT * FROM t").collect()
+
+
+def test_ctas_snapshot(session):
+    """CREATE TABLE AS SELECT materializes a snapshot."""
+    session.query("CREATE TABLE src (v INT64)")
+    session.query("INSERT INTO src VALUES (1), (2), (3)")
+    session.query("CREATE OR REPLACE TABLE doubled AS SELECT v * 2 AS v FROM src")
+    assert rows(session.query("SELECT v FROM doubled ORDER BY v")) == [(2,), (4,), (6,)]
+    # snapshot: later source inserts don't leak in
+    session.query("INSERT INTO src VALUES (10)")
+    assert rows(session.query("SELECT count(*) AS c FROM doubled")) == [(3,)]
+
+
+def test_insert_select(session):
+    session.query("CREATE TABLE a (v INT64)")
+    session.query("INSERT INTO a VALUES (1), (2)")
+    session.query("CREATE TABLE b (v INT64)")
+    session.query("INSERT INTO b SELECT v * 10 AS v FROM a")
+    assert rows(session.query("SELECT v FROM b ORDER BY v")) == [(10,), (20,)]
+
+
+def test_qualified_ddl(session):
+    """D6 (manager.rs:1087-1093)."""
+    session.query("CREATE TABLE proj.ds.tbl (id INT64, data STRING)")
+    session.query("INSERT INTO proj.ds.tbl VALUES (1, 'x')")
+    assert rows(session.query("SELECT id FROM proj.ds.tbl")) == [(1,)]
+    assert session.get_projects() == ["PROJ"]
+
+
+def test_insert_values_cast_to_schema(session):
+    """Positional insert coerces literal types to the declared schema."""
+    session.query("CREATE TABLE t (v FLOAT64, d DATE)")
+    session.query("INSERT INTO t VALUES (1, '2024-01-02')")
+    r = session.query("SELECT v, CAST(d AS STRING) AS d FROM t").collect()[0]
+    assert r.v == 1.0 and r.d == "2024-01-02"
+
+
+def test_information_schema_tables(session):
+    """D7 (yachtsql.rs:119-141): list via information_schema.tables."""
+    session.query("CREATE TABLE aaa (v INT64)")
+    session.query("CREATE TABLE bbb (v INT64, w STRING)")
+    got = rows(session.query(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 'public' ORDER BY table_name"))
+    assert got == [("aaa",), ("bbb",)]
+
+
+def test_information_schema_columns(session):
+    session.query("CREATE TABLE t (id INT64, name STRING)")
+    got = rows(session.query(
+        "SELECT column_name, data_type, ordinal_position "
+        "FROM information_schema.columns WHERE table_name = 't' "
+        "ORDER BY ordinal_position"))
+    assert got == [("id", "INT64", 1), ("name", "STRING", 2)]
+
+
+def test_dag_with_sql_ddl_interop(session):
+    """Tables created via SQL DDL are visible to DAG-registered SQL."""
+    session.query("CREATE TABLE base (v INT64)")
+    session.query("INSERT INTO base VALUES (5)")
+    session.pipeline.register([{"name": "derived", "sql": "SELECT v + 1 AS v FROM base"}])
+    res = session.pipeline.run()
+    assert res.success
+    assert rows(session.query("SELECT v FROM derived")) == [(6,)]
