@@ -22,14 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos long
-        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros, the
-        # same truncation DuckDB's epoch_us applies.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+from bq_duckdb_spark.testdata import load_table as _t
 
 
 def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

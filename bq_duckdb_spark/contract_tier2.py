@@ -17,11 +17,7 @@ from pyspark.sql.window import Window
 from bq_duckdb_spark.operators import asof_join, range_join
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+from bq_duckdb_spark.testdata import load_table as _t
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:

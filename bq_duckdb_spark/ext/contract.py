@@ -16,8 +16,7 @@ from pyspark.sql import functions as F
 from bq_duckdb_spark.ext import dedup, multimodal, similarity, text
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from bq_duckdb_spark.testdata import load_table as _t
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:

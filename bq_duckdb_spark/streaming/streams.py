@@ -40,6 +40,9 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream over an events parquet directory; ts normalized
     to a proper timestamp column for event-time semantics."""
+    # runtime-settable; required for TIMESTAMP(NANOS) parquet regardless
+    # of how the caller built the session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
