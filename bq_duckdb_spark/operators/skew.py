@@ -1,0 +1,70 @@
+"""Skew and co-location helpers for joins at scale.
+
+- ``salted_join``: explicit salting for joins whose key distribution is
+  too skewed even for AQE's skew-join splitting (a handful of hot keys
+  holding most rows). The skewed side gets a deterministic salt in
+  [0, n); the other side is replicated n× — hot keys spread over n
+  tasks instead of one straggler.
+- ``write_bucketed`` / ``bucketed_join_ready``: persist both join sides
+  bucketed by the join key so repeated joins are exchange-free
+  (co-located): the shuffle is paid once at write time, not per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys need spreading.
+
+    The salt on the skewed side is a deterministic hash of the whole row
+    (stable across retries — no RNG); ``other`` is exploded ``num_salts``×.
+    Result columns equal a plain ``skewed.join(other, on, how)``.
+    Replication cost: |other| × num_salts rows shuffled — use only when
+    ``other`` is the smaller side and broadcast is impossible.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(num_salts))
+    )
+    salted_r = other.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(num_salts)]))
+    )
+    out = salted_l.join(salted_r, on=[*keys, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: str | list[str],
+    num_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by the join
+    key. Two tables bucketed identically join with NO exchange — the
+    at-rest layout that turns an every-query shuffle into a one-time
+    write cost. (Bucketing requires the table catalog: ``saveAsTable``.)
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def bucketed_join_ready(spark, table_a: str, table_b: str, on: str | list[str]) -> DataFrame:
+    """Join two bucketed tables on their bucket key — Catalyst elides
+    both exchanges when bucket specs line up."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return spark.table(table_a).join(spark.table(table_b), on=keys)
