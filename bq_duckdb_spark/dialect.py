@@ -272,6 +272,52 @@ _SIMPLE_FUNC_RENAMES = {
 }
 
 
+def _find_top_level_keyword(sql: str, keyword: str, start: int = 0) -> int:
+    """Index of ``keyword`` at paren-depth 0 outside strings, or -1."""
+    pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+    depth, i = 0, start
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(sql, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """BigQuery ``QUALIFY <pred>`` (filter on window-function output) →
+    wrap the query and filter in an outer WHERE:
+
+    ``SELECT … QUALIFY p [ORDER BY …] [LIMIT …]``
+    → ``SELECT * FROM ( SELECT … ) WHERE p [ORDER BY …] [LIMIT …]``
+
+    Works whenever the predicate references select-list aliases (the
+    idiomatic ``QUALIFY rn = 1`` pattern). Spark has no QUALIFY clause.
+    """
+    q_idx = _find_top_level_keyword(sql, "QUALIFY")
+    if q_idx < 0:
+        return sql
+    head = sql[:q_idx].rstrip()
+    rest = sql[q_idx + len("QUALIFY") :]
+    # trailing ORDER BY / LIMIT stay outside the wrap
+    tail_idx = len(rest)
+    for kw in ("ORDER", "LIMIT"):
+        k = _find_top_level_keyword(rest, kw)
+        if 0 <= k < tail_idx:
+            tail_idx = k
+    pred, tail = rest[:tail_idx].strip(), rest[tail_idx:]
+    return f"SELECT * FROM ( {head} ) WHERE {pred} {tail}".rstrip()
+
+
 def _apply_outside_strings(sql: str, fn) -> str:
     """Apply ``fn`` to the code segments of ``sql``, leaving '-quoted
     string literals untouched (table names inside literals must never be
@@ -346,6 +392,7 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
     out = _bracket_literals(out)
     out = _brace_struct_literals(out)
     out = _rename_cast_types(out)
+    out = _rewrite_qualify(out)
     return out
 
 

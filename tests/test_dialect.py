@@ -149,3 +149,23 @@ class TestDependencies:
     def test_sorted_output(self):
         sql = "SELECT * FROM zeta JOIN alpha ON 1=1"
         assert extract_dependencies(sql, ["zeta", "alpha"]) == ["alpha", "zeta"]
+
+
+class TestQualify:
+    def test_basic_rewrite(self):
+        out = transpile("SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1")
+        assert out.startswith("SELECT * FROM ( SELECT a,")
+        assert "WHERE rn = 1" in out
+
+    def test_with_order_limit_outside(self):
+        out = transpile("SELECT a, rank() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 2 ORDER BY a LIMIT 5")
+        assert out.endswith("ORDER BY a LIMIT 5")
+        assert "WHERE r <= 2" in out
+
+    def test_qualify_in_string_untouched(self):
+        out = transpile("SELECT 'QUALIFY x' AS s FROM t")
+        assert out == "SELECT 'QUALIFY x' AS s FROM t"
+
+    def test_qualify_in_subquery_untouched_at_top(self):
+        sql = "SELECT * FROM (SELECT a FROM t) x"
+        assert transpile(sql) == sql

@@ -316,3 +316,22 @@ def test_derived_table_subquery_alias(sess):
     make(sess, "real_table", [{"name": "v", "type": "INT64"}], [[42]])
     got = rows(sess.query("SELECT v FROM (SELECT v FROM real_table) AS sub"))
     assert got == [(42,)]
+
+
+def test_qualify_clause(sess):
+    """BigQuery QUALIFY filters window output (dialect rewrite)."""
+    make(sess, "q_sales",
+         [{"name": "region", "type": "STRING"}, {"name": "amount", "type": "FLOAT64"}],
+         [["East", 100.0], ["East", 200.0], ["West", 150.0], ["West", 300.0]])
+    got = rows(sess.query(
+        "SELECT region, amount, ROW_NUMBER() OVER (PARTITION BY region "
+        "ORDER BY amount DESC) AS rn FROM q_sales QUALIFY rn = 1 ORDER BY region"))
+    assert got == [("East", 200.0, 1), ("West", 300.0, 1)]
+
+
+def test_star_except(sess):
+    """BigQuery SELECT * EXCEPT(col) — native in Spark 4."""
+    make(sess, "se_t", [{"name": "a", "type": "INT64"}, {"name": "b", "type": "STRING"}],
+         [[1, "x"]])
+    df = sess.query("SELECT * EXCEPT (b) FROM se_t")
+    assert df.columns == ["a"]
