@@ -241,6 +241,56 @@ FROM orders GROUP BY 1
 """
 
 
+def q_string_scalar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTR/TRIM/REPLACE/LPAD/REVERSE/SPLIT — the tier-2 string set."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("first5"),
+        F.trim(F.col("p_type")).alias("trimmed_type"),
+        F.regexp_replace(F.col("p_brand"), "#", "_").alias("brand_u"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+        F.size(F.split(F.col("p_name"), " ")).cast("bigint").alias("n_name_words"),
+    )
+
+
+_Q_STRING_SCALAR2_ORACLE = """
+SELECT p_partkey,
+       substr(p_name, 1, 5) AS first5,
+       trim(p_type) AS trimmed_type,
+       replace(p_brand, '#', '_') AS brand_u,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       reverse(p_brand) AS rev_brand,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_name_words
+FROM part
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/indexing/sorting over split words (F11-F13
+    family): 1-based element_at, sorted join, de-dup count."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.concat_ws("-", F.sort_array(words)).alias("sorted_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_words"),
+    )
+
+
+_Q_ARRAY_FUNCS_ORACLE = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS first_word,
+       string_split(p_name, ' ')[-1] AS last_word,
+       array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_words,
+       CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT) AS n_distinct_words
+FROM part
+"""
+
+
 # ---------------------------------------------------------------------------
 # custom operators: as-of join, range join
 # ---------------------------------------------------------------------------
@@ -320,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_div_mod": q_div_mod,
         "q_date_trunc": q_date_trunc,
+        "q_string_scalar2": q_string_scalar2,
+        "q_array_funcs": q_array_funcs,
         "q_asof_join": q_asof_join,
         "q_range_join_bands": q_range_join_bands,
     }
@@ -337,6 +389,8 @@ def oracle_sql() -> dict[str, str]:
         "q_grouping_sets": _Q_GROUPING_SETS_ORACLE,
         "q_div_mod": _Q_DIV_MOD_ORACLE,
         "q_date_trunc": _Q_DATE_TRUNC_ORACLE,
+        "q_string_scalar2": _Q_STRING_SCALAR2_ORACLE,
+        "q_array_funcs": _Q_ARRAY_FUNCS_ORACLE,
         "q_asof_join": _Q_ASOF_JOIN_ORACLE,
         "q_range_join_bands": _Q_RANGE_JOIN_BANDS_ORACLE,
     }

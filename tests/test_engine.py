@@ -210,3 +210,44 @@ def test_concurrent_inserts_one_session(session):
     with ThreadPoolExecutor(max_workers=8) as pool:
         got = sorted(pool.map(make_table, range(12)))
     assert got == list(range(12))
+
+
+def test_parallel_dag_runs_across_sessions(manager):
+    """Independent sessions can run DAGs concurrently
+    (manager.rs:659-777)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ids = [manager.create_session() for _ in range(3)]
+    try:
+        def build_and_run(sid):
+            s = manager.get_session(sid)
+            s.pipeline.register([
+                {"name": "base", "schema": [{"name": "v", "type": "INT64"}],
+                 "rows": [[i] for i in range(100)]},
+                {"name": "agg", "sql": "SELECT sum(v) AS s, count(*) AS c FROM base"},
+            ])
+            res = s.pipeline.run()
+            assert res.success
+            return rows(s.query("SELECT s, c FROM agg"))[0]
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            results = list(pool.map(build_and_run, ids))
+        # SUM(0..99)=4950, COUNT=100 in every isolated session
+        assert results == [(4950, 100)] * 3
+    finally:
+        for sid in ids:
+            manager.destroy_session(sid)
+
+
+def test_load_parquet_nanos_timestamp(session, tmp_path):
+    """User parquet with TIMESTAMP(NANOS) loads (as epoch-nanos long)
+    instead of erroring."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))})
+    p = str(tmp_path / "ns.parquet")
+    pq.write_table(t, p)
+    n = session.load_parquet("ns_tbl", p)
+    assert n == 1
+    assert rows(session.query("SELECT ts FROM ns_tbl")) == [(1_700_000_000_000_000_000,)]
