@@ -180,6 +180,14 @@ class Session:
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+([\w.`]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
     )
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+([\w.`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
 
     def _try_execute_statement(self, sql: str) -> DataFrame | None:
         """Handle session-scoped DDL/DML; return None for plain queries."""
@@ -231,6 +239,54 @@ class Session:
             with self._lock:
                 existing = self.spark.table(entry.view)
                 existing.unionByName(aligned).createOrReplaceTempView(entry.view)
+            return self._empty_result()
+
+        m = self._DELETE_RE.match(sql)
+        if m:
+            # DELETE FROM t [WHERE pred] → snapshot without matching rows
+            # (UPDATE/DELETE are recognized by the reference's statement
+            # scanner, pipeline.rs:676-679, though never golden-tested)
+            name, pred = m.group(1).strip("`"), m.group(2)
+            df = self.table(name)
+            from pyspark.sql import functions as _F
+
+            kept = (
+                df.filter(~_F.expr(transpile(pred, self._table_mapping())))
+                if pred
+                else df.limit(0)
+            )
+            self.materialize(name, kept)
+            return self._empty_result()
+
+        m = self._UPDATE_RE.match(sql)
+        if m:
+            name, set_clause, pred = m.group(1).strip("`"), m.group(2), m.group(3)
+            df = self.table(name)
+            from pyspark.sql import functions as _F
+
+            mapping = self._table_mapping()
+            assignments = {}
+            for part in _split_top_level_commas(set_clause):
+                col, _, expr_text = part.partition("=")
+                assignments[col.strip().strip("`")] = _F.expr(
+                    transpile(expr_text.strip(), mapping)
+                )
+            unknown = [c for c in assignments if c not in df.columns]
+            if unknown:
+                raise ValueError(f"UPDATE SET references unknown column(s): {unknown}")
+            cond = _F.expr(transpile(pred, mapping)) if pred else _F.lit(True)
+            updated = df.select(
+                [
+                    _F.when(cond, assignments[c])
+                    .otherwise(df[c])
+                    .cast(df.schema[c].dataType)
+                    .alias(c)
+                    if c in assignments
+                    else df[c]
+                    for c in df.columns
+                ]
+            )
+            self.materialize(name, updated)
             return self._empty_result()
 
         return None

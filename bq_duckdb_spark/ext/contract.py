@@ -67,6 +67,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (oracle-checked:
+    the double fold dot product is bitwise-deterministic)."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+_DEDUP_EMBEDDING_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+       / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+          * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+           AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND cosine >= 0.3
+"""
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed variant: hyperplane signatures gate the pair join
+    (the 100 TB path; approximate → rows-only)."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, use_lsh=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -221,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "text_tokens": text_tokens,
@@ -235,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_embedding": _DEDUP_EMBEDDING_ORACLE,
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,

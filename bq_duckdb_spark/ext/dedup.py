@@ -261,6 +261,56 @@ def with_simhash64(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    use_lsh: bool = False,
+    nbits: int = 8,
+    max_hamming: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine).
+
+    use_lsh=False: exact all-pairs — the correctness baseline; quadratic,
+    fine up to ~10^4 vectors per group.
+    use_lsh=True: random-hyperplane buckets first (pairs must be within
+    ``max_hamming`` signature bits), then exact cosine on candidates —
+    the scale path: the pair join shuffles on bucket ids, never all-pairs.
+    """
+    from bq_duckdb_spark.ext.similarity import dot_expr, with_lsh_signature
+
+    norm = f"sqrt({dot_expr(vec_col, vec_col)})"
+    base = df.select(F.col(id_col), F.col(vec_col), F.expr(norm).alias("__n"))
+    if use_lsh:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        base = with_lsh_signature(base, dim=dim, nbits=nbits, vec_col=vec_col)
+    base = base.persist()
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if use_lsh:
+        cond = cond & (
+            F.bit_count(
+                F.col("a.lsh_bucket").bitwiseXOR(F.col("b.lsh_bucket"))
+            )
+            <= max_hamming
+        )
+    cos = F.expr(
+        dot_expr(f"a.{vec_col}", f"b.{vec_col}")
+    ) / (F.col("a.__n") * F.col("b.__n"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:

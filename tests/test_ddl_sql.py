@@ -106,3 +106,34 @@ def test_dag_with_sql_ddl_interop(session):
     res = session.pipeline.run()
     assert res.success
     assert rows(session.query("SELECT v FROM derived")) == [(6,)]
+
+
+def test_delete_where(session):
+    """DELETE FROM … WHERE (statement recognized by the reference's
+    scanner, pipeline.rs:676-679)."""
+    session.query("CREATE TABLE t (v INT64)")
+    session.query("INSERT INTO t VALUES (1), (2), (3), (4)")
+    session.query("DELETE FROM t WHERE v % 2 = 0")
+    assert rows(session.query("SELECT v FROM t ORDER BY v")) == [(1,), (3,)]
+
+
+def test_delete_all(session):
+    session.query("CREATE TABLE t (v INT64)")
+    session.query("INSERT INTO t VALUES (1)")
+    session.query("DELETE FROM t")
+    assert rows(session.query("SELECT count(*) AS c FROM t")) == [(0,)]
+
+
+def test_update_set_where(session):
+    session.query("CREATE TABLE t (v INT64, tag STRING)")
+    session.query("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    session.query("UPDATE t SET tag = 'big', v = v * 10 WHERE v >= 2")
+    got = rows(session.query("SELECT v, tag FROM t ORDER BY v"))
+    assert got == [(1, "a"), (20, "big"), (30, "big")]
+
+
+def test_update_without_where_hits_all(session):
+    session.query("CREATE TABLE t (v INT64)")
+    session.query("INSERT INTO t VALUES (1), (2)")
+    session.query("UPDATE t SET v = v + 100")
+    assert rows(session.query("SELECT v FROM t ORDER BY v")) == [(101,), (102,)]

@@ -173,3 +173,17 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal._decode_one(b"bytes", decode_stub=False)
+
+
+def test_embedding_near_dup_exact(vecs):
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in dedup.embedding_near_dup_pairs(vecs, threshold=0.99).collect()}
+    assert (5, 99) in pairs  # the planted exact copy
+    assert pairs[(5, 99)] == pytest.approx(1.0)
+
+
+def test_embedding_near_dup_lsh_finds_copy(vecs):
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.embedding_near_dup_pairs(
+                 vecs, threshold=0.99, use_lsh=True, nbits=6).collect()}
+    assert (5, 99) in pairs  # identical vectors share every bucket bit
