@@ -241,3 +241,17 @@ def test_clear_dag(session):
     assert session.pipeline.get_dag() == {"tables": []}
     with pytest.raises(Exception):
         session.query("SELECT * FROM src").collect()
+
+
+def test_serial_run_order_is_deterministic_alphabetical(session):
+    """The reference asserts mock-mode DAG order is alphabetical within
+    levels (manager.rs:999-1004) — succeeded list reflects run order."""
+    session.pipeline.register([
+        {"name": "zeta", "schema": [{"name": "v", "type": "INT64"}], "rows": [[1]]},
+        {"name": "alpha", "schema": [{"name": "v", "type": "INT64"}], "rows": [[1]]},
+        {"name": "mid_b", "sql": "SELECT v FROM alpha"},
+        {"name": "mid_a", "sql": "SELECT v FROM zeta"},
+    ])
+    for _ in range(2):  # stable across reruns
+        res = session.pipeline.run()
+        assert res.succeeded == ["alpha", "zeta", "mid_a", "mid_b"]

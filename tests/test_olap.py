@@ -335,3 +335,12 @@ def test_star_except(sess):
          [[1, "x"]])
     df = sess.query("SELECT * EXCEPT (b) FROM se_t")
     assert df.columns == ["a"]
+
+
+def test_engine_generated_ingestion_functions(sess):
+    """DATE_FROM_UNIX_DATE / TIMESTAMP_MICROS — the functions the
+    reference emits for Arrow ingestion (yachtsql.rs:365-366,405-444)."""
+    got = rows(sess.query(
+        "SELECT CAST(DATE_FROM_UNIX_DATE(19000) AS STRING) AS d, "
+        "CAST(TIMESTAMP_MICROS(1640000000000000) AS STRING) AS ts"))
+    assert got == [("2022-01-08", "2021-12-20 11:33:20")]
