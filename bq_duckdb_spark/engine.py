@@ -166,6 +166,127 @@ class Session:
         except Exception as e:  # append failed SQL like yachtsql.rs:28
             raise RuntimeError(f"{e}\nSQL: {sql}") from e
 
+    def _execute_merge(self, m: "re.Match") -> None:
+        """MERGE INTO target USING source ON cond
+        [WHEN MATCHED THEN UPDATE SET …|DELETE]
+        [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]
+
+        Rewritten as DataFrame set algebra — the same shape Delta/Iceberg
+        engines compile MERGE to: unmatched-target ∪ transformed-matched
+        ∪ inserted-source, one full snapshot replace. A target row
+        matching several source rows duplicates (BigQuery would error;
+        documented divergence).
+        """
+        from pyspark.sql import functions as _F
+
+        tgt_name = m.group(1).strip("`")
+        t_alias = m.group(2) or tgt_name.split(".")[-1]
+        src_name = m.group(3).strip("`")
+        s_alias = m.group(4) or src_name.split(".")[-1]
+        rest = m.group(5)
+
+        # split the ON condition from the WHEN clauses at top level
+        when_idx = None
+        pat = re.compile(r"\bWHEN\b", re.IGNORECASE)
+        i = 0
+        while i < len(rest):
+            if rest[i] in "'\"`":
+                from bq_duckdb_spark.dialect import _skip_string
+
+                i = _skip_string(rest, i)
+                continue
+            mm = pat.match(rest, i)
+            if mm:
+                when_idx = i
+                break
+            i += 1
+        if when_idx is None:
+            raise ValueError("MERGE requires at least one WHEN clause")
+        cond_text = rest[:when_idx].strip()
+        clauses = re.split(r"\bWHEN\b", rest[when_idx:], flags=re.IGNORECASE)[1:]
+
+        update_set = delete_matched = insert_clause = None
+        for cl in clauses:
+            cl = cl.strip().rstrip(";").strip()
+            if re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT", cl, re.IGNORECASE):
+                insert_clause = re.sub(
+                    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*", "", cl, flags=re.IGNORECASE
+                )
+            elif re.match(r"MATCHED\s+THEN\s+DELETE", cl, re.IGNORECASE):
+                delete_matched = True
+            elif re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET", cl, re.IGNORECASE):
+                update_set = re.sub(
+                    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s*", "", cl, flags=re.IGNORECASE
+                )
+            else:
+                raise ValueError(f"Unsupported MERGE WHEN clause: WHEN {cl[:60]}")
+
+        target = self.table(tgt_name).alias(t_alias)
+        source = self.table(src_name).alias(s_alias)
+        mapping = self._table_mapping()
+        cond = _F.expr(transpile(cond_text, mapping))
+        tgt_cols = self.table(tgt_name).columns
+
+        unmatched_t = target.join(source, cond, "left_anti")
+        parts = [unmatched_t]
+
+        matched = target.join(source, cond, "inner")
+        if update_set:
+            assignments = {}
+            for part in _split_top_level_commas(update_set):
+                col, _, expr_text = part.partition("=")
+                assignments[col.strip().strip("`").split(".")[-1]] = _F.expr(
+                    transpile(expr_text.strip(), mapping)
+                )
+            unknown = [c for c in assignments if c not in tgt_cols]
+            if unknown:
+                raise ValueError(f"MERGE UPDATE references unknown column(s): {unknown}")
+            parts.append(
+                matched.select(
+                    [
+                        (
+                            assignments[c].cast(self.table(tgt_name).schema[c].dataType)
+                            if c in assignments
+                            else _F.col(f"{t_alias}.{c}")
+                        ).alias(c)
+                        for c in tgt_cols
+                    ]
+                )
+            )
+        elif not delete_matched:
+            # no matched-clause: matched target rows pass through unchanged
+            parts.append(matched.select([_F.col(f"{t_alias}.{c}").alias(c) for c in tgt_cols]))
+
+        if insert_clause:
+            im = re.match(
+                r"^\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$", insert_clause, re.IGNORECASE | re.DOTALL
+            )
+            if not im:
+                raise ValueError(f"Unsupported MERGE INSERT form: {insert_clause[:80]}")
+            ins_cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+            ins_exprs = [
+                _F.expr(transpile(e.strip(), mapping))
+                for e in _split_top_level_commas(im.group(2))
+            ]
+            unmatched_s = source.join(target, cond, "left_anti")
+            schema = self.table(tgt_name).schema
+            row = {c: e for c, e in zip(ins_cols, ins_exprs)}
+            parts.append(
+                unmatched_s.select(
+                    [
+                        (row[c] if c in row else _F.lit(None))
+                        .cast(schema[c].dataType)
+                        .alias(c)
+                        for c in tgt_cols
+                    ]
+                )
+            )
+
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        self.materialize(tgt_name, result)
+
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], T.StructType([]))
 
@@ -179,6 +300,11 @@ class Session:
     )
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+([\w.`]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+    )
+    _MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+([\w.`]+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+"
+        r"([\w.`]+)(?:\s+AS)?(?:\s+(\w+))?\s+ON\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
     )
     _DELETE_RE = re.compile(
         r"^\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
@@ -239,6 +365,11 @@ class Session:
             with self._lock:
                 existing = self.spark.table(entry.view)
                 existing.unionByName(aligned).createOrReplaceTempView(entry.view)
+            return self._empty_result()
+
+        m = self._MERGE_RE.match(sql)
+        if m:
+            self._execute_merge(m)
             return self._empty_result()
 
         m = self._DELETE_RE.match(sql)

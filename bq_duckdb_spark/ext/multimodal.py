@@ -85,6 +85,88 @@ def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
     return [float(sum(payload[i : i + step]) % 1009) / 1009.0 for i in range(0, min(n, 8 * step), step)][:8]
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    blobs: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize over mapInPandas.
+
+    STUB: without PIL the "resize" deterministically truncates/pads the
+    payload to width*height bytes — the batch shape, schema, and
+    memory profile (output bounded by target size, not input size) are
+    the real thing; swapping in PIL's resize is local to this function.
+    """
+    if not decode_stub:
+        raise NotImplementedError("image resize requires PIL; run with decode_stub=True")
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(
+                lambda b: bytes(b)[:target].ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return blobs.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    blobs: DataFrame, num_frames: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """Video frame sampling: one input blob → ``num_frames`` output rows
+    (uniformly spaced), the row-explosion shape of video pipelines.
+
+    STUB: frames are deterministic byte slices instead of decoded video
+    (no ffmpeg here); partitioning/row-fanout behavior is real.
+    """
+    if not decode_stub:
+        raise NotImplementedError("frame sampling requires ffmpeg; run with decode_stub=True")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_payloads = [], [], []
+            for bid, payload in zip(pdf["blob_id"], pdf["payload"]):
+                data = bytes(payload)
+                step = max(len(data) // num_frames, 1)
+                for i in range(num_frames):
+                    out_ids.append(bid)
+                    out_idx.append(i)
+                    out_payloads.append(data[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {
+                    "blob_id": out_ids,
+                    "frame_idx": out_idx,
+                    "frame_payload": out_payloads,
+                }
+            )
+
+    return blobs.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(blobs: DataFrame, decode_stub: bool = True) -> DataFrame:
     """blob table → feature table via mapInPandas (Arrow batches).
 

@@ -137,3 +137,56 @@ def test_update_without_where_hits_all(session):
     session.query("INSERT INTO t VALUES (1), (2)")
     session.query("UPDATE t SET v = v + 100")
     assert rows(session.query("SELECT v FROM t ORDER BY v")) == [(101,), (102,)]
+
+
+def test_merge_update_and_insert(session):
+    """MERGE: upsert — matched rows update, unmatched source rows insert."""
+    session.query("CREATE TABLE tgt (k INT64, v STRING)")
+    session.query("INSERT INTO tgt VALUES (1, 'old1'), (2, 'old2')")
+    session.query("CREATE TABLE src (k INT64, v STRING)")
+    session.query("INSERT INTO src VALUES (2, 'new2'), (3, 'new3')")
+    session.query(
+        "MERGE INTO tgt USING src ON tgt.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET v = src.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)")
+    got = rows(session.query("SELECT k, v FROM tgt ORDER BY k"))
+    assert got == [(1, "old1"), (2, "new2"), (3, "new3")]
+
+
+def test_merge_delete_matched(session):
+    session.query("CREATE TABLE tgt (k INT64)")
+    session.query("INSERT INTO tgt VALUES (1), (2), (3)")
+    session.query("CREATE TABLE dels (k INT64)")
+    session.query("INSERT INTO dels VALUES (2)")
+    session.query("MERGE INTO tgt USING dels ON tgt.k = dels.k "
+                  "WHEN MATCHED THEN DELETE")
+    assert rows(session.query("SELECT k FROM tgt ORDER BY k")) == [(1,), (3,)]
+
+
+def test_merge_insert_only(session):
+    session.query("CREATE TABLE tgt (k INT64, v STRING)")
+    session.query("INSERT INTO tgt VALUES (1, 'a')")
+    session.query("CREATE TABLE src (k INT64, v STRING)")
+    session.query("INSERT INTO src VALUES (1, 'dup'), (9, 'nine')")
+    session.query("MERGE INTO tgt USING src ON tgt.k = src.k "
+                  "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)")
+    got = rows(session.query("SELECT k, v FROM tgt ORDER BY k"))
+    assert got == [(1, "a"), (9, "nine")]  # matched row untouched
+
+
+def test_merge_with_aliases(session):
+    session.query("CREATE TABLE tgt (k INT64, v INT64)")
+    session.query("INSERT INTO tgt VALUES (1, 10)")
+    session.query("CREATE TABLE src (k INT64, delta INT64)")
+    session.query("INSERT INTO src VALUES (1, 5)")
+    session.query("MERGE INTO tgt AS t USING src AS s ON t.k = s.k "
+                  "WHEN MATCHED THEN UPDATE SET v = t.v + s.delta")
+    assert rows(session.query("SELECT v FROM tgt")) == [(15,)]
+
+
+def test_merge_unknown_update_column_errors(session):
+    session.query("CREATE TABLE tgt (k INT64)")
+    session.query("CREATE TABLE src2 (k INT64)")
+    with pytest.raises(ValueError, match="unknown column"):
+        session.query("MERGE INTO tgt USING src2 ON tgt.k = src2.k "
+                      "WHEN MATCHED THEN UPDATE SET nope = 1")

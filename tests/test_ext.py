@@ -187,3 +187,23 @@ def test_embedding_near_dup_lsh_finds_copy(vecs):
              for r in dedup.embedding_near_dup_pairs(
                  vecs, threshold=0.99, use_lsh=True, nbits=6).collect()}
     assert (5, 99) in pairs  # identical vectors share every bucket bit
+
+
+def test_multimodal_resize_and_frames(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100, "s"), (2, "y" * 10, "s")], ["doc_id", "text", "source"])
+    blobs = multimodal.make_blob_table(df, "doc_id", "text", "source")
+    resized = {r.blob_id: r for r in
+               multimodal.resize_images(blobs, width=4, height=4).collect()}
+    assert len(resized[1].payload) == 16  # truncated to target
+    assert len(resized[2].payload) == 16  # padded to target
+    assert (resized[1].width, resized[1].height) == (4, 4)
+
+    frames = multimodal.sample_frames(blobs, num_frames=4).collect()
+    by_blob = {}
+    for r in frames:
+        by_blob.setdefault(r.blob_id, []).append(r.frame_idx)
+    assert by_blob[1] == [0, 1, 2, 3]  # 1 blob → 4 frame rows
+    assert by_blob[2] == [0, 1, 2, 3]
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(blobs, decode_stub=False)
