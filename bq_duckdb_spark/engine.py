@@ -49,8 +49,18 @@ class Session:
     """One isolated catalog + query context (reference ``Session``:
     src/session/manager.rs:16-24, one executor/database per session)."""
 
+    _bq_functions_registered: set[int] = set()
+
     def __init__(self, spark: SparkSession, session_id: str | None = None):
         self.spark = spark
+        # BigQuery-name SQL UDFs are stateless and SparkSession-wide;
+        # register once per underlying session so query() resolves e.g.
+        # FARM_FINGERPRINT / SAFE_OFFSET without caller setup
+        if id(spark) not in Session._bq_functions_registered:
+            from bq_duckdb_spark.functions import register_bigquery_functions
+
+            register_bigquery_functions(spark)
+            Session._bq_functions_registered.add(id(spark))
         self.session_id = session_id or str(uuid.uuid4())
         self._tag = "s" + _sanitize(self.session_id)[:12]
         self.tables: dict[str, TableEntry] = {}  # key: lower-cased name
