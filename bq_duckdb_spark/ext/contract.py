@@ -212,6 +212,41 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-term TF-IDF (explode → aggregate → broadcast join). Rounded
+    4dp: tf is an exact ratio; ln() may differ in final ulps between
+    libm implementations."""
+    out = text.tf_idf(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "term", F.round("tfidf", 4).alias("tfidf_r")
+    )
+
+
+_TEXT_TFIDF_ORACLE = """
+WITH exploded AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+doc_terms AS (
+    SELECT doc_id, term, count(*) AS term_count FROM exploded GROUP BY doc_id, term
+),
+doc_lens AS (
+    SELECT doc_id, count(*) AS doc_len FROM exploded GROUP BY doc_id
+),
+term_df AS (
+    SELECT term, count(DISTINCT doc_id) AS df_t FROM doc_terms GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT dt.doc_id, dt.term,
+       round((dt.term_count / CAST(dl.doc_len AS DOUBLE))
+             * ln(CAST(n.n_docs AS DOUBLE) / df.df_t), 4) AS tfidf_r
+FROM doc_terms dt
+JOIN doc_lens dl USING (doc_id)
+JOIN term_df df USING (term)
+CROSS JOIN n
+"""
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (heuristic; rows-only)."""
     return text.with_lang_id(_t(spark, sf_dir, "documents")).select(
@@ -258,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_stats": text_stats,
+        "text_tfidf": text_tfidf,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "multimodal_features": multimodal_features,
@@ -272,4 +308,5 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
+        "text_tfidf": _TEXT_TFIDF_ORACLE,
     }

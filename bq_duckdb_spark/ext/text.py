@@ -95,6 +95,43 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", F.expr(best))
 
 
+def tf_idf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per (document, term) TF-IDF over whitespace tokens.
+
+    tf = term count in doc / doc token count; idf = ln(N / df_t)
+    (plain quotient — no smoothing — so the formula is portable to any
+    SQL oracle). Pure DataFrame ops: explode → two aggregations → join;
+    at scale this is two shuffles (doc-term and term), both on natural
+    keys, with the tiny per-term df table broadcast back.
+    """
+    toks = _tokens(text_col)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("term")
+    )
+    doc_terms = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    doc_lens = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
+    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    term_df = doc_terms.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    return (
+        doc_terms.join(doc_lens, id_col)
+        .join(F.broadcast(term_df), "term")
+        .select(
+            id_col,
+            "term",
+            (
+                (F.col("term_count") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df_t"))
+            ).alias("tfidf"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 4) -> DataFrame:
     """Document fingerprint: min-of-rolling-window hashes (winnowing-style
     min selection over token k-gram hashes) — a stable 64-bit content id

@@ -207,3 +207,15 @@ def test_multimodal_resize_and_frames(spark):
     assert by_blob[2] == [0, 1, 2, 3]
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(blobs, decode_stub=False)
+
+
+def test_tfidf_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"])
+    got = {(r.doc_id, r.term): r.tfidf for r in text.tf_idf(df).collect()}
+    import math
+    # 'a' appears in both docs → idf = ln(2/2) = 0
+    assert got[(1, "a")] == pytest.approx(0.0)
+    # 'b': tf=1/3 in doc1, idf=ln(2/1)
+    assert got[(1, "b")] == pytest.approx(math.log(2) / 3)
+    assert got[(2, "c")] == pytest.approx(math.log(2) / 2)

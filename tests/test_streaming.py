@@ -139,3 +139,51 @@ def test_incremental_second_file_appends(spark, stream_dir, tmp_path):
     q2.awaitTermination()
     second = {r.event_type: r.n for r in spark.table("inc_counts").collect()}
     assert second == {k: 2 * v for k, v in first.items()}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Events older than the watermark horizon are dropped once the
+    watermark has advanced past their window (bounded state semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    hour = 3_600_000_000_000  # ns
+    base = 1_700_000_000_000_000_000
+
+    def write(name, rows):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }), str(d / name))
+
+    # batch 1: events at t0 and t0+10h (advances watermark way past t0)
+    write("p0.parquet", [(1, base), (2, base + 10 * hour)])
+    stream = streaming.read_event_stream(spark, str(d))
+    counts = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    chk, out = str(tmp_path / "chk"), str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: append-mode + checkpoint recovery (memory sink
+        # can't resume an append-mode checkpoint)
+        q = (counts.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return [(r.window_start, r.n_events)
+                for r in spark.read.parquet(out).collect()]
+
+    first = drain()
+    # only the t0 window is finalized (the +10h window is above the
+    # watermark horizon and still open)
+    assert sorted(n for _, n in first) == [1]
+    # batch 2: a late event back at t0 — beyond the 2h watermark horizon
+    write("p1.parquet", [(3, base)])
+    second = drain()
+    # the late arrival is dropped: no new/updated emission for t0
+    assert sorted(second) == sorted(first)
