@@ -241,6 +241,29 @@ FROM orders GROUP BY 1
 """
 
 
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: CORR / STDDEV_SAMP / COVAR_SAMP / AVG.
+    Rounded coarsely — moment accumulations differ in order across
+    engines by ~1e-12 relative."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+_Q_STATS_AGGS_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+       round(avg(l_tax), 6) AS avg_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_string_scalar2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUBSTR/TRIM/REPLACE/LPAD/REVERSE/SPLIT — the tier-2 string set."""
     part = _t(spark, sf_dir, "part")
@@ -370,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_div_mod": q_div_mod,
         "q_date_trunc": q_date_trunc,
+        "q_stats_aggs": q_stats_aggs,
         "q_string_scalar2": q_string_scalar2,
         "q_array_funcs": q_array_funcs,
         "q_asof_join": q_asof_join,
@@ -389,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "q_grouping_sets": _Q_GROUPING_SETS_ORACLE,
         "q_div_mod": _Q_DIV_MOD_ORACLE,
         "q_date_trunc": _Q_DATE_TRUNC_ORACLE,
+        "q_stats_aggs": _Q_STATS_AGGS_ORACLE,
         "q_string_scalar2": _Q_STRING_SCALAR2_ORACLE,
         "q_array_funcs": _Q_ARRAY_FUNCS_ORACLE,
         "q_asof_join": _Q_ASOF_JOIN_ORACLE,

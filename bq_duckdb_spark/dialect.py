@@ -367,7 +367,8 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
     case-insensitive, longest-name-first, word-boundary, and also covers
     the backticked form ``\\`proj.ds.tbl\\```.
     """
-    out = sql
+    # BigQuery accepts #-to-end-of-line comments; Spark doesn't
+    out = _apply_outside_strings(sql, lambda seg: re.sub(r"#[^\n]*", "", seg))
     if table_mapping:
 
         def _map_code(segment: str) -> str:

@@ -169,3 +169,13 @@ class TestQualify:
     def test_qualify_in_subquery_untouched_at_top(self):
         sql = "SELECT * FROM (SELECT a FROM t) x"
         assert transpile(sql) == sql
+
+
+class TestHashComments:
+    def test_stripped(self):
+        out = transpile("SELECT 1 AS x # trailing comment\nFROM t")
+        assert "comment" not in out and "FROM t" in out
+
+    def test_hash_in_string_kept(self):
+        out = transpile("SELECT 'a#b' AS s FROM t")
+        assert "'a#b'" in out
