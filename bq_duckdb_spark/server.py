@@ -15,6 +15,7 @@ Wire contract mirrored from the reference:
 from __future__ import annotations
 
 import json
+import re
 import sys
 import uuid as uuid_mod
 
@@ -309,10 +310,31 @@ async def serve_websocket(manager: SessionManager, host: str = "0.0.0.0", port: 
 
 
 def main() -> None:
+    """CLI mirroring the reference's invocation surface
+    (src/main.rs:81-125): ``--transport stdio`` or
+    ``--transport ws://<host>:<port>``."""
+    import argparse
+
     from bq_duckdb_spark import get_spark
 
+    parser = argparse.ArgumentParser(prog="bq-duckdb-spark-server")
+    parser.add_argument(
+        "--transport",
+        default="stdio",
+        help="stdio (default) or ws://<host>:<port>",
+    )
+    args = parser.parse_args()
+
     manager = SessionManager(get_spark(app_name="bq-duckdb-spark-server"))
-    serve_stdio(manager)
+    if args.transport == "stdio":
+        serve_stdio(manager)
+        return
+    m = re.match(r"^ws://([^:/]+):(\d+)$", args.transport)
+    if not m:
+        parser.error(f"invalid transport: {args.transport!r} (stdio or ws://host:port)")
+    import asyncio
+
+    asyncio.run(serve_websocket(manager, m.group(1), int(m.group(2))))
 
 
 if __name__ == "__main__":
