@@ -241,6 +241,53 @@ FROM orders GROUP BY 1
 """
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, pivoted by status (Spark's
+    native PIVOT; the oracle uses portable CASE aggregation)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_Q_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible
+    dataset-split curation op (hash-free modulo split so any engine
+    agrees; a salted xxhash64 split is the production variant)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(10))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test").alias("split"),
+    )
+
+
+_Q_SAMPLE_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: CORR / STDDEV_SAMP / COVAR_SAMP / AVG.
     Rounded coarsely — moment accumulations differ in order across
@@ -393,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_div_mod": q_div_mod,
         "q_date_trunc": q_date_trunc,
+        "q_pivot": q_pivot,
+        "q_sample_split": q_sample_split,
         "q_stats_aggs": q_stats_aggs,
         "q_string_scalar2": q_string_scalar2,
         "q_array_funcs": q_array_funcs,
@@ -413,6 +462,8 @@ def oracle_sql() -> dict[str, str]:
         "q_grouping_sets": _Q_GROUPING_SETS_ORACLE,
         "q_div_mod": _Q_DIV_MOD_ORACLE,
         "q_date_trunc": _Q_DATE_TRUNC_ORACLE,
+        "q_pivot": _Q_PIVOT_ORACLE,
+        "q_sample_split": _Q_SAMPLE_SPLIT_ORACLE,
         "q_stats_aggs": _Q_STATS_AGGS_ORACLE,
         "q_string_scalar2": _Q_STRING_SCALAR2_ORACLE,
         "q_array_funcs": _Q_ARRAY_FUNCS_ORACLE,

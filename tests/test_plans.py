@@ -76,3 +76,13 @@ def test_cosine_topk_no_shuffle_scan(q):
     a = audit_plan(q("sim_cosine_topk"))
     assert "TakeOrderedAndProject" in a.formatted
     assert a.exchanges == 0, f"top-k should not shuffle\n{a.formatted}"
+
+
+def test_asof_join_single_shuffle(q):
+    """The union+carry-forward as-of join must shuffle once on the key
+    (plus AQE's printed duplicate), never build row pairs."""
+    a = audit_plan(q("q_asof_join"))
+    assert a.sortmerge_joins == 0 and a.nested_loop_joins == 0
+    # union → one hash partitioning on user_id → window; AQE prints
+    # initial+final plans so allow the doubled count
+    assert a.exchanges <= 2, f"as-of should be one shuffle\n{a.formatted}"
