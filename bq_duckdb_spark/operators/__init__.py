@@ -13,6 +13,7 @@ from bq_duckdb_spark.operators.asof import asof_join
 from bq_duckdb_spark.operators.range_join import range_join
 from bq_duckdb_spark.operators.skew import (
     bucketed_join_ready,
+    join_with_strategy,
     salted_join,
     write_bucketed,
 )
@@ -23,4 +24,5 @@ __all__ = [
     "salted_join",
     "write_bucketed",
     "bucketed_join_ready",
+    "join_with_strategy",
 ]

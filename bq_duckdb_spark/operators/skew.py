@@ -63,6 +63,34 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+_JOIN_HINTS = {"broadcast": "broadcast", "merge": "merge", "shuffle_hash": "shuffle_hash"}
+
+
+def join_with_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    strategy: str = "auto",
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit physical strategy.
+
+    strategy: "auto" (Catalyst/AQE decides), "broadcast" (small right
+    side), "merge" (sort-merge — spill-safe for huge both-sides),
+    "shuffle_hash" (hash build on the smaller side, skips the sort when
+    partitions fit in memory). Hints apply to the right side; Catalyst
+    honors them when legal for the join type.
+    """
+    if strategy == "auto":
+        return left.join(right, on=on, how=how)
+    hint = _JOIN_HINTS.get(strategy)
+    if hint is None:
+        raise ValueError(
+            f"unknown join strategy {strategy!r}; one of auto|broadcast|merge|shuffle_hash"
+        )
+    return left.join(right.hint(hint), on=on, how=how)
+
+
 def bucketed_join_ready(spark, table_a: str, table_b: str, on: str | list[str]) -> DataFrame:
     """Join two bucketed tables on their bucket key — Catalyst elides
     both exchanges when bucket specs line up."""

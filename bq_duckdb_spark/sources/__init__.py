@@ -8,10 +8,19 @@ queries see identical schemas regardless of the wire format.
 """
 
 from bq_duckdb_spark.sources.readers import (
+    read_avro,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     write_parquet,
 )
 
-__all__ = ["read_parquet", "read_csv", "read_json", "write_parquet"]
+__all__ = [
+    "read_parquet",
+    "read_orc",
+    "read_avro",
+    "read_csv",
+    "read_json",
+    "write_parquet",
+]

@@ -64,6 +64,31 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, columns: list[dict] | None = None
+) -> DataFrame:
+    """ORC → DataFrame with declared-schema coercion (columnar scan,
+    predicate pushdown and column pruning work as with parquet)."""
+    return _coerce(spark.read.orc(path), columns)
+
+
+def read_avro(
+    spark: SparkSession, path: str, columns: list[dict] | None = None
+) -> DataFrame:
+    """Avro → DataFrame. Requires the external spark-avro module, which
+    is not bundled in this environment — gated with a clear error."""
+    try:
+        df = spark.read.format("avro").load(path)
+    except Exception as e:
+        if "Failed to find data source: avro" in str(e):
+            raise RuntimeError(
+                "Avro support requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro); not bundled here"
+            ) from e
+        raise
+    return _coerce(df, columns)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

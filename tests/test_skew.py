@@ -64,3 +64,21 @@ def test_bucketed_join_has_no_exchange(spark, skewed_pair):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_fact")
         spark.sql("DROP TABLE IF EXISTS b_dim2")
+
+
+def test_join_with_strategy_controls_physical_plan(spark, skewed_pair):
+    from bq_duckdb_spark.operators import join_with_strategy
+
+    fact, dim = skewed_pair
+    expected_rows = fact.join(dim, "k").count()
+    for strategy, marker in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        j = join_with_strategy(fact, dim, "k", strategy=strategy)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert marker in plan, f"{strategy} hint not honored:\n{plan[:500]}"
+        assert j.count() == expected_rows
+    with pytest.raises(ValueError, match="unknown join strategy"):
+        join_with_strategy(fact, dim, "k", strategy="warp_drive")

@@ -72,3 +72,16 @@ def test_coercion_casts_types(spark, tmp_path):
     out = read_parquet(spark, p, [{"name": "v", "type": "FLOAT64"}])
     assert out.schema["v"].dataType.simpleString() == "double"
     assert sorted(r.v for r in out.collect()) == [1.0, 2.0]
+
+
+def test_orc_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "t.orc")
+    sample.write.orc(p)
+    from bq_duckdb_spark.sources import read_orc
+    _check(read_orc(spark, p, COLUMNS))
+
+
+def test_avro_gated(spark, tmp_path):
+    from bq_duckdb_spark.sources import read_avro
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope.avro"))
