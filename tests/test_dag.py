@@ -255,3 +255,17 @@ def test_serial_run_order_is_deterministic_alphabetical(session):
     for _ in range(2):  # stable across reruns
         res = session.pipeline.run()
         assert res.succeeded == ["alpha", "zeta", "mid_a", "mid_b"]
+
+
+def test_wide_dag(session):
+    """Many independent tables in one level (pipeline.rs:1596-1629)."""
+    defs = [{"name": "base", "schema": [{"name": "v", "type": "INT64"}], "rows": [[1]]}]
+    for i in range(15):
+        defs.append({"name": f"w{i:02d}", "sql": f"SELECT v + {i} AS v FROM base"})
+    session.pipeline.register(defs)
+    levels = session.pipeline.topological_sort_levels()
+    assert len(levels) == 2 and len(levels[1]) == 15
+    res = session.pipeline.run()
+    assert res.success and len(res.succeeded) == 16
+    from tests.conftest import rows as _rows
+    assert _rows(session.query("SELECT v FROM w14")) == [(15,)]

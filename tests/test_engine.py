@@ -251,3 +251,25 @@ def test_load_parquet_nanos_timestamp(session, tmp_path):
     n = session.load_parquet("ns_tbl", p)
     assert n == 1
     assert rows(session.query("SELECT ts FROM ns_tbl")) == [(1_700_000_000_000_000_000,)]
+
+
+def test_bytes_base64_wire_encoding(session):
+    """BYTES values encode as base64 on the wire (yachtsql.rs:311-335)."""
+    session.create_table("blobs", [{"name": "b", "type": "BYTES"}])
+    session.insert("blobs", [[b"hi"]])
+    resp = to_bq_response(session.query("SELECT b FROM blobs"))
+    assert resp["rows"][0]["f"][0]["v"] == "aGk="  # base64("hi")
+    assert resp["schema"]["fields"][0]["type"] == "BYTES"
+
+
+def test_numeric_decimal_roundtrip(session):
+    """NUMERIC is DECIMAL(38,9): exact decimal arithmetic, string wire
+    encoding (yachtsql.rs:261,285)."""
+    import decimal
+
+    session.create_table("money", [{"name": "amt", "type": "NUMERIC"}])
+    session.insert("money", [[decimal.Decimal("0.1")], [decimal.Decimal("0.2")]])
+    got = session.query("SELECT sum(amt) AS s FROM money").collect()[0].s
+    assert got == decimal.Decimal("0.3")  # exact, no float drift
+    resp = to_bq_response(session.query("SELECT sum(amt) AS s FROM money"))
+    assert resp["rows"][0]["f"][0]["v"] == "0.300000000"

@@ -187,3 +187,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     second = drain()
     # the late arrival is dropped: no new/updated emission for t0
     assert sorted(second) == sorted(first)
+
+
+def test_batch_session_window_agrees_with_lag_formulation(spark):
+    """F.session_window in batch mode produces the same session count
+    per user as the lag+cumsum sessionization (q_sessionize)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    lag_based = m.queries()["q_sessionize"](spark, sf)
+    lag_sessions = (
+        lag_based.groupBy("user_id")
+        .agg(F.max("session_seq").alias("max_seq"))
+        .selectExpr("user_id", "max_seq + 1 AS n_sessions")
+    )
+    from bq_duckdb_spark.testdata import load_table
+
+    ev = load_table(spark, sf, "events")
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    a = {r.user_id: r.n_sessions for r in lag_sessions.collect()}
+    b = {r.user_id: r.n_sessions for r in sw.collect()}
+    assert a == b
