@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_cosine_topk",
     "text_stats",
+    "text_tfidf",
     "multimodal_features",
 ]
 
