@@ -268,11 +268,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-blob feature extraction through the Arrow/mapInPandas
-    plumbing (decode step stubbed deterministically; rows-only)."""
+    plumbing (decode step stubbed deterministically).
+
+    The contract entry serializes the ``array<float>`` feature vector to
+    a scalar signature (the per-slice byte-sum integers, comma-joined):
+    the driver's pandas canonicalizer can't factorize list cells, and
+    x*1009 rounds exactly back to the integer the stub divided by, so
+    the signature is integer-clean and oracle-checkable.
+    """
     blobs = multimodal.make_blob_table(
         _t(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )
-    return multimodal.extract_features(blobs, decode_stub=True)
+    feats = multimodal.extract_features(blobs, decode_stub=True)
+    return feats.select(
+        "blob_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.round(x * 1009).cast("int")),
+        ).alias("feature_sig"),
+    )
+
+
+# The stub feature (ext/multimodal.py:_decode_one) is pure byte math:
+# step = max(n//8, 1); slice sums mod 1009 over the UTF-8 payload, plus a
+# first-256-bytes checksum. DuckDB reproduces the byte values from
+# hex(encode(text)) with a strpos-based nibble decode.
+_MULTIMODAL_FEATURES_ORACLE = """
+WITH blobs AS (
+    SELECT doc_id AS blob_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+b AS (
+    SELECT blob_id, n,
+           list_transform(range(0, n), j ->
+               (strpos('0123456789ABCDEF', substr(h, 2*j + 1, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, 2*j + 2, 1)) - 1) AS bs,
+           greatest(n // 8, 1) AS step
+    FROM blobs
+)
+SELECT blob_id,
+       'application/octet-stream' AS media_type,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_sum(list_slice(bs, 1, least(n, 256))), 0)
+            % 2147483648 AS BIGINT) AS checksum,
+       CASE WHEN n = 0 THEN '0,0,0,0,0,0,0,0'
+            ELSE array_to_string(
+                list_transform(range(0, least(n, 8)), i ->
+                    coalesce(list_sum(list_slice(bs, i*step + 1, i*step + step)), 0)
+                    % 1009),
+                ',')
+       END AS feature_sig
+FROM b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -309,4 +360,5 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_tfidf": _TEXT_TFIDF_ORACLE,
+        "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     }
