@@ -39,6 +39,9 @@ class TableEntry:
     name: str  # as registered, e.g. "proj.dataset.tbl" or "users"
     view: str  # mangled session-scoped temp-view name
     columns: list[dict] = field(default_factory=list)  # BQ ColumnDef dicts
+    union_depth: int = 0  # lazy-union inserts since last rebase
+    insert_dir: str | None = None  # parquet dir backing appended inserts
+    insert_files: int = 0  # appended batches since last compaction
 
 
 def _sanitize(name: str) -> str:
@@ -67,6 +70,7 @@ class Session:
         self.default_project: str | None = None
         self._lock = threading.RLock()
         self._warehouse = tempfile.mkdtemp(prefix=f"bqspark_{self._tag}_")
+        self._ins_counter = 0
         # local import to avoid a module cycle (dag only needs the session)
         from bq_duckdb_spark.dag import Pipeline
 
@@ -132,10 +136,28 @@ class Session:
             path = os.path.join(self._warehouse, _sanitize(key))
             if os.path.exists(path):
                 shutil.rmtree(path, ignore_errors=True)
+            if entry.insert_dir:
+                shutil.rmtree(entry.insert_dir, ignore_errors=True)
+
+    # Lazy unions are cheapest for the first few inserts; past this depth
+    # the view is rebased onto a parquet dir so plan depth stays O(1) —
+    # an N-deep union lineage makes analysis time quadratic in N.
+    _INSERT_UNION_MAX = 8
+    # Appended batches before small files are compacted into one rewrite.
+    _INSERT_COMPACT_EVERY = 64
 
     def insert(self, name: str, rows: list) -> int:
         """Multi-row insert from JSON arrays/objects; returns inserted count
-        (``bq.insert``, reference src/rpc/methods.rs:114-148)."""
+        (``bq.insert``, reference src/rpc/methods.rs:114-148).
+
+        Plan-depth discipline: the first ``_INSERT_UNION_MAX`` inserts
+        extend a lazy union (no I/O); beyond that the table is rebased
+        onto a session-warehouse parquet dir and each insert appends one
+        small file — analysis stays O(1) no matter how many batches a
+        long-lived RPC session accumulates (the reference's append
+        semantics, dag_test.clj:240-258, with bounded lineage). Files
+        are compacted every ``_INSERT_COMPACT_EVERY`` batches.
+        """
         with self._lock:
             key = self._resolve_key(name)
             if key is None:
@@ -144,9 +166,64 @@ class Session:
             schema = bqtypes.schema_from_columns(entry.columns)
             prepared = [self._coerce_row(r, entry.columns) for r in rows]
             new_df = self.spark.createDataFrame(prepared, schema)
+            self._append_df(entry, new_df, schema)
+            return len(prepared)
+
+    def _append_df(self, entry: TableEntry, new_df: DataFrame, schema: T.StructType) -> None:
+        """Append ``new_df`` to ``entry``'s view with bounded plan depth."""
+        if entry.insert_dir is None and entry.union_depth < self._INSERT_UNION_MAX:
             existing = self.spark.table(entry.view)
             existing.unionByName(new_df).createOrReplaceTempView(entry.view)
-            return len(prepared)
+            entry.union_depth += 1
+            return
+        if entry.insert_dir is None:
+            self._rebase_inserts(entry, schema)
+        new_df.write.mode("append").parquet(entry.insert_dir)
+        entry.insert_files += 1
+        if entry.insert_files >= self._INSERT_COMPACT_EVERY:
+            self._compact_inserts(entry, schema)
+        self._register_insert_dir(entry, schema)
+
+    def _insert_dir_path(self, entry: TableEntry) -> str:
+        self._ins_counter += 1
+        return os.path.join(
+            self._warehouse, f"{_sanitize(entry.name.lower())}__ins{self._ins_counter}"
+        )
+
+    def _rebase_inserts(self, entry: TableEntry, schema: T.StructType) -> None:
+        """Snapshot the current view into a fresh parquet dir so further
+        inserts append files instead of growing the logical plan."""
+        from pyspark.sql import functions as _F
+
+        d = self._insert_dir_path(entry)
+        snap = self.spark.table(entry.view).select(
+            [_F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        snap.write.mode("overwrite").parquet(d)
+        entry.insert_dir = d
+        entry.insert_files = 0
+        entry.union_depth = 0
+
+    def _compact_inserts(self, entry: TableEntry, schema: T.StructType) -> None:
+        """Rewrite many small insert files into one compact dir (new dir +
+        swap: never overwrites a path while reading it)."""
+        old = entry.insert_dir
+        d = self._insert_dir_path(entry)
+        n_part = max(self.spark.sparkContext.defaultParallelism // 4, 1)
+        self.spark.read.schema(schema).parquet(old).coalesce(n_part).write.mode(
+            "overwrite"
+        ).parquet(d)
+        entry.insert_dir = d
+        entry.insert_files = 0
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _register_insert_dir(self, entry: TableEntry, schema: T.StructType) -> None:
+        # explicit schema: a dir whose only content is an empty batch has
+        # no footer to infer from; re-registering re-lists the dir so the
+        # view sees newly appended files
+        self.spark.read.schema(schema).parquet(entry.insert_dir).createOrReplaceTempView(
+            entry.view
+        )
 
     @staticmethod
     def _coerce_row(row, columns: list[dict]):
@@ -373,8 +450,7 @@ class Session:
                 ]
             )
             with self._lock:
-                existing = self.spark.table(entry.view)
-                existing.unionByName(aligned).createOrReplaceTempView(entry.view)
+                self._append_df(entry, aligned, target_schema)
             return self._empty_result()
 
         m = self._MERGE_RE.match(sql)

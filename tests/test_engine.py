@@ -273,3 +273,48 @@ def test_numeric_decimal_roundtrip(session):
     assert got == decimal.Decimal("0.3")  # exact, no float drift
     resp = to_bq_response(session.query("SELECT sum(amt) AS s FROM money"))
     assert resp["rows"][0]["f"][0]["v"] == "0.300000000"
+
+
+def test_insert_plan_depth_is_bounded(session):
+    """Many inserts must not grow the view's union lineage: past a small
+    depth the table rebases onto an appendable parquet dir, so analysis
+    cost is flat no matter how many batches a long-lived session takes
+    (mirrors the reference's append semantics, dag_test.clj:240-258, at
+    a batch count that would expose a quadratic plan blowup)."""
+    import time
+
+    session.create_table("bulk", [{"name": "id", "type": "INT64"}])
+    t0 = time.time()
+    n_batches = 60
+    for i in range(n_batches):
+        session.insert("bulk", [[i * 2], [i * 2 + 1]])
+    elapsed = time.time() - t0
+    df = session.table("bulk")
+    assert df.count() == n_batches * 2
+    # after rebase the view is a parquet scan, not an N-deep union
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "Union" not in plan
+    entry = session.tables["bulk"]
+    assert entry.insert_dir is not None
+    # sum matches so no batch was lost across rebase/appends
+    got = rows(session.query("SELECT sum(id) AS s, count(*) AS c FROM bulk"))
+    assert got == [(sum(range(n_batches * 2)), n_batches * 2)]
+    # generous wall-clock bound: the old union path went quadratic here
+    assert elapsed < 90, f"60 insert batches took {elapsed:.1f}s"
+
+
+def test_insert_compaction_keeps_rows(session):
+    """File compaction rewrites the insert dir without losing rows."""
+    session.create_table("cmp", [{"name": "id", "type": "INT64"}])
+    session.tables["cmp"].union_depth = Session._INSERT_UNION_MAX  # force rebase now
+    old_every = Session._INSERT_COMPACT_EVERY
+    Session._INSERT_COMPACT_EVERY = 5
+    try:
+        for i in range(12):
+            session.insert("cmp", [[i]])
+    finally:
+        Session._INSERT_COMPACT_EVERY = old_every
+    assert rows(session.query("SELECT count(*) AS c, sum(id) AS s FROM cmp")) == [
+        (12, sum(range(12)))
+    ]
+    assert session.tables["cmp"].insert_files < 5
