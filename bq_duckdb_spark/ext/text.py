@@ -102,9 +102,15 @@ def tf_idf(
 
     tf = term count in doc / doc token count; idf = ln(N / df_t)
     (plain quotient — no smoothing — so the formula is portable to any
-    SQL oracle). Pure DataFrame ops: explode → two aggregations → join;
-    at scale this is two shuffles (doc-term and term), both on natural
-    keys, with the tiny per-term df table broadcast back.
+    SQL oracle). Pure DataFrame ops: explode → two aggregations → join.
+
+    Scale notes: the per-term document-frequency table scales with the
+    VOCABULARY (billions of distinct terms on a web corpus), so it is
+    joined on ``term`` — a natural shuffle key — with no broadcast hint;
+    AQE still broadcasts it when it genuinely fits. ``n_docs`` is a
+    lazy 1-row aggregate cross-joined in (single scalar broadcast), not
+    an eager driver ``.first()`` job, so the whole pipeline stays one
+    Spark job.
     """
     toks = _tokens(text_col)
     exploded = df.select(
@@ -114,19 +120,20 @@ def tf_idf(
         F.count(F.lit(1)).alias("term_count")
     )
     doc_lens = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
-    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
     term_df = doc_terms.groupBy("term").agg(
         F.countDistinct(id_col).alias("df_t")
     )
     return (
         doc_terms.join(doc_lens, id_col)
-        .join(F.broadcast(term_df), "term")
+        .join(term_df, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
             "term",
             (
                 (F.col("term_count") / F.col("doc_len"))
-                * F.log(F.lit(float(n_docs)) / F.col("df_t"))
+                * F.log(F.col("n_docs") / F.col("df_t"))
             ).alias("tfidf"),
         )
     )
