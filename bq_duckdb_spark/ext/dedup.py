@@ -6,11 +6,14 @@ xxhash64), so they whole-stage-codegen and scale linearly; no Python UDFs.
 Scale design:
 - exact dedup = hash-groupBy (one shuffle on the dedup key);
 - near-dup never does an all-pairs join: MinHash banding / SimHash
-  chunking bucket the corpus so candidate generation is a shuffle on
-  (band, bucket-hash) and verification touches only co-bucketed pairs —
-  the standard shingle→minhash→band→bucket-join pipeline;
-- skewed buckets (e.g. empty-text docs) can be salted or capped with a
-  per-bucket LIMIT before pairing.
+  chunking bucket the corpus so candidate generation is ONE shuffle on
+  (band, bucket-hash) into per-bucket lists with pairs expanded
+  in-bucket — the hash/signature pipeline runs exactly once, and
+  nothing is persist()ed (cached plans are never dropped by GC, so a
+  long-lived server session would leak executor storage);
+- skewed buckets (e.g. exact duplicates sharing every band) are capped
+  at ``max_bucket`` ids, deterministically — run exact dedup first so
+  identical docs don't form mega-buckets.
 """
 
 from __future__ import annotations
@@ -135,6 +138,17 @@ def with_minhash_signature(
     )
 
 
+def _bucket_pairs_expr(arr: str, a_field: str, b_field: str) -> str:
+    """All ordered pairs (x_i, x_j), i < j, from a sorted array — the
+    in-bucket candidate expansion. Output size is the pair count itself,
+    so cost matches what any formulation must emit."""
+    return (
+        f"flatten(transform(sequence(1, size({arr}) - 1), "
+        f"i -> transform(slice({arr}, i + 1, size({arr}) - i), "
+        f"j -> named_struct('{a_field}', element_at({arr}, i), '{b_field}', j))))"
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -142,13 +156,21 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each
     band, and emit candidate id-pairs that share any band bucket.
 
-    Scale: explode is bands× row inflation; the pair join shuffles on
-    (band, band_hash) only — never all-pairs. Output: (id_a, id_b)
-    distinct with id_a < id_b.
+    Scale: explode is bands× row inflation; candidates come from ONE
+    shuffle on (band, band_hash) into per-bucket id lists, with pairs
+    expanded inside each bucket — never an all-pairs join, and the
+    signature pipeline (shingle + hash UDF) runs exactly once (a
+    self-join formulation computes it once per side: Spark does not
+    reuse exchanges across self-join sides here, and persist() leaks
+    storage in a long-lived session). ``max_bucket`` deterministically
+    caps pathological buckets (pairs grow quadratically in bucket size;
+    run exact dedup first so identical docs don't form mega-buckets).
+    Output: (id_a, id_b) distinct with id_a < id_b.
     """
     rows = num_hashes // bands
     sig = with_minhash_signature(df, text_col, num_hashes, shingle_k).select(
@@ -164,22 +186,16 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # the self-join below reads this twice — persist so the signature
-    # pipeline (shingle + hash UDF) computes once, not once per side
-    banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        bucketed.select(
+            F.explode(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -198,9 +214,12 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / |A∪B| on the true shingle sets — only for
     co-bucketed pairs."""
     cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    # joined twice (a-side and b-side): shingling is cheap codegen'd JVM
+    # work, so recomputing one extra scan beats persist() — which would
+    # leak executor storage across calls in a long-lived session
     sh = df.select(
         F.col(id_col), F.expr(_shingles_expr(text_col, shingle_k)).alias("sh")
-    ).persist()  # joined twice (a-side and b-side)
+    )
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -287,7 +306,8 @@ def embedding_near_dup_pairs(
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         base = with_lsh_signature(base, dim=dim, nbits=nbits, vec_col=vec_col)
-    base = base.persist()
+    # both join sides recompute norm/signature — pure codegen'd JVM
+    # arithmetic, cheaper than a persist() that leaks storage memory
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if use_lsh:
@@ -312,14 +332,18 @@ def embedding_near_dup_pairs(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup id-pairs with Hamming(simhash) <= max_hamming.
 
     Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
     chunks — any pair within Hamming distance 3 must agree on at least
-    one chunk — bucket-join on (chunk_idx, chunk_value), then verify
-    with bit_count(xor). No all-pairs comparison.
+    one chunk — ONE shuffle on (chunk_idx, chunk_value) into per-bucket
+    (id, simhash) lists, pairs expanded in-bucket, then verified with
+    bit_count(xor). No all-pairs comparison, no self-join (the simhash
+    UDF would run once per join side), no persist (leaks storage in a
+    long-lived session). ``max_bucket`` caps pathological buckets.
     """
     sh = with_simhash64(df, text_col).select(F.col(id_col), "simhash")
     chunked = sh.select(
@@ -333,20 +357,28 @@ def simhash_near_dup_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
-    chunked = chunked.persist()  # self-joined below
-    a, b = chunked.alias("a"), chunked.alias("b")
+    bucketed = (
+        chunked.groupBy("chunk", "val")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+                ),
+                1,
+                max_bucket,
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    pair = (
+        "flatten(transform(sequence(1, size(xs) - 1), "
+        "i -> transform(slice(xs, i + 1, size(xs) - i), "
+        "y -> named_struct('id_a', element_at(xs, i).id, 'id_b', y.id, "
+        "'hamming', bit_count(element_at(xs, i).simhash ^ y.simhash)))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
+        bucketed.select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -219,3 +219,21 @@ def test_tfidf_values(spark):
     # 'b': tf=1/3 in doc1, idf=ln(2/1)
     assert got[(1, "b")] == pytest.approx(math.log(2) / 3)
     assert got[(2, "c")] == pytest.approx(math.log(2) / 2)
+
+
+def test_dedup_leaves_no_cached_plans(spark, docs):
+    """Dedup operators must not leak executor storage: nothing may stay
+    persisted after a call's result is consumed (a long-lived RPC
+    session runs thousands of these)."""
+    df = docs
+    dedup.minhash_candidate_pairs(df, "text", "doc_id", num_hashes=16, bands=4).count()
+    dedup.simhash_near_dup_pairs(df, "text", "doc_id").count()
+    dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.2).count()
+    dedup.embedding_near_dup_pairs(
+        spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)], "vec_id: long, embedding: array<float>"
+        ),
+        threshold=0.9,
+    ).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
