@@ -257,6 +257,94 @@ def _brace_struct_literals(sql: str) -> str:
         sql = sql[: m.start()] + "named_struct(" + ", ".join(fields) + ")" + sql[j + 1 :]
 
 
+_IDX_FUNC_RE = re.compile(
+    r"\s*(SAFE_OFFSET|SAFE_ORDINAL|OFFSET|ORDINAL)\s*\(", re.IGNORECASE
+)
+
+
+def _operand_start(sql: str, lb: int) -> int:
+    """Start index of the primary expression ending just before ``lb``
+    (an identifier chain with balanced call/index groups, e.g.
+    ``f(x).arr`` in ``f(x).arr[SAFE_OFFSET(0)]``)."""
+    i = lb - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    while i >= 0:
+        c = sql[i]
+        if c in ")]":
+            depth = 1
+            i -= 1
+            while i >= 0 and depth:
+                cc = sql[i]
+                if cc in "'\"`":  # backward over a quoted literal
+                    j = i - 1
+                    while j >= 0 and sql[j] != cc:
+                        j -= 1
+                    i = j
+                elif cc in ")]":
+                    depth += 1
+                elif cc in "([":
+                    depth -= 1
+                i -= 1
+            continue
+        if c.isalnum() or c in "_.`":
+            i -= 1
+            continue
+        break
+    return i + 1
+
+
+def _rewrite_array_indexing(sql: str) -> str:
+    """BigQuery array element access → Spark:
+
+    - ``arr[OFFSET(i)]``  → ``arr[(i)]`` (0-based; ANSI mode errors out
+      of range, exactly BigQuery's OFFSET behavior)
+    - ``arr[ORDINAL(i)]`` → ``arr[(i) - 1]`` (1-based)
+    - ``arr[SAFE_OFFSET(i)]``/``[SAFE_ORDINAL(i)]`` →
+      ``try_element_at(arr, …)`` (NULL out of range)
+    """
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c != "[":
+            i += 1
+            continue
+        m = _IDX_FUNC_RE.match(sql, i + 1)
+        if not m:
+            i += 1
+            continue
+        open_idx = sql.index("(", m.end() - 1)
+        try:
+            close_idx = _find_matching_paren(sql, open_idx)
+        except ValueError:
+            i += 1
+            continue
+        j = close_idx + 1
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j >= len(sql) or sql[j] != "]":
+            i += 1
+            continue
+        func = m.group(1).upper()
+        inner = sql[open_idx + 1 : close_idx]
+        start = i
+        if func == "OFFSET":
+            repl = f"[({inner})]"
+        elif func == "ORDINAL":
+            repl = f"[({inner}) - 1]"
+        else:
+            start = _operand_start(sql, i)
+            operand = sql[start:i].strip()
+            plus = " + 1" if func == "SAFE_OFFSET" else ""
+            repl = f"try_element_at({operand}, ({inner}){plus})"
+        sql = sql[:start] + repl + sql[j + 1 :]
+        i = start  # rescan: the index expression may nest more accesses
+    return sql
+
+
 _SIMPLE_FUNC_RENAMES = {
     "REGEXP_CONTAINS": "regexp_like",
     "SAFE_CAST": "try_cast",
@@ -390,6 +478,7 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
     out = _rewrite_calls(out, "TIMESTAMP_SUB", _date_add_sub("-"))
     out = _rewrite_calls(out, "DATE_DIFF", _date_diff)
     out = _unnest_from(out)
+    out = _rewrite_array_indexing(out)
     out = _bracket_literals(out)
     out = _brace_struct_literals(out)
     out = _rename_cast_types(out)

@@ -423,7 +423,10 @@ class Session:
             if rest.startswith("("):
                 close = rest.rfind(")")
                 columns = []
-                for part in _split_top_level_commas(rest[1:close]):
+                # angle-bracket-aware split: 'b STRUCT<x INT64, y STRING>'
+                # is ONE column (the expression splitter tracks ()/[]
+                # only, and would shear the STRUCT type in half)
+                for part in bqtypes._split_top_level(rest[1:close]):
                     cname, _, ctype = part.strip().partition(" ")
                     columns.append({"name": cname.strip("`"), "type": ctype.strip()})
                 self.create_table(name, columns, if_not_exists=if_not_exists)

@@ -40,8 +40,8 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # DIV, UNIX_MICROS/MILLIS/SECONDS, TIMESTAMP_MICROS/MILLIS,
     # DATE_FROM_UNIX_DATE are Spark builtins with matching BigQuery
     # semantics — registering over them is rejected and unnecessary.
-    "PARSE_DATE": ("fmt STRING, s STRING", "DATE", "to_date(s, fmt)"),
-    "FORMAT_DATE": ("fmt STRING, d DATE", "STRING", "date_format(d, fmt)"),
+    # PARSE_/FORMAT_ bodies are filled in below: BigQuery takes %-style
+    # format elements, Spark takes Java patterns, so the body translates.
     "DATE_TRUNC_MONTH": ("d DATE", "DATE", "CAST(date_trunc('MONTH', d) AS DATE)"),
     "LAST_DAY_OF_MONTH": ("d DATE", "DATE", "last_day(d)"),
     # BigQuery INSTR / STRPOS
@@ -52,6 +52,63 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN i >= 0 AND i < size(a) THEN a[CAST(i AS INT)] ELSE NULL END",
     ),
 }
+
+# BigQuery %-style format elements → Java SimpleDateFormat-ish patterns
+# (multi-char elements first so %F doesn't decompose into %-F). Covers
+# the common elements; literal text that happens to contain Java pattern
+# letters is passed through unquoted — a documented shim limitation.
+_BQ_FMT_ELEMENTS = [
+    ("%F", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"),
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%e", "d"),
+    ("%j", "DDD"),
+    ("%A", "EEEE"),
+    ("%a", "EEE"),
+    ("%B", "MMMM"),
+    ("%b", "MMM"),
+    ("%%", "%"),
+]
+
+
+def _fmt_translate_sql(var: str) -> str:
+    """SQL expression translating a %-format string at runtime (no-op for
+    format strings without % — Java patterns keep working)."""
+    expr = var
+    for bq, java in _BQ_FMT_ELEMENTS:
+        expr = f"replace({expr}, '{bq}', '{java}')"
+    return expr
+
+
+_SQL_FUNCTIONS.update(
+    {
+        "PARSE_DATE": (
+            "fmt STRING, s STRING",
+            "DATE",
+            f"to_date(s, {_fmt_translate_sql('fmt')})",
+        ),
+        "FORMAT_DATE": (
+            "fmt STRING, d DATE",
+            "STRING",
+            f"date_format(d, {_fmt_translate_sql('fmt')})",
+        ),
+        "PARSE_TIMESTAMP": (
+            "fmt STRING, s STRING",
+            "TIMESTAMP",
+            f"to_timestamp(s, {_fmt_translate_sql('fmt')})",
+        ),
+        "FORMAT_TIMESTAMP": (
+            "fmt STRING, ts TIMESTAMP",
+            "STRING",
+            f"date_format(ts, {_fmt_translate_sql('fmt')})",
+        ),
+    }
+)
 
 
 def register_bigquery_functions(spark: SparkSession) -> list[str]:

@@ -52,14 +52,30 @@ def to_query_result(df: DataFrame) -> dict:
     return {"columns": columns, "rows": rows}
 
 
+def _wire_type(bq_type: str) -> str:
+    """Collapse internal type names to the reference's wire vocabulary
+    (yachtsql.rs:256-276): BOOL→BOOLEAN, NUMERIC(p,s)/BIGNUMERIC→NUMERIC,
+    STRUCT<...>→STRUCT, ARRAY recurses on its element. TIME has no Spark
+    native type so a TIME column reports STRING here (documented
+    divergence; the reference keeps a Time value type)."""
+    t = bq_type.strip()
+    if t.upper().startswith("ARRAY<") and t.endswith(">"):
+        return f"ARRAY<{_wire_type(t[6:-1])}>"
+    base = t.upper().split("<")[0].split("(")[0].strip()
+    return {"BOOL": "BOOLEAN", "BIGNUMERIC": "NUMERIC", "DECIMAL": "NUMERIC"}.get(
+        base, base
+    )
+
+
 def to_bq_response(df: DataFrame) -> dict:
-    """Full BigQuery ``queryResponse`` shape (yachtsql.rs:208-231)."""
+    """Full BigQuery ``queryResponse`` shape (yachtsql.rs:208-231): field
+    entries carry exactly {name, type} — the reference adds no mode."""
     qr = to_query_result(df)
     return {
         "kind": "bigquery#queryResponse",
         "schema": {
             "fields": [
-                {"name": c["name"], "type": c["type"], "mode": "NULLABLE"}
+                {"name": c["name"], "type": _wire_type(c["type"])}
                 for c in qr["columns"]
             ]
         },

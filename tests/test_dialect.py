@@ -179,3 +179,34 @@ class TestHashComments:
     def test_hash_in_string_kept(self):
         out = transpile("SELECT 'a#b' AS s FROM t")
         assert "'a#b'" in out
+
+
+class TestArrayIndexing:
+    """BigQuery arr[OFFSET/ORDINAL/SAFE_*] element access."""
+
+    def test_offset_zero_based(self):
+        assert transpile("SELECT a[OFFSET(0)] FROM t") == "SELECT a[(0)] FROM t"
+
+    def test_ordinal_one_based(self):
+        assert transpile("SELECT a[ORDINAL(2)] FROM t") == "SELECT a[(2) - 1] FROM t"
+
+    def test_safe_offset(self):
+        assert (
+            transpile("SELECT a[SAFE_OFFSET(5)] FROM t")
+            == "SELECT try_element_at(a, (5) + 1) FROM t"
+        )
+
+    def test_safe_ordinal_with_chain_operand(self):
+        assert (
+            transpile("SELECT f(x).arr[SAFE_ORDINAL(i + 1)] FROM t")
+            == "SELECT try_element_at(f(x).arr, (i + 1)) FROM t"
+        )
+
+    def test_nested_index_exprs(self):
+        assert (
+            transpile("SELECT a[OFFSET(b[OFFSET(0)])] FROM t")
+            == "SELECT a[(b[(0)])] FROM t"
+        )
+
+    def test_plain_brackets_untouched(self):
+        assert transpile("SELECT [1, 2][1] AS x") == "SELECT array(1, 2)[1] AS x"

@@ -165,9 +165,11 @@ def test_bq_response_shape(session):
     assert resp["kind"] == "bigquery#queryResponse"
     assert resp["jobComplete"] is True
     assert resp["totalRows"] == "1"
+    # exactly {name, type} per field — the reference adds no mode
+    # (yachtsql.rs:209-213)
     assert resp["schema"]["fields"] == [
-        {"name": "x", "type": "INT64", "mode": "NULLABLE"},
-        {"name": "greeting", "type": "STRING", "mode": "NULLABLE"},
+        {"name": "x", "type": "INT64"},
+        {"name": "greeting", "type": "STRING"},
     ]
     assert resp["rows"] == [{"f": [{"v": 1}, {"v": "hello"}]}]
 
@@ -318,3 +320,38 @@ def test_insert_compaction_keeps_rows(session):
         (12, sum(range(12)))
     ]
     assert session.tables["cmp"].insert_files < 5
+
+
+def test_bq_response_wire_type_names(session):
+    """Wire schema uses the reference's type vocabulary
+    (yachtsql.rs:256-276): BOOLEAN not BOOL, NUMERIC for any decimal,
+    bare STRUCT, ARRAY<> recursing on the element name."""
+    df = session.query(
+        "SELECT true AS b, 1.5 AS n, STRUCT(1 AS x) AS st, "
+        "[STRUCT(1 AS y)] AS arr_st, [1, 2] AS arr_i"
+    )
+    fields = {f["name"]: f["type"] for f in to_bq_response(df)["schema"]["fields"]}
+    assert fields == {
+        "b": "BOOLEAN",
+        "n": "NUMERIC",
+        "st": "STRUCT",
+        "arr_st": "ARRAY<STRUCT>",
+        "arr_i": "ARRAY<INT64>",
+    }
+
+
+def test_create_table_sql_nested_types(session):
+    """SQL CREATE TABLE must split columns angle-bracket-aware:
+    'b STRUCT<x INT64, y STRING>' is one column, not two bogus ones."""
+    session.query(
+        "CREATE TABLE nested (a INT64, b STRUCT<x INT64, y STRING>, "
+        "c ARRAY<STRUCT<p INT64, q STRING>>)"
+    )
+    cols = {c["name"]: c["type"] for c in session.tables["nested"].columns}
+    assert set(cols) == {"a", "b", "c"}
+    assert cols["b"].upper().replace(" ", "") == "STRUCT<XINT64,YSTRING>"
+    session.query(
+        "INSERT INTO nested VALUES (1, STRUCT(2, 'z'), [STRUCT(3, 'w')])"
+    )
+    got = rows(session.query("SELECT a, b.y AS by, c[OFFSET(0)].p AS cp FROM nested"))
+    assert got == [(1, "z", 3)]

@@ -83,3 +83,25 @@ def test_functions_inline_into_codegen(spark):
     df = spark.sql("SELECT SAFE_DIVIDE(CAST(id AS DOUBLE), 2.0) AS h FROM range(10)")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_format_date_percent_styles(spark):
+    """BigQuery %-format elements translate to Java patterns at runtime
+    (ADVICE: '%Y-%m-%d' previously misparsed); Java patterns still pass."""
+    from bq_duckdb_spark.functions import register_bigquery_functions
+
+    register_bigquery_functions(spark)
+    row = spark.sql(
+        "SELECT PARSE_DATE('%Y-%m-%d', '2024-03-05') AS p, "
+        "FORMAT_DATE('%Y/%m/%d', DATE '2024-03-05') AS f, "
+        "FORMAT_DATE('%F', DATE '2024-03-05') AS iso, "
+        "PARSE_DATE('yyyy-MM-dd', '2024-03-05') AS legacy, "
+        "FORMAT_TIMESTAMP('%Y-%m-%d %H:%M:%S', TIMESTAMP '2024-03-05 06:07:08') AS ts"
+    ).first()
+    import datetime
+
+    assert row.p == datetime.date(2024, 3, 5)
+    assert row.f == "2024/03/05"
+    assert row.iso == "2024-03-05"
+    assert row.legacy == datetime.date(2024, 3, 5)
+    assert row.ts == "2024-03-05 06:07:08"

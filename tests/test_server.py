@@ -90,7 +90,7 @@ def test_query_bq_response_shape(server, sid):
     assert res["kind"] == "bigquery#queryResponse"
     assert res["jobComplete"] is True
     assert res["totalRows"] == "1"
-    assert res["schema"]["fields"][0] == {"name": "x", "type": "INT64", "mode": "NULLABLE"}
+    assert res["schema"]["fields"][0] == {"name": "x", "type": "INT64"}
     assert res["rows"] == [{"f": [{"v": 1}, {"v": "hello"}]}]
 
 
