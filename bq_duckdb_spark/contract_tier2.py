@@ -423,6 +423,53 @@ GROUP BY band_id
 
 
 # ---------------------------------------------------------------------------
+# scale-path twins for the single-task / per-group-buffer exact operators
+# ---------------------------------------------------------------------------
+
+
+def q_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global NTILE(4) without the single-task global window
+    (q_ntile's plan): range-partition + per-partition rank + cumulative
+    offsets — see operators/ntile.py. Identical assignment to DuckDB's
+    ntile because the ordering is total, so it carries a full oracle."""
+    from bq_duckdb_spark.operators.ntile import ntile_scalable
+
+    orders = _t(spark, sf_dir, "orders")
+    return ntile_scalable(
+        orders, ["o_totalprice", "o_orderkey"], k=4, out_col="quartile"
+    ).select("o_orderkey", "quartile")
+
+
+_Q_NTILE_SCALABLE_ORACLE = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+FROM orders
+"""
+
+
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of q_percentiles: bounded-memory sketch
+    (KLL-style) instead of buffering every group value — the 100 TB
+    path. Sketches are engine-specific → rows-only; the companion exact
+    values bound the estimate in tests."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50_approx"),
+            F.col("pcts")[1].alias("p95_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -447,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_asof_join": q_asof_join,
         "q_range_join_bands": q_range_join_bands,
+        "q_ntile_scalable": q_ntile_scalable,
+        "q_percentiles_approx": q_percentiles_approx,
     }
 
 
@@ -469,4 +518,5 @@ def oracle_sql() -> dict[str, str]:
         "q_array_funcs": _Q_ARRAY_FUNCS_ORACLE,
         "q_asof_join": _Q_ASOF_JOIN_ORACLE,
         "q_range_join_bands": _Q_RANGE_JOIN_BANDS_ORACLE,
+        "q_ntile_scalable": _Q_NTILE_SCALABLE_ORACLE,
     }

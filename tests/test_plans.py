@@ -86,3 +86,35 @@ def test_asof_join_single_shuffle(q):
     # union → one hash partitioning on user_id → window; AQE prints
     # initial+final plans so allow the doubled count
     assert a.exchanges <= 2, f"as-of should be one shuffle\n{a.formatted}"
+
+
+def test_ntile_scalable_no_single_partition_bigdata_window(q):
+    """The scalable NTILE's heavy window runs partitioned by __pid; only
+    the offsets window (one row per partition) may be SinglePartition."""
+    df = q("q_ntile_scalable")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__pid" in plan, plan
+    # global-window formulation would put orders through one task:
+    # its signature is a Window with ntile over SinglePartition
+    assert "ntile" not in plan.lower()
+
+
+def test_ntile_scalable_matches_global_window(q, spark):
+    """Exact equality with the single-task global NTILE on sf0.001."""
+    got = {r.o_orderkey: r.quartile for r in q("q_ntile_scalable").collect()}
+    want = {r.o_orderkey: r.quartile for r in q("q_ntile").collect()}
+    assert got == want
+
+
+def test_percentiles_approx_brackets_exact(q):
+    """Sketch estimates must sit within 2% of the exact percentiles."""
+    exact = {r.l_returnflag: (r.p50, r.p95) for r in q("q_percentiles").collect()}
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p95_approx)
+        for r in q("q_percentiles_approx").collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (p50, p95) in exact.items():
+        a50, a95 = approx[k]
+        assert abs(a50 - p50) / p50 < 0.02
+        assert abs(a95 - p95) / p95 < 0.02
