@@ -1,6 +1,7 @@
-"""JSON-RPC 2.0 server over stdio (and WebSocket when a ws library is
-available) exposing the reference's 22 ``bq.*`` methods with identical
-request/response field names and error codes.
+"""JSON-RPC 2.0 server over stdio and WebSocket (stdlib RFC 6455
+implementation, bq_duckdb_spark.wsproto) exposing the reference's 22
+``bq.*`` methods with identical request/response field names and error
+codes.
 
 Wire contract mirrored from the reference:
 - methods + dispatch: src/rpc/methods.rs:33-56
@@ -287,25 +288,28 @@ def serve_stdio(manager: SessionManager) -> None:
         sys.stdout.flush()
 
 
-async def serve_websocket(manager: SessionManager, host: str = "0.0.0.0", port: int = 8080):
-    """WebSocket transport (reference src/main.rs:181-184) — requires the
-    optional ``websockets`` package; unavailable in this container."""
-    try:
-        import websockets
-    except ImportError as e:
-        raise RuntimeError(
-            "WebSocket transport requires the 'websockets' package; "
-            "use serve_stdio instead"
-        ) from e
+async def start_websocket(manager: SessionManager, host: str = "0.0.0.0", port: int = 8080):
+    """Start the WebSocket transport (reference src/main.rs:181-184) on a
+    stdlib RFC 6455 implementation (bq_duckdb_spark.wsproto — no external
+    package). Returns the asyncio server; ``port=0`` → ephemeral port.
+    One text frame in → handle_message → one text frame out, the
+    reference's handler loop (rpc/handler.rs:11-43)."""
+    from bq_duckdb_spark.wsproto import start_ws_server
+
     server = RpcServer(manager)
 
-    async def handler(ws):
-        async for msg in ws:
-            await ws.send(json.dumps(server.handle_message(msg)))
+    def on_text(msg: str) -> str:
+        return json.dumps(server.handle_message(msg))
 
-    async with websockets.serve(handler, host, port, max_size=None):
-        import asyncio
+    return await start_ws_server(on_text, host, port)
 
+
+async def serve_websocket(manager: SessionManager, host: str = "0.0.0.0", port: int = 8080):
+    """Run the WebSocket transport forever (CLI entry)."""
+    import asyncio
+
+    ws = await start_websocket(manager, host, port)
+    async with ws:
         await asyncio.Future()
 
 

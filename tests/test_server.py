@@ -226,3 +226,100 @@ def test_destroyed_session_unusable(server):
     call(server, "bq.destroySession", {"sessionId": s})
     call(server, "bq.query", {"sessionId": s, "sql": "SELECT 1"},
          expect_error=SESSION_NOT_FOUND)
+
+
+# ---------------------------------------------------------------------------
+# WebSocket transport (stdlib RFC 6455 loopback)
+# ---------------------------------------------------------------------------
+
+
+def test_websocket_full_rpc_round_trip(spark):
+    """Full JSON-RPC session over the stdlib WebSocket transport
+    (reference src/main.rs:181-184, handler.rs:11-43): handshake,
+    masked client frames, ping/pong control, a >64KiB response frame
+    (64-bit extended length), session lifecycle and a query."""
+    import asyncio
+
+    from bq_duckdb_spark import wsproto
+    from bq_duckdb_spark.engine import SessionManager
+    from bq_duckdb_spark.server import start_websocket
+
+    manager = SessionManager(spark)
+
+    async def scenario():
+        ws = await start_websocket(manager, host="127.0.0.1", port=0)
+        port = ws.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await wsproto.client_connect("127.0.0.1", port)
+
+            async def rpc(method, params=None, rid=1):
+                await wsproto.client_send_text(
+                    writer,
+                    json.dumps(
+                        {"jsonrpc": "2.0", "id": rid, "method": method,
+                         "params": params or {}},
+                    ),
+                )
+                return json.loads(await wsproto.client_recv_text(reader))
+
+            pong = await rpc("bq.ping")
+            assert pong["result"] == {"message": "pong"}
+
+            # protocol-level ping must be answered with a pong frame
+            writer.write(wsproto.encode_frame(wsproto.OP_PING, b"hi", mask=b"abcd"))
+            await writer.drain()
+            fin, op, data = await wsproto.read_frame(reader)
+            assert (fin, op, data) == (True, wsproto.OP_PONG, b"hi")
+
+            sid = (await rpc("bq.createSession"))["result"]["sessionId"]
+            res = await rpc(
+                "bq.query",
+                {"sessionId": sid,
+                 "sql": "SELECT x, repeat('a', 300) AS pad "
+                        "FROM UNNEST(GENERATE_ARRAY(1, 400)) AS x"},
+                rid=2,
+            )
+            body = res["result"]
+            assert body["totalRows"] == "400"
+            assert len(json.dumps(body)) > (1 << 16)  # exercised 64-bit length
+
+            bad = await rpc("bq.nope", rid=3)
+            assert bad["error"]["code"] == METHOD_NOT_FOUND
+
+            await rpc("bq.destroySession", {"sessionId": sid}, rid=4)
+
+            # clean close handshake
+            writer.write(wsproto.encode_frame(wsproto.OP_CLOSE, b"", mask=b"abcd"))
+            await writer.drain()
+            fin, op, _ = await wsproto.read_frame(reader)
+            assert op == wsproto.OP_CLOSE
+            writer.close()
+        finally:
+            ws.close()
+            await ws.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_websocket_rejects_non_upgrade_request(spark):
+    """A plain HTTP request gets 400, not a hang."""
+    import asyncio
+
+    from bq_duckdb_spark.engine import SessionManager
+    from bq_duckdb_spark.server import start_websocket
+
+    async def scenario():
+        ws = await start_websocket(SessionManager(spark), host="127.0.0.1", port=0)
+        port = ws.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+            await writer.drain()
+            line = await reader.readline()
+            assert b"400" in line
+            writer.close()
+        finally:
+            ws.close()
+            await ws.wait_closed()
+
+    asyncio.run(scenario())
