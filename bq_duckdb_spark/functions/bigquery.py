@@ -13,6 +13,7 @@ resolve them natively. Functions with an exact Spark builtin
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 # name -> (typed arg list, return type, body expression)
@@ -32,7 +33,8 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN y = 0 THEN CAST('-Infinity' AS DOUBLE) ELSE x / y END",
     ),
     "REGEXP_CONTAINS": ("s STRING, pattern STRING", "BOOLEAN", "s RLIKE pattern"),
-    "FARM_FINGERPRINT": ("s STRING", "BIGINT", "xxhash64(s)"),
+    # FARM_FINGERPRINT is a real FarmHash Fingerprint64 pandas UDF —
+    # registered separately below (functions/farmhash.py).
     "TO_HEX": ("b BINARY", "STRING", "lower(hex(b))"),
     "FROM_HEX": ("s STRING", "BINARY", "unhex(s)"),
     "TO_BASE64": ("b BINARY", "STRING", "base64(b)"),
@@ -111,6 +113,19 @@ _SQL_FUNCTIONS.update(
 )
 
 
+def _farm_fingerprint_udf():
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from bq_duckdb_spark.functions.farmhash import farm_fingerprint
+
+    @pandas_udf(LongType())
+    def ff(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else farm_fingerprint(v))
+
+    return ff
+
+
 def register_bigquery_functions(spark: SparkSession) -> list[str]:
     """Register the BigQuery function set as temporary SQL UDFs on this
     SparkSession. Returns the registered names. Idempotent."""
@@ -121,4 +136,8 @@ def register_bigquery_functions(spark: SparkSession) -> list[str]:
             f"RETURNS {ret} RETURN {body}"
         )
         names.append(name)
+    # true FarmHash Fingerprint64 (BigQuery-compatible values), not a
+    # lookalike hash — see functions/farmhash.py
+    spark.udf.register("FARM_FINGERPRINT", _farm_fingerprint_udf())
+    names.append("FARM_FINGERPRINT")
     return names

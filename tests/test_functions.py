@@ -69,6 +69,27 @@ def test_farm_fingerprint_deterministic(spark):
     assert a == b != c
 
 
+def test_farm_fingerprint_is_real_farmhash(spark):
+    """True Fingerprint64, not a lookalike: the empty input must be the
+    algorithm's k2 constant as signed INT64 (the canonical Fingerprint64
+    fixed point), and every length branch (≤16, ≤32, ≤64, loop) must
+    agree between the SQL surface and the pure-Python reference port."""
+    from bq_duckdb_spark.functions.farmhash import farm_fingerprint
+
+    assert farm_fingerprint("") == -7286425919675154353  # k2 signed
+    cases = ["", "a", "abc", "x" * 17, "y" * 40, "z" * 100, "w" * 300]
+    got = spark.createDataFrame([(s,) for s in cases], ["s"])
+    got = {
+        r.s: r.f
+        for r in got.selectExpr("s", "FARM_FINGERPRINT(s) AS f").collect()
+    }
+    for s in cases:
+        assert got[s] == farm_fingerprint(s)
+    # regression pins from this port (stable across machines/sessions)
+    assert farm_fingerprint("abc") == 2640714258260161385
+    assert farm_fingerprint("hello world") == 6381520714923946011
+
+
 def test_strpos_and_safe_offset(spark):
     r = spark.sql(
         "SELECT STRPOS('banana', 'na') AS p, "
