@@ -260,9 +260,9 @@ class Session:
 
         Rewritten as DataFrame set algebra — the same shape Delta/Iceberg
         engines compile MERGE to: unmatched-target ∪ transformed-matched
-        ∪ inserted-source, one full snapshot replace. A target row
-        matching several source rows duplicates (BigQuery would error;
-        documented divergence).
+        ∪ inserted-source, one full snapshot replace. Matches BigQuery's
+        cardinality rule: a target row matching more than one source row
+        in an UPDATE/DELETE merge is an error, checked up front.
         """
         from pyspark.sql import functions as _F
 
@@ -318,6 +318,28 @@ class Session:
         parts = [unmatched_t]
 
         matched = target.join(source, cond, "inner")
+        if update_set or delete_matched:
+            # BigQuery: "UPDATE/DELETE must match at most one source row
+            # for each target row" — detect via a row-id tag + group count
+            tagged = (
+                self.table(tgt_name)
+                .withColumn("__rid", _F.monotonically_increasing_id())
+                .alias(t_alias)
+            )
+            dup = (
+                tagged.join(source, cond, "inner")
+                .groupBy("__rid")
+                .count()
+                .filter(_F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE failed: a target row matched more than one "
+                    "source row (UPDATE/DELETE requires at most one match "
+                    "per target row)"
+                )
         if update_set:
             assignments = {}
             for part in _split_top_level_commas(update_set):
@@ -341,8 +363,14 @@ class Session:
                 )
             )
         elif not delete_matched:
-            # no matched-clause: matched target rows pass through unchanged
-            parts.append(matched.select([_F.col(f"{t_alias}.{c}").alias(c) for c in tgt_cols]))
+            # no matched-clause: matched target rows pass through
+            # unchanged — semi join, ONCE per target row (an inner join
+            # would duplicate them per matching source row)
+            parts.append(
+                target.join(source, cond, "left_semi").select(
+                    [_F.col(f"{t_alias}.{c}").alias(c) for c in tgt_cols]
+                )
+            )
 
         if insert_clause:
             im = re.match(

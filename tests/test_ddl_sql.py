@@ -190,3 +190,32 @@ def test_merge_unknown_update_column_errors(session):
     with pytest.raises(ValueError, match="unknown column"):
         session.query("MERGE INTO tgt USING src2 ON tgt.k = src2.k "
                       "WHEN MATCHED THEN UPDATE SET nope = 1")
+
+
+def test_merge_multiple_source_matches_errors(session):
+    """BigQuery cardinality rule: one target row matched by two source
+    rows in an UPDATE merge must error, not duplicate."""
+    session.query("CREATE TABLE mt (k INT64, v STRING)")
+    session.query("INSERT INTO mt VALUES (1, 'old')")
+    session.query("CREATE TABLE ms (k INT64, v STRING)")
+    session.query("INSERT INTO ms VALUES (1, 'a'), (1, 'b')")
+    with pytest.raises(Exception, match="more than one"):
+        session.query(
+            "MERGE INTO mt USING ms ON mt.k = ms.k "
+            "WHEN MATCHED THEN UPDATE SET v = ms.v"
+        )
+    # target must be untouched after the failed merge
+    assert rows(session.query("SELECT k, v FROM mt")) == [(1, "old")]
+
+
+def test_merge_insert_only_allows_duplicate_sources(session):
+    """INSERT-only merges have no per-target cardinality constraint."""
+    session.query("CREATE TABLE it (k INT64)")
+    session.query("INSERT INTO it VALUES (1)")
+    session.query("CREATE TABLE isrc (k INT64)")
+    session.query("INSERT INTO isrc VALUES (1), (1), (5)")
+    session.query(
+        "MERGE INTO it USING isrc ON it.k = isrc.k "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (isrc.k)"
+    )
+    assert rows(session.query("SELECT k FROM it ORDER BY k")) == [(1,), (5,)]
