@@ -294,9 +294,13 @@ def embedding_near_dup_pairs(
 
     use_lsh=False: exact all-pairs — the correctness baseline; quadratic,
     fine up to ~10^4 vectors per group.
-    use_lsh=True: random-hyperplane buckets first (pairs must be within
-    ``max_hamming`` signature bits), then exact cosine on candidates —
-    the scale path: the pair join shuffles on bucket ids, never all-pairs.
+    use_lsh=True: random-hyperplane signatures with MULTI-PROBE
+    candidate generation — side A explodes each bucket into its
+    hamming-≤``max_hamming`` ball (``sum C(nbits, i)`` probes per row),
+    so the pair join is an EQUI-join on bucket id (AQE-skew-handled
+    shuffle), never a nested-loop over all pairs; a pair at distance d
+    matches on exactly one probe (mask = a⊕b), so no duplicates. Exact
+    cosine verifies the candidates.
     """
     from bq_duckdb_spark.ext.similarity import dot_expr, with_lsh_signature
 
@@ -306,17 +310,25 @@ def embedding_near_dup_pairs(
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         base = with_lsh_signature(base, dim=dim, nbits=nbits, vec_col=vec_col)
-    # both join sides recompute norm/signature — pure codegen'd JVM
-    # arithmetic, cheaper than a persist() that leaks storage memory
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if use_lsh:
-        cond = cond & (
-            F.bit_count(
-                F.col("a.lsh_bucket").bitwiseXOR(F.col("b.lsh_bucket"))
-            )
-            <= max_hamming
+        masks = [m for m in range(1 << nbits) if m.bit_count() <= max_hamming]
+        probed = base.withColumn(
+            "__probe",
+            F.explode(
+                F.expr(
+                    f"transform(array({', '.join(f'{m}L' for m in masks)}), "
+                    f"m -> lsh_bucket ^ m)"
+                )
+            ),
         )
+        a, b = probed.alias("a"), base.alias("b")
+        cond = (F.col("a.__probe") == F.col("b.lsh_bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        # both join sides recompute the norm — pure codegen'd JVM
+        # arithmetic, cheaper than a persist() that leaks storage memory
+        a, b = base.alias("a"), base.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     cos = F.expr(
         dot_expr(f"a.{vec_col}", f"b.{vec_col}")
     ) / (F.col("a.__n") * F.col("b.__n"))
