@@ -216,8 +216,10 @@ def ngram_jaccard_pairs(
     cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     # joined twice (a-side and b-side): shingling is cheap codegen'd JVM
     # work, so recomputing one extra scan beats persist() — which would
-    # leak executor storage across calls in a long-lived session
-    sh = df.select(
+    # leak executor storage across calls in a long-lived session.
+    # _ensure_parallelism: a single-file input would otherwise shingle
+    # the whole corpus in ONE task per side.
+    sh = _ensure_parallelism(df).select(
         F.col(id_col), F.expr(_shingles_expr(text_col, shingle_k)).alias("sh")
     )
     return (
