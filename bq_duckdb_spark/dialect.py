@@ -154,6 +154,39 @@ def _date_diff(args: list[str]):
     return f"timestampdiff({unit}, {start}, {end})"
 
 
+def _ts_diff(args: list[str]):
+    # TIMESTAMP_DIFF / DATETIME_DIFF(end, start, unit): always
+    # timestampdiff — datediff on timestamps counts date-boundary
+    # crossings, not whole elapsed units, so it is NOT a DAY shortcut here.
+    if len(args) != 3:
+        return None
+    end, start, unit = args[0], args[1], args[2].strip().upper()
+    return f"timestampdiff({unit}, {start}, {end})"
+
+
+_DATE_PARTS = {
+    "MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY", "WEEK",
+    "ISOWEEK", "MONTH", "QUARTER", "YEAR", "ISOYEAR",
+}
+
+
+def _trunc(cast_to: str | None):
+    """BigQuery DATE_TRUNC(expr, part) → Spark date_trunc('part', expr).
+    Spark's own form (part string first) passes through untouched."""
+
+    def rw(args: list[str]):
+        if len(args) != 2:
+            return None
+        part = args[1].strip().strip("'\"").upper()
+        first = args[0].strip().strip("'\"").upper()
+        if part not in _DATE_PARTS or first in _DATE_PARTS:
+            return None  # not the BigQuery arg order
+        inner = f"date_trunc('{part}', {args[0]})"
+        return f"CAST({inner} AS {cast_to})" if cast_to else inner
+
+    return rw
+
+
 def _unnest_from(sql: str) -> str:
     """Rewrite ``FROM UNNEST(expr) AS alias`` / ``FROM UNNEST(expr) alias``
     → ``FROM (SELECT explode(expr) AS alias)`` and correlated
@@ -357,6 +390,13 @@ _SIMPLE_FUNC_RENAMES = {
     "GENERATE_ARRAY": "sequence",
     "ARRAY_LENGTH": "size",
     "STRING_AGG": "string_agg",  # Spark 4 has string_agg natively
+    # BigQuery SPLIT takes a LITERAL delimiter; Spark's split() takes a
+    # regex ('a.b' → ['','','']). BQ_SPLIT (functions/bigquery.py)
+    # regex-quotes the delimiter. The builtin name can't be overridden.
+    "SPLIT": "BQ_SPLIT",
+    "ARRAY_CONCAT": "concat",
+    "ARRAY_TO_STRING": "array_join",
+    "ARRAY_REVERSE": "reverse",
 }
 
 
@@ -476,7 +516,14 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
     out = _rewrite_calls(out, "DATE_SUB", _date_add_sub("-"))
     out = _rewrite_calls(out, "TIMESTAMP_ADD", _date_add_sub("+"))
     out = _rewrite_calls(out, "TIMESTAMP_SUB", _date_add_sub("-"))
+    out = _rewrite_calls(out, "DATETIME_ADD", _date_add_sub("+"))
+    out = _rewrite_calls(out, "DATETIME_SUB", _date_add_sub("-"))
     out = _rewrite_calls(out, "DATE_DIFF", _date_diff)
+    out = _rewrite_calls(out, "TIMESTAMP_DIFF", _ts_diff)
+    out = _rewrite_calls(out, "DATETIME_DIFF", _ts_diff)
+    out = _rewrite_calls(out, "DATE_TRUNC", _trunc("DATE"))
+    out = _rewrite_calls(out, "TIMESTAMP_TRUNC", _trunc(None))
+    out = _rewrite_calls(out, "DATETIME_TRUNC", _trunc(None))
     out = _unnest_from(out)
     out = _rewrite_array_indexing(out)
     out = _bracket_literals(out)

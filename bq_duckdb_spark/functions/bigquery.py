@@ -48,6 +48,14 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "LAST_DAY_OF_MONTH": ("d DATE", "DATE", "last_day(d)"),
     # BigQuery INSTR / STRPOS
     "STRPOS": ("s STRING, sub STRING", "BIGINT", "CAST(instr(s, sub) AS BIGINT)"),
+    # BigQuery SPLIT: literal delimiter (dialect renames SPLIT → BQ_SPLIT
+    # because Spark's builtin split takes a regex and can't be overridden).
+    # \Q…\E regex-quotes arbitrary delimiters.
+    "BQ_SPLIT": (
+        "s STRING, d STRING",
+        "ARRAY<STRING>",
+        r"split(s, concat('\\Q', d, '\\E'))",
+    ),
     "SAFE_OFFSET": (
         "a ARRAY<STRING>, i BIGINT",
         "STRING",

@@ -210,3 +210,46 @@ class TestArrayIndexing:
 
     def test_plain_brackets_untouched(self):
         assert transpile("SELECT [1, 2][1] AS x") == "SELECT array(1, 2)[1] AS x"
+
+
+class TestDateTimeFamily:
+    def test_timestamp_diff_arg_order(self):
+        assert (
+            transpile("SELECT TIMESTAMP_DIFF(t2, t1, HOUR) FROM t")
+            == "SELECT timestampdiff(HOUR, t1, t2) FROM t"
+        )
+
+    def test_timestamp_diff_day_not_datediff(self):
+        # whole elapsed days, not date-boundary crossings
+        assert (
+            transpile("SELECT TIMESTAMP_DIFF(t2, t1, DAY) FROM t")
+            == "SELECT timestampdiff(DAY, t1, t2) FROM t"
+        )
+
+    def test_date_trunc_bigquery_arg_order(self):
+        assert (
+            transpile("SELECT DATE_TRUNC(d, MONTH) FROM t")
+            == "SELECT CAST(date_trunc('MONTH', d) AS DATE) FROM t"
+        )
+
+    def test_date_trunc_spark_form_untouched(self):
+        sql = "SELECT date_trunc('MONTH', d) FROM t"
+        assert transpile(sql) == sql
+
+    def test_timestamp_trunc(self):
+        assert (
+            transpile("SELECT TIMESTAMP_TRUNC(ts, HOUR) FROM t")
+            == "SELECT date_trunc('HOUR', ts) FROM t"
+        )
+
+    def test_datetime_add_interval(self):
+        assert (
+            transpile("SELECT DATETIME_ADD(dt, INTERVAL 3 HOUR) FROM t")
+            == "SELECT (dt + INTERVAL 3 HOUR) FROM t"
+        )
+
+    def test_split_renamed_to_literal_semantics(self):
+        assert (
+            transpile("SELECT SPLIT(s, '.') FROM t")
+            == "SELECT BQ_SPLIT(s, '.') FROM t"
+        )

@@ -126,3 +126,17 @@ def test_parse_format_date_percent_styles(spark):
     assert row.iso == "2024-03-05"
     assert row.legacy == datetime.date(2024, 3, 5)
     assert row.ts == "2024-03-05 06:07:08"
+
+
+def test_bq_split_literal_delimiter(spark):
+    """BigQuery SPLIT treats the delimiter literally — regex metachars
+    must not be interpreted (Spark's builtin split would return
+    ['','',''] for 'a.b.c' split on '.')."""
+    r = spark.sql(
+        "SELECT BQ_SPLIT('a.b.c', '.') AS dots, "
+        "BQ_SPLIT('x|y', '|') AS pipe, "
+        "BQ_SPLIT('a,b', ',') AS comma"
+    ).first()
+    assert r.dots == ["a", "b", "c"]
+    assert r.pipe == ["x", "y"]
+    assert r.comma == ["a", "b"]
