@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bq_duckdb_spark.ext import dedup, multimodal, similarity, text
+from bq_duckdb_spark.ext import dedup, multimodal, scrub, similarity, text
 
 
 from bq_duckdb_spark.testdata import load_table as _t
@@ -261,6 +261,104 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24) —
+    map-only fan-out, no shuffle."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+_TEXT_CHUNKS_ORACLE = """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, toks,
+           greatest(1, CAST(ceil((len(toks) - 32.0) / 24.0) AS INT) + 1) AS n_chunks
+    FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+       CAST(len(string_split(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' '),
+                             ' ')) AS BIGINT) AS chunk_n_tokens
+FROM c, unnest(range(0, n_chunks)) AS u(i)
+"""
+
+
+# The synthetic corpus has no organic PII/URLs, so the scrub entries
+# plant deterministic ones from existing columns — the operators then do
+# real (oracle-checked) work on every row.
+_PII_PLANT = (
+    "concat(text, ' contact ', source, '@corp-', doc_id, '.com id 123-45-6789 "
+    "tel +1 415-555-', lpad(CAST(doc_id AS STRING), 4, '0'))"
+)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts + cleaned text over planted emails/ids/phones."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PII_PLANT} AS text"
+    )
+    return scrub.redact_pii(docs).select(
+        "doc_id", "n_emails", "n_ids", "n_phones", "clean_text"
+    )
+
+
+_PII_REDACT_ORACLE = """
+WITH planted AS (
+    SELECT doc_id,
+           concat(text, ' contact ', source, '@corp-', doc_id, '.com id 123-45-6789 tel +1 415-555-',
+                  lpad(CAST(doc_id AS VARCHAR), 4, '0')) AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+               AS no_email
+    FROM planted
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(no_email, '\\d{3}-\\d{2}-\\d{4}')) AS INT) AS n_ids,
+           regexp_replace(no_email, '\\d{3}-\\d{2}-\\d{4}', '[ID]', 'g') AS no_id
+    FROM s1
+)
+SELECT doc_id, n_emails, n_ids,
+       CAST(len(regexp_extract_all(no_id, '\\+?\\d[\\d\\- ]{6,}\\d')) AS INT) AS n_phones,
+       regexp_replace(no_id, '\\+?\\d[\\d\\- ]{6,}\\d', '[PHONE]', 'g') AS clean_text
+FROM s2
+"""
+
+
+def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus domain frequency over planted URLs (one per doc +
+    a shared domain every 10th doc)."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, ' see https://', source, '.example.com/p/', doc_id, "
+        "CASE WHEN doc_id % 10 = 0 THEN ' and https://common.example.org/x' ELSE '' END) AS text",
+    )
+    return scrub.domain_stats(docs).orderBy("domain")
+
+
+_URL_DOMAINS_ORACLE = """
+WITH planted AS (
+    SELECT concat(text, ' see https://', source, '.example.com/p/', doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN ' and https://common.example.org/x' ELSE '' END)
+               AS text
+    FROM documents
+)
+SELECT lower(u) AS domain, count(*) AS n_urls
+FROM planted, unnest(regexp_extract_all(text, 'https?://([^/\\s]+)', 1)) AS t(u)
+GROUP BY lower(u) ORDER BY domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -347,6 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text_tfidf,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_chunks": text_chunks,
+        "pii_redact": pii_redact,
+        "url_domains": url_domains,
         "multimodal_features": multimodal_features,
     }
 
@@ -360,5 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_tfidf": _TEXT_TFIDF_ORACLE,
+        "text_chunks": _TEXT_CHUNKS_ORACLE,
+        "pii_redact": _PII_REDACT_ORACLE,
+        "url_domains": _URL_DOMAINS_ORACLE,
         "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     }

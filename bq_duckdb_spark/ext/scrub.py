@@ -1,0 +1,60 @@
+"""Content scrubbing for training-data pipelines: PII redaction and
+URL/domain extraction.
+
+All JVM-side regexp ops (regexp_replace / regexp_count /
+regexp_extract_all) — map-only until the optional domain aggregation,
+so redaction scales with input splits and never shuffles. Patterns are
+deliberately in the common regex subset shared by Java and RE2-family
+engines so the behavior is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# simple, dialect-portable patterns (Java + RE2): no lookarounds
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+ID_RE = r"\d{3}-\d{2}-\d{4}"  # SSN-shaped
+PHONE_RE = r"\+?\d[\d\- ]{6,}\d"
+URL_RE = r"https?://([^/\s]+)"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails, SSN-shaped ids, then phone-like numbers (in that
+    order — the id pattern is a substring of the phone pattern) and
+    count each. Adds n_emails / n_ids / n_phones / ``out_col``."""
+    c = F.col(text_col)
+    # column-API regexp_count with lit patterns: no SQL-literal escaping
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)))
+        .withColumn(
+            "__no_email", F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+        )
+        .withColumn("n_ids", F.regexp_count(F.col("__no_email"), F.lit(ID_RE)))
+        .withColumn("__no_id", F.regexp_replace(F.col("__no_email"), ID_RE, "[ID]"))
+        .withColumn("n_phones", F.regexp_count(F.col("__no_id"), F.lit(PHONE_RE)))
+        .withColumn(out_col, F.regexp_replace(F.col("__no_id"), PHONE_RE, "[PHONE]"))
+        .drop("__no_email", "__no_id")
+    )
+
+
+def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per URL occurrence: (original columns..., domain).
+    Map-only explode; lowercased host part."""
+    return df.withColumn(
+        "domain",
+        F.explode(F.expr(f"regexp_extract_all({text_col}, 'https?://([^/\\\\s]+)', 1)")),
+    ).withColumn("domain", F.lower("domain"))
+
+
+def domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level domain frequency: the crawl-style source breakdown.
+    One shuffle on domain (partial aggregation map-side)."""
+    return (
+        extract_domains(df, text_col)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )

@@ -139,6 +139,40 @@ def tf_idf(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the unit-of-work splitter for
+    training pipelines (context windows with ``chunk_tokens - stride``
+    token overlap).
+
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens); a short
+    document yields exactly one chunk. Pure JVM array ops (sequence +
+    slice + posexplode): the fan-out is row-local, no shuffle at all —
+    the ideal 100 TB shape (map-only, scales with input splits).
+    """
+    toks = _tokens(text_col)
+    n = f"size({toks})"
+    n_chunks = (
+        f"greatest(1, CAST(ceil((CAST({n} AS DOUBLE) - {chunk_tokens}) "
+        f"/ {stride}) AS INT) + 1)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> concat_ws(' ', slice({toks}, i * {stride} + 1, {chunk_tokens})))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
+    ).withColumn(
+        "chunk_n_tokens", F.expr("CAST(size(split(chunk_text, ' ')) AS BIGINT)")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 4) -> DataFrame:
     """Document fingerprint: min-of-rolling-window hashes (winnowing-style
     min selection over token k-gram hashes) — a stable 64-bit content id

@@ -237,3 +237,55 @@ def test_dedup_leaves_no_cached_plans(spark, docs):
     ).count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_chunk_documents_overlap_and_short_doc(spark):
+    from bq_duckdb_spark.ext.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    # doc 1: 10 tokens, chunk 4 stride 3 → ceil((10-4)/3)+1 = 3 chunks
+    assert [c for _, c in sorted(by_doc[1])] == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+    ]
+    # short doc → exactly one chunk with the whole text
+    assert by_doc[2] == [(0, "a b")]
+
+
+def test_redact_pii_semantics(spark):
+    from bq_duckdb_spark.ext.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.io and sue@y.org, ssn 123-45-6789, call +1 415-555-0000"),
+         (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    rows_ = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = rows_[1]
+    assert (r1.n_emails, r1.n_ids, r1.n_phones) == (2, 1, 1)
+    assert "[EMAIL]" in r1.clean_text and "[ID]" in r1.clean_text
+    assert "[PHONE]" in r1.clean_text
+    assert "bob@" not in r1.clean_text and "123-45" not in r1.clean_text
+    r2 = rows_[2]
+    assert (r2.n_emails, r2.n_ids, r2.n_phones) == (0, 0, 0)
+    assert r2.clean_text == "nothing here"
+
+
+def test_domain_stats(spark):
+    from bq_duckdb_spark.ext.scrub import domain_stats
+
+    df = spark.createDataFrame(
+        [(1, "see https://A.example.com/x and https://b.org/y"),
+         (2, "again https://a.example.com/z")],
+        ["doc_id", "text"],
+    )
+    got = {r.domain: r.n_urls for r in domain_stats(df).collect()}
+    assert got == {"a.example.com": 2, "b.org": 1}
