@@ -2,11 +2,15 @@
 columns with typed metadata, processed by Arrow-batched Pandas UDFs via
 ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_stub=True`` produces deterministic fake features so
-the Spark-side plumbing — schema, partitioning, UDF signature, Arrow
-batch shape — is real and tested; wiring a real decoder is a drop-in
-replacement of ``_decode_one``.
+Decode support is tiered:
+- PPM/PGM (netpbm P5/P6) images decode FOR REAL with numpy only —
+  ``decode_stub=False`` works end to end for them (header parse,
+  pixel array, channel-statistics features, nearest-neighbor resize).
+- JPEG/PNG/audio/video need libs absent from this container (PIL,
+  ffmpeg); those payloads raise ``NotImplementedError`` under
+  ``decode_stub=False`` and use the deterministic byte-stats stub
+  otherwise, so the Spark-side plumbing — schema, partitioning, UDF
+  signature, Arrow batch shape — is exercised either way.
 
 Scale design: blobs stay columnar in parquet; feature extraction is
 ``mapInPandas`` (one Arrow batch at a time, bounded memory per task);
@@ -17,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,17 +70,52 @@ def make_blob_table(df: DataFrame, id_col: str, text_col: str, source_col: str) 
     )
 
 
-def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
-    """Decode a media payload into a feature vector.
+def _parse_netpbm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a binary netpbm image (P5 grayscale / P6 RGB) → (pixels as
+    (h, w, channels) uint8 array, maxval). Pure numpy, no image libs."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header: magic, width, height, maxval — whitespace separated, with
+    # optional '#' comment lines
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    return raster.reshape(h, w, channels), maxval
 
-    STUB: real decode (PIL/librosa/ffmpeg frame-sampling) is unavailable
-    in this container. The stub derives a deterministic 8-dim feature
-    from the bytes so the pipeline shape is fully exercised.
+
+def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
+    """Decode a media payload into an 8-dim feature vector.
+
+    Real path (``decode_stub=False``): netpbm P5/P6 images decode with
+    numpy — features are per-channel mean/std plus shape stats. Other
+    formats need PIL/librosa/ffmpeg (absent here) and raise.
+    Stub path: deterministic byte statistics, any payload.
     """
     if not decode_stub:
+        if payload[:2] in (b"P5", b"P6"):
+            px, maxval = _parse_netpbm(payload)
+            h, w, c = px.shape
+            scaled = px.astype(np.float64) / maxval
+            means = [float(scaled[:, :, i % c].mean()) for i in range(3)]
+            stds = [float(scaled[:, :, i % c].std()) for i in range(3)]
+            return means + stds + [float(w) / h, float(c)]
         raise NotImplementedError(
-            "real media decode requires image/audio libraries not present "
-            "in this environment; run with decode_stub=True"
+            "real decode beyond netpbm (P5/P6) requires image/audio "
+            "libraries not present in this environment; run with "
+            "decode_stub=True"
         )
     n = len(payload)
     if n == 0:
@@ -103,25 +143,42 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a P5/P6 image, re-encoded as netpbm.
+    Pure numpy fancy indexing — a real resize, no image libs."""
+    px, maxval = _parse_netpbm(payload)
+    h, w, c = px.shape
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    out = px[rows[:, None], cols[None, :], :]
+    magic = b"P6" if c == 3 else b"P5"
+    header = magic + f"\n{width} {height}\n{maxval}\n".encode("ascii")
+    return header + out.tobytes()
+
+
 def resize_images(
     blobs: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True
 ) -> DataFrame:
     """Image resize over mapInPandas.
 
-    STUB: without PIL the "resize" deterministically truncates/pads the
-    payload to width*height bytes — the batch shape, schema, and
-    memory profile (output bounded by target size, not input size) are
-    the real thing; swapping in PIL's resize is local to this function.
+    Real path (``decode_stub=False``): netpbm P5/P6 payloads get a true
+    nearest-neighbor resize (numpy only) and re-encode; other formats
+    raise (PIL absent). Stub path: deterministic truncate/pad to
+    width*height bytes. Either way the batch shape, schema, and memory
+    profile (output bounded by target size, not input size) are real.
     """
-    if not decode_stub:
-        raise NotImplementedError("image resize requires PIL; run with decode_stub=True")
-    target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
         for pdf in batches:
-            payloads = pdf["payload"].map(
-                lambda b: bytes(b)[:target].ljust(target, b"\0")
-            )
+            if decode_stub:
+                payloads = pdf["payload"].map(
+                    lambda b: bytes(b)[:target].ljust(target, b"\0")
+                )
+            else:
+                payloads = pdf["payload"].map(
+                    lambda b: _resize_netpbm(bytes(b), width, height)
+                )
             yield pd.DataFrame(
                 {
                     "blob_id": pdf["blob_id"],
