@@ -126,6 +126,55 @@ LIMIT 10
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse cells from 4 fixed centroids (the first 4
+    embeddings), probe the 2 query-closest cells, exact cosine top-10
+    inside them. Deterministic centroids → full DuckDB oracle."""
+    cents = [_query_vec(spark, sf_dir, i) for i in range(4)]
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir, 0),
+        cents,
+        k=10,
+        nprobe=2,
+    )
+
+
+_SIM_IVF_TOPK_ORACLE = """
+WITH cents AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id < 4
+),
+q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id = 0
+),
+probed AS (
+    SELECT cid FROM cents, q ORDER BY list_dot_product(cv, qv) DESC, cid LIMIT 2
+),
+scored AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+           c.cid,
+           list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cv) AS s
+    FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, ev, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scored
+)
+SELECT a.vec_id,
+       list_dot_product(a.ev, q.qv)
+       / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS cosine
+FROM assigned a, q
+WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probed)
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+"""
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (random hyperplanes,
     probe hamming<=1 buckets, exact cosine on the candidates)."""
@@ -439,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
+        "sim_ivf_topk": sim_ivf_topk,
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_stats": text_stats,
@@ -457,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_embedding": _DEDUP_EMBEDDING_ORACLE,
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
+        "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,

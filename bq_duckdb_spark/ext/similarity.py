@@ -139,6 +139,35 @@ def lsh_ann_topk(
 # ---------------------------------------------------------------------------
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid, probe
+    only the ``nprobe`` cells closest to the query, exact cosine top-k
+    inside the probed cells.
+
+    Scale: assignment is map-only; with the table stored
+    partitioned/bucketed by cell the probe reads O(nprobe/ncells) of
+    the data, and the final top-k is TakeOrderedAndProject (per-task
+    k-heaps, no global sort). Deterministic for fixed centroids, so —
+    unusually for ANN — the whole operator is oracle-checkable.
+    """
+    scores = [
+        (ci, sum(float(a) * float(b) for a, b in zip(c, query_vec)))
+        for ci, c in enumerate(centroids)
+    ]
+    probed = [ci for ci, _ in sorted(scores, key=lambda t: (-t[1], t[0]))[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    cands = assigned.filter(F.col("ivf_cell").isin(probed))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -339,3 +339,15 @@ def test_non_netpbm_real_decode_still_gated(spark):
     """Non-netpbm payloads under decode_stub=False raise (no PIL here)."""
     with pytest.raises(NotImplementedError):
         multimodal._decode_one(b"\x89PNG...", decode_stub=False)
+
+
+def test_ivf_topk_probes_right_cells(vecs):
+    """IVF: with centroids = two opposite unit vectors, nprobe=1 must
+    search only the query's hemisphere and still return its exact copy."""
+    q = [float(x) for x in vecs.filter("vec_id = 5").first().embedding]
+    neg = [-x for x in q]
+    got = rows(similarity.ivf_topk(vecs, q, [q, neg], k=3, nprobe=1))
+    assert got[0][0] == 5 and got[1][0] == 99
+    # every result must be in the probed (positive-dot) cell
+    for vid, cos in got:
+        assert cos > 0
