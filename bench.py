@@ -59,10 +59,12 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        # best-of-2: the first run pays one-off costs (codegen, Python
-        # worker pool spin-up); the second measures the steady state
+        # best-of-3: the first run pays one-off costs (codegen, Python
+        # worker pool spin-up); later runs measure the steady state, and
+        # a third sample damps local-JVM scheduling/GC noise on the
+        # Python-UDF stages
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

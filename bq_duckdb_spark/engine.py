@@ -647,7 +647,20 @@ class Session:
     def load_parquet(self, name: str, path: str, columns: list[dict] | None = None) -> int:
         """Read parquet, coerce to the declared BigQuery schema, register
         as ``name`` (replace) — ``bq.loadParquet``
-        (reference src/executor/yachtsql.rs:43-117, minus the row pivot)."""
+        (reference src/executor/yachtsql.rs:43-117, minus the row pivot).
+
+        GCS paths (reference bigquery.rs:52-148, S6) need the
+        gcs-connector jar + credentials, absent here — surface the
+        boundary as a clean loader error instead of a JVM stack trace.
+        On a real cluster the same ``spark.read.parquet`` call serves
+        ``gs://`` once the connector is on the classpath.
+        """
+        if path.startswith(("gs://", "s3://", "s3a://", "abfs://", "abfss://")):
+            raise FileNotFoundError(
+                f"Cloud storage path {path!r} requires the matching "
+                "filesystem connector jar and credentials, which are not "
+                "available in this environment"
+            )
         df = self.spark.read.parquet(path)
         if columns:
             schema = bqtypes.schema_from_columns(columns)

@@ -323,3 +323,18 @@ def test_websocket_rejects_non_upgrade_request(spark):
             await ws.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_load_parquet_cloud_path_is_clean_loader_error(server, sid):
+    """GCS/S3 loads (reference bigquery.rs:52-148) need connector jars
+    absent here: the boundary must be a LOADER_ERROR with a clear
+    message, not a JVM stack trace."""
+    from bq_duckdb_spark.server import LOADER_ERROR
+
+    err = call(
+        server,
+        "bq.loadParquet",
+        {"sessionId": sid, "tableName": "t", "path": "gs://bucket/x.parquet"},
+        expect_error=LOADER_ERROR,
+    )
+    assert "connector" in err["message"]
