@@ -187,10 +187,19 @@ def _trunc(cast_to: str | None):
     return rw
 
 
+_SQL_KEYWORDS = {
+    "WITH", "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "CROSS",
+    "LEFT", "RIGHT", "INNER", "FULL", "UNION", "HAVING", "QUALIFY",
+    "LATERAL", "AS",
+}
+
+
 def _unnest_from(sql: str) -> str:
-    """Rewrite ``FROM UNNEST(expr) AS alias`` / ``FROM UNNEST(expr) alias``
-    → ``FROM (SELECT explode(expr) AS alias)`` and correlated
-    ``, UNNEST(expr) AS alias`` → `` LATERAL VIEW explode(expr) AS alias``.
+    """Rewrite ``FROM UNNEST(expr) [AS] alias [WITH OFFSET [AS] o]``
+    → ``FROM (SELECT explode/posexplode(expr) …)`` and correlated
+    ``, UNNEST(expr) …`` → `` LATERAL VIEW (pos)explode(…)``.
+    ``WITH OFFSET`` maps to posexplode's position output (0-based, same
+    as BigQuery's offset).
     """
     pat = re.compile(r"(\bFROM\s+|,\s*|\bJOIN\s+)UNNEST\s*\(", re.IGNORECASE)
     while True:
@@ -202,14 +211,36 @@ def _unnest_from(sql: str) -> str:
         expr = sql[open_idx + 1 : close_idx]
         rest = sql[close_idx + 1 :]
         am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", rest)
+        # a bare keyword after UNNEST() is the next clause, not an alias
+        if am and am.group(1).upper() in _SQL_KEYWORDS and not re.match(
+            r"\s*AS\s", rest, re.IGNORECASE
+        ):
+            am = None
         alias = am.group(1) if am else "f0"
         rest_after = rest[am.end() :] if am else rest
+        om = re.match(
+            r"\s*WITH\s+OFFSET(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+            rest_after,
+            re.IGNORECASE,
+        )
+        off = (om.group(1) or "offset") if om else None
+        if om:
+            rest_after = rest_after[om.end() :]
         lead = m.group(1)
-        if lead.strip().rstrip(",") == "" or lead.strip() == ",":
-            # correlated: table, UNNEST(col) alias → LATERAL VIEW
-            repl = f" LATERAL VIEW explode({expr}) AS {alias} "
+        correlated = lead.strip().rstrip(",") == "" or lead.strip() == ","
+        if correlated:
+            # table, UNNEST(col) alias → LATERAL VIEW
+            repl = (
+                f" LATERAL VIEW posexplode({expr}) AS {off}, {alias} "
+                if off
+                else f" LATERAL VIEW explode({expr}) AS {alias} "
+            )
         else:
-            repl = f"{lead}(SELECT explode({expr}) AS {alias}) "
+            repl = (
+                f"{lead}(SELECT posexplode({expr}) AS ({off}, {alias})) "
+                if off
+                else f"{lead}(SELECT explode({expr}) AS {alias}) "
+            )
         sql = sql[: m.start()] + repl + rest_after
 
 

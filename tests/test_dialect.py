@@ -253,3 +253,23 @@ class TestDateTimeFamily:
             transpile("SELECT SPLIT(s, '.') FROM t")
             == "SELECT BQ_SPLIT(s, '.') FROM t"
         )
+
+
+class TestUnnestWithOffset:
+    def test_from_with_offset(self):
+        got = " ".join(
+            transpile("SELECT x, i FROM UNNEST([10, 20]) AS x WITH OFFSET AS i").split()
+        )
+        assert got == "SELECT x, i FROM (SELECT posexplode(array(10, 20)) AS (i, x))"
+
+    def test_with_offset_default_name(self):
+        got = transpile("SELECT x FROM UNNEST(arr) x WITH OFFSET")
+        assert "posexplode(arr) AS (offset, x)" in got
+
+    def test_correlated_with_offset(self):
+        got = transpile("SELECT t.id, v, i FROM t, UNNEST(t.vals) AS v WITH OFFSET i")
+        assert "LATERAL VIEW posexplode(t.vals) AS i, v" in got
+
+    def test_bare_unnest_before_where_keeps_keyword(self):
+        got = " ".join(transpile("SELECT * FROM UNNEST([1, 2]) WHERE f0 > 1").split())
+        assert got == "SELECT * FROM (SELECT explode(array(1, 2)) AS f0) WHERE f0 > 1"

@@ -344,3 +344,24 @@ def test_engine_generated_ingestion_functions(sess):
         "SELECT CAST(DATE_FROM_UNIX_DATE(19000) AS STRING) AS d, "
         "CAST(TIMESTAMP_MICROS(1640000000000000) AS STRING) AS ts"))
     assert got == [("2022-01-08", "2021-12-20 11:33:20")]
+
+
+def test_qualified_table_column_refs(sess):
+    """Columns qualified by the user-facing table name must resolve even
+    though the engine renames tables to session views (the mapping
+    carries the original name as an alias)."""
+    make(sess, "qt", [{"name": "id", "type": "INT64"}], [[1], [2]])
+    assert rows(sess.query("SELECT qt.id FROM qt ORDER BY qt.id")) == [(1,), (2,)]
+    # user alias wins when both are present
+    assert rows(sess.query("SELECT z.id FROM qt z WHERE z.id = 2")) == [(2,)]
+
+
+def test_unnest_with_offset_via_engine(sess):
+    make(sess, "seqs", [{"name": "id", "type": "INT64"}], [[1]])
+    got = rows(
+        sess.query(
+            "SELECT seqs.id, v, i FROM seqs, UNNEST([7, 8]) AS v WITH OFFSET i "
+            "ORDER BY i"
+        )
+    )
+    assert got == [(1, 7, 0), (1, 8, 1)]
