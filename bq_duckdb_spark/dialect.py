@@ -428,7 +428,40 @@ _SIMPLE_FUNC_RENAMES = {
     "ARRAY_CONCAT": "concat",
     "ARRAY_TO_STRING": "array_join",
     "ARRAY_REVERSE": "reverse",
+    "COUNTIF": "count_if",
+    "LOGICAL_AND": "bool_and",
+    "LOGICAL_OR": "bool_or",
+    # BigQuery FORMAT is C-style %-formatting — exactly format_string
+    "FORMAT": "format_string",
 }
+
+
+_ARRAY_AGG_ORDER_RE = re.compile(
+    r"^(.+?)\s+ORDER\s+BY\s+(.+?)(\s+DESC|\s+ASC)?$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _array_agg(args: list[str]):
+    """BigQuery ``ARRAY_AGG(e ORDER BY k [DESC])`` → sorted collect:
+    Spark's array_agg has no ORDER BY clause. Same-expression orderings
+    become ``array_sort(collect_list(e))``; distinct keys sort a
+    (key, value) struct and project the value back out. Plain
+    ARRAY_AGG stays native (Spark's own array_agg)."""
+    if len(args) != 1:
+        return None
+    m = _ARRAY_AGG_ORDER_RE.match(args[0].strip())
+    if not m:
+        return None
+    expr, key, direction = m.group(1).strip(), m.group(2).strip(), m.group(3)
+    desc = bool(direction and direction.strip().upper() == "DESC")
+    if key == expr:
+        base = f"array_sort(collect_list({expr}))"
+    else:
+        base = (
+            f"transform(array_sort(collect_list(named_struct"
+            f"('k', {key}, 'v', {expr}))), s -> s.v)"
+        )
+    return f"reverse({base})" if desc else base
 
 
 def _find_top_level_keyword(sql: str, keyword: str, start: int = 0) -> int:
@@ -543,6 +576,7 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
         out = _apply_outside_strings(out, _map_code)
     for src, dst in _SIMPLE_FUNC_RENAMES.items():
         out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
+    out = _rewrite_calls(out, "ARRAY_AGG", _array_agg)
     out = _rewrite_calls(out, "DATE_ADD", _date_add_sub("+"))
     out = _rewrite_calls(out, "DATE_SUB", _date_add_sub("-"))
     out = _rewrite_calls(out, "TIMESTAMP_ADD", _date_add_sub("+"))

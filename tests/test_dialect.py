@@ -273,3 +273,36 @@ class TestUnnestWithOffset:
     def test_bare_unnest_before_where_keeps_keyword(self):
         got = " ".join(transpile("SELECT * FROM UNNEST([1, 2]) WHERE f0 > 1").split())
         assert got == "SELECT * FROM (SELECT explode(array(1, 2)) AS f0) WHERE f0 > 1"
+
+
+class TestAggFunctionFamily:
+    def test_countif_logical(self):
+        got = transpile("SELECT COUNTIF(x > 1), LOGICAL_AND(b), LOGICAL_OR(b) FROM t")
+        assert got == "SELECT count_if(x > 1), bool_and(b), bool_or(b) FROM t"
+
+    def test_format_c_style(self):
+        assert transpile("SELECT FORMAT('%d-%s', 3, 'a')") == (
+            "SELECT format_string('%d-%s', 3, 'a')"
+        )
+        # FORMAT_DATE must not be touched by the FORMAT rename
+        assert "FORMAT_DATE" in transpile("SELECT FORMAT_DATE('%F', d) FROM t")
+
+    def test_array_agg_order_by_same_expr(self):
+        assert (
+            transpile("SELECT ARRAY_AGG(x ORDER BY x) FROM t")
+            == "SELECT array_sort(collect_list(x)) FROM t"
+        )
+        assert (
+            transpile("SELECT ARRAY_AGG(x ORDER BY x DESC) FROM t")
+            == "SELECT reverse(array_sort(collect_list(x))) FROM t"
+        )
+
+    def test_array_agg_order_by_other_key(self):
+        got = transpile("SELECT ARRAY_AGG(name ORDER BY id) FROM t")
+        assert got == (
+            "SELECT transform(array_sort(collect_list("
+            "named_struct('k', id, 'v', name))), s -> s.v) FROM t"
+        )
+
+    def test_plain_array_agg_untouched(self):
+        assert transpile("SELECT ARRAY_AGG(x) FROM t") == "SELECT ARRAY_AGG(x) FROM t"
