@@ -11,6 +11,7 @@ from bq_duckdb_spark.streaming.streams import (
     run_available_now,
     session_windows,
     stateful_user_stats,
+    stream_dedup_exact,
     windowed_counts,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "windowed_counts",
     "session_windows",
     "stateful_user_stats",
+    "stream_dedup_exact",
     "run_available_now",
 ]

@@ -160,6 +160,24 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_exact(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the ingestion-time twin of the batch
+    ``ext.dedup.exact_dedup``: keep the first occurrence of each key,
+    with state bounded by the watermark horizon
+    (``dropDuplicatesWithinWatermark``: duplicates arriving within the
+    watermark of the first occurrence are dropped; state for keys older
+    than the horizon evicts, so a continuously-ingesting 100 TB pipeline
+    never accumulates unbounded dedup state)."""
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain all currently-available input into an in-memory sink and
     block until done — deterministic harness for tests/demos."""

@@ -213,3 +213,46 @@ def test_batch_session_window_agrees_with_lag_formulation(spark):
     a = {r.user_id: r.n_sessions for r in lag_sessions.collect()}
     b = {r.user_id: r.n_sessions for r in sw.collect()}
     assert a == b
+
+
+def test_stream_dedup_exact_drops_in_watermark_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first occurrence of each
+    key; duplicates arriving within the watermark horizon are dropped.
+    Streamed dedup count must equal the batch distinct-key count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    base_us = 1_700_000_000_000_000
+    # event_id 1 appears three times (same/near ts), 2 and 3 once
+    rows_ = [
+        (1, base_us * 1000, 10, "click", 1.0, "{}"),
+        (1, (base_us + 1_000_000) * 1000, 10, "click", 1.0, "{}"),
+        (2, (base_us + 2_000_000) * 1000, 11, "view", 2.0, "{}"),
+        (1, (base_us + 3_000_000) * 1000, 10, "click", 1.0, "{}"),
+        (3, (base_us + 4_000_000) * 1000, 12, "view", 3.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows_], pa.int64()),
+            "ts": pa.array([r[1] for r in rows_], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows_], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows_]),
+            "value": pa.array([r[4] for r in rows_], pa.float64()),
+            "props": pa.array([r[5] for r in rows_]),
+        }
+    )
+    pq.write_table(table, str(d / "part-000.parquet"))
+
+    stream = streaming.read_event_stream(spark, str(d))
+    deduped = streaming.stream_dedup_exact(stream, ["event_id"], watermark="1 hour")
+    q = streaming.run_available_now(deduped, "dedup_stream")
+    try:
+        got = spark.sql(
+            "SELECT event_id, count(*) AS c FROM dedup_stream GROUP BY event_id"
+        ).collect()
+        counts = {r.event_id: r.c for r in got}
+        assert counts == {1: 1, 2: 1, 3: 1}
+    finally:
+        q.stop()
