@@ -118,3 +118,21 @@ def test_percentiles_approx_brackets_exact(q):
         a50, a95 = approx[k]
         assert abs(a50 - p50) / p50 < 0.02
         assert abs(a95 - p95) / p95 < 0.02
+
+
+def test_text_chunks_map_only(q):
+    """Chunking is row-local fan-out: no exchange anywhere."""
+    a = audit_plan(q("text_chunks"))
+    assert a.exchanges == 0, f"chunking must not shuffle\n{a.formatted}"
+
+
+def test_pii_redact_map_only(q):
+    a = audit_plan(q("pii_redact"))
+    assert a.exchanges == 0, f"redaction must not shuffle\n{a.formatted}"
+
+
+def test_ivf_topk_no_shuffle(q):
+    """IVF probe is scan + filter + TakeOrdered: no exchange."""
+    a = audit_plan(q("sim_ivf_topk"))
+    assert "TakeOrderedAndProject" in a.formatted
+    assert a.exchanges == 0, f"IVF probe should not shuffle\n{a.formatted}"
