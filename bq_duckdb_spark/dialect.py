@@ -576,6 +576,8 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
         out = _apply_outside_strings(out, _map_code)
     for src, dst in _SIMPLE_FUNC_RENAMES.items():
         out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
+    # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE (n PERCENT)
+    out = re.sub(r"\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", out, flags=re.IGNORECASE)
     out = _rewrite_calls(out, "ARRAY_AGG", _array_agg)
     out = _rewrite_calls(out, "DATE_ADD", _date_add_sub("+"))
     out = _rewrite_calls(out, "DATE_SUB", _date_add_sub("-"))

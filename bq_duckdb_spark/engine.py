@@ -257,7 +257,9 @@ class Session:
         mapping = self._table_mapping()
         if "information_schema" in sql.lower():
             mapping.update(self._register_information_schema())
-        spark_sql = self._collapse_double_alias(transpile(sql, mapping))
+        spark_sql = self._reorder_tablesample(
+            self._collapse_double_alias(transpile(sql, mapping))
+        )
         try:
             return self.spark.sql(spark_sql)
         except Exception as e:  # append failed SQL like yachtsql.rs:28
@@ -272,6 +274,19 @@ class Session:
         "SEMI", "ANTI", "INTERSECT", "EXCEPT", "TABLESAMPLE", "PIVOT",
         "UNPIVOT", "WINDOW", "AS",
     }
+
+    def _reorder_tablesample(self, sql: str) -> str:
+        """Spark requires ``tbl TABLESAMPLE (…) [AS alias]`` — alias
+        last — while the mapping emits ``<view> AS t TABLESAMPLE (…)``.
+        Swap them, anchored on the mangled view name."""
+        for e in list(self.tables.values()):
+            sql = re.sub(
+                rf"{re.escape(e.view)}\s+AS\s+(\w+)\s+(TABLESAMPLE\s*\([^)]*\))",
+                rf"{e.view} \2 AS \1",
+                sql,
+                flags=re.IGNORECASE,
+            )
+        return sql
 
     def _collapse_double_alias(self, sql: str) -> str:
         """The table mapping rewrites ``t`` → ``<view> AS t`` so qualified

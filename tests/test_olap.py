@@ -365,3 +365,17 @@ def test_unnest_with_offset_via_engine(sess):
         )
     )
     assert got == [(1, 7, 0), (1, 8, 1)]
+
+
+def test_tablesample_system(sess):
+    """BigQuery TABLESAMPLE SYSTEM (n PERCENT) runs (approximate row
+    count by design — assert bounds, not exact)."""
+    make(sess, "big", [{"name": "id", "type": "INT64"}],
+         [[i] for i in range(500)])
+    n = rows(sess.query(
+        "SELECT count(*) AS c FROM big TABLESAMPLE SYSTEM (10 PERCENT)"))[0][0]
+    assert 0 <= n < 250
+    # with a user alias too
+    n2 = rows(sess.query(
+        "SELECT count(t.id) AS c FROM big t TABLESAMPLE SYSTEM (50 PERCENT)"))[0][0]
+    assert 100 <= n2 <= 400
