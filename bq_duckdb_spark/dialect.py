@@ -433,7 +433,25 @@ _SIMPLE_FUNC_RENAMES = {
     "LOGICAL_OR": "bool_or",
     # BigQuery FORMAT is C-style %-formatting — exactly format_string
     "FORMAT": "format_string",
+    # SAFE_ arithmetic returns NULL instead of erroring on overflow —
+    # exactly Spark's try_ family
+    "SAFE_ADD": "try_add",
+    "SAFE_SUBTRACT": "try_subtract",
+    "SAFE_MULTIPLY": "try_multiply",
 }
+
+
+def _generate_date_array(args: list[str]):
+    """GENERATE_DATE_ARRAY(start, end[, INTERVAL n unit]) →
+    sequence(start, end, interval) (inclusive endpoints, same as
+    BigQuery)."""
+    if len(args) == 2:
+        return f"sequence({args[0]}, {args[1]}, interval 1 day)"
+    if len(args) == 3:
+        m = _INTERVAL_RE.match(args[2].strip())
+        if m:
+            return f"sequence({args[0]}, {args[1]}, interval {m.group(1)} {m.group(2)})"
+    return None
 
 
 _ARRAY_AGG_ORDER_RE = re.compile(
@@ -579,6 +597,8 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
     # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE (n PERCENT)
     out = re.sub(r"\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", out, flags=re.IGNORECASE)
     out = _rewrite_calls(out, "ARRAY_AGG", _array_agg)
+    out = _rewrite_calls(out, "GENERATE_DATE_ARRAY", _generate_date_array)
+    out = _rewrite_calls(out, "GENERATE_TIMESTAMP_ARRAY", _generate_date_array)
     out = _rewrite_calls(out, "DATE_ADD", _date_add_sub("+"))
     out = _rewrite_calls(out, "DATE_SUB", _date_add_sub("-"))
     out = _rewrite_calls(out, "TIMESTAMP_ADD", _date_add_sub("+"))

@@ -306,3 +306,21 @@ class TestAggFunctionFamily:
 
     def test_plain_array_agg_untouched(self):
         assert transpile("SELECT ARRAY_AGG(x) FROM t") == "SELECT ARRAY_AGG(x) FROM t"
+
+
+class TestSafeArithmeticAndDateArrays:
+    def test_safe_arith(self):
+        got = transpile("SELECT SAFE_ADD(a, b), SAFE_SUBTRACT(a, b), SAFE_MULTIPLY(a, b) FROM t")
+        assert got == "SELECT try_add(a, b), try_subtract(a, b), try_multiply(a, b) FROM t"
+
+    def test_generate_date_array_default_step(self):
+        got = transpile("SELECT GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-01-05')")
+        assert got == (
+            "SELECT sequence(DATE '2024-01-01', DATE '2024-01-05', interval 1 day)"
+        )
+
+    def test_generate_date_array_interval(self):
+        got = transpile(
+            "SELECT GENERATE_DATE_ARRAY(d1, d2, INTERVAL 7 DAY) FROM t"
+        )
+        assert got == "SELECT sequence(d1, d2, interval 7 DAY) FROM t"
