@@ -310,6 +310,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated + deduplicated corpus selection (the composed
+    curation pipeline) — doc ids with their quality features."""
+    return text.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_CURATE_ORACLE = """
+WITH scored AS (
+    SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
+    FROM documents
+),
+filtered AS (
+    SELECT * FROM scored
+    WHERE n_tokens BETWEEN 30 AND 90 AND distinct_ratio >= 0.3
+),
+keep AS (
+    SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+)
+SELECT f.doc_id, f.n_tokens, f.stopword_ratio, f.distinct_ratio
+FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+"""
+
+
 def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token chunks, stride 24) —
     map-only fan-out, no shuffle."""
@@ -496,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "text_chunks": text_chunks,
+        "text_curate": text_curate,
         "pii_redact": pii_redact,
         "url_domains": url_domains,
         "multimodal_features": multimodal_features,
@@ -513,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_ORACLE,
         "text_tfidf": _TEXT_TFIDF_ORACLE,
         "text_chunks": _TEXT_CHUNKS_ORACLE,
+        "text_curate": _TEXT_CURATE_ORACLE,
         "pii_redact": _PII_REDACT_ORACLE,
         "url_domains": _URL_DOMAINS_ORACLE,
         "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,

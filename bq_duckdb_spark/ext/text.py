@@ -173,6 +173,36 @@ def chunk_documents(
     )
 
 
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 90,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """The end-to-end training-corpus selection pipeline as one
+    operator: quality gates (token-count band + distinct-token ratio)
+    then exact dedup keeping the lowest id per identical text.
+
+    Shape at scale: the gates are map-only predicates evaluated in the
+    scan stage (pushdown-friendly), and the only shuffle is the dedup
+    hash-groupBy — the minimum any exact dedup needs. Composes from the
+    oracle-checked quality + dedup primitives, so it is itself
+    oracle-checkable.
+    """
+    scored = with_quality_scores(with_token_count(df, text_col), text_col)
+    filtered = scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+    from bq_duckdb_spark.ext.dedup import exact_dedup
+
+    keep = exact_dedup(filtered, [text_col], id_col)
+    return keep.select(id_col, "n_tokens", "stopword_ratio", "distinct_ratio")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 4) -> DataFrame:
     """Document fingerprint: min-of-rolling-window hashes (winnowing-style
     min selection over token k-gram hashes) — a stable 64-bit content id
