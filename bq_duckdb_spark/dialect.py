@@ -441,6 +441,42 @@ _SIMPLE_FUNC_RENAMES = {
 }
 
 
+_CAPTURE_GROUP_RE = re.compile(r"(?<!\\)\((?!\?)")
+
+
+def _pattern_has_group(pattern_literal: str) -> bool:
+    """Does a regex string literal contain a capturing group?"""
+    return bool(_CAPTURE_GROUP_RE.search(pattern_literal))
+
+
+def _regexp_extract(args: list[str]):
+    """BigQuery REGEXP_EXTRACT(s, p): returns the first capture group
+    (or the whole match for groupless patterns) and NULL when nothing
+    matches — Spark's regexp_extract returns '' on no-match and errors
+    on groupless patterns. Literal patterns are introspected at
+    transpile time; non-literals assume one capture group."""
+    if len(args) != 2:
+        return None  # 3-arg (position/occurrence) form: pass through
+    s, p = args[0], args[1].strip()
+    is_literal = p.startswith("'") and p.endswith("'")
+    if is_literal and not _pattern_has_group(p[1:-1]):
+        return f"regexp_substr({s}, {p})"
+    return f"CASE WHEN {s} RLIKE {p} THEN regexp_extract({s}, {p}, 1) ELSE NULL END"
+
+
+def _regexp_extract_all(args: list[str]):
+    """BigQuery REGEXP_EXTRACT_ALL: array of group matches, or of whole
+    matches for groupless patterns (wrapped in a group for Spark)."""
+    if len(args) != 2:
+        return None
+    s, p = args[0], args[1].strip()
+    is_literal = p.startswith("'") and p.endswith("'")
+    if is_literal and not _pattern_has_group(p[1:-1]):
+        inner = p[1:-1]
+        return f"regexp_extract_all({s}, '({inner})', 1)"
+    return f"regexp_extract_all({s}, {p}, 1)"
+
+
 def _generate_date_array(args: list[str]):
     """GENERATE_DATE_ARRAY(start, end[, INTERVAL n unit]) →
     sequence(start, end, interval) (inclusive endpoints, same as
@@ -599,6 +635,8 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
     out = _rewrite_calls(out, "ARRAY_AGG", _array_agg)
     out = _rewrite_calls(out, "GENERATE_DATE_ARRAY", _generate_date_array)
     out = _rewrite_calls(out, "GENERATE_TIMESTAMP_ARRAY", _generate_date_array)
+    out = _rewrite_calls(out, "REGEXP_EXTRACT_ALL", _regexp_extract_all)
+    out = _rewrite_calls(out, "REGEXP_EXTRACT", _regexp_extract)
     out = _rewrite_calls(out, "DATE_ADD", _date_add_sub("+"))
     out = _rewrite_calls(out, "DATE_SUB", _date_add_sub("-"))
     out = _rewrite_calls(out, "TIMESTAMP_ADD", _date_add_sub("+"))

@@ -324,3 +324,36 @@ class TestSafeArithmeticAndDateArrays:
             "SELECT GENERATE_DATE_ARRAY(d1, d2, INTERVAL 7 DAY) FROM t"
         )
         assert got == "SELECT sequence(d1, d2, interval 7 DAY) FROM t"
+
+
+class TestRegexpExtract:
+    def test_group_pattern_null_on_no_match(self):
+        got = transpile("SELECT REGEXP_EXTRACT(s, '([0-9]+)') FROM t")
+        assert got == (
+            "SELECT CASE WHEN s RLIKE '([0-9]+)' "
+            "THEN regexp_extract(s, '([0-9]+)', 1) ELSE NULL END FROM t"
+        )
+
+    def test_groupless_literal_uses_regexp_substr(self):
+        assert (
+            transpile("SELECT REGEXP_EXTRACT(s, '[0-9]+') FROM t")
+            == "SELECT regexp_substr(s, '[0-9]+') FROM t"
+        )
+
+    def test_extract_all_groupless_wraps(self):
+        assert (
+            transpile("SELECT REGEXP_EXTRACT_ALL(s, '[0-9]+') FROM t")
+            == "SELECT regexp_extract_all(s, '([0-9]+)', 1) FROM t"
+        )
+
+    def test_extract_all_with_group(self):
+        assert (
+            transpile("SELECT REGEXP_EXTRACT_ALL(s, 'x([0-9]+)') FROM t")
+            == "SELECT regexp_extract_all(s, 'x([0-9]+)', 1) FROM t"
+        )
+
+    def test_non_capturing_group_counts_as_groupless(self):
+        assert (
+            transpile("SELECT REGEXP_EXTRACT(s, '(?:ab)+') FROM t")
+            == "SELECT regexp_substr(s, '(?:ab)+') FROM t"
+        )
