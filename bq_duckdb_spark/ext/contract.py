@@ -175,6 +175,35 @@ LIMIT 10
 """
 
 
+def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean-pooling of embeddings per group (chunk→embed→
+    pool). Serialized as 1e-4-quantized integers: the per-position avg
+    is a cross-order aggregate, so quantization absorbs summation-order
+    ulps while keeping the signature scalar for the canonicalizer."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn("grp", F.col("vec_id") % 10)
+    pooled = similarity.mean_pool_embeddings(emb, "grp")
+    return pooled.select(
+        "grp",
+        F.concat_ws(
+            ",", F.expr("transform(pooled, x -> CAST(round(x * 10000) AS BIGINT))")
+        ).alias("pooled_sig"),
+    )
+
+
+_EMB_MEAN_POOL_ORACLE = """
+WITH e AS (
+    SELECT vec_id % 10 AS grp, CAST(i AS INT) AS pos,
+           CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS val
+    FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+),
+p AS (SELECT grp, pos, avg(val) AS a FROM e GROUP BY grp, pos)
+SELECT grp,
+       array_to_string(list(CAST(round(a * 10000) AS BIGINT) ORDER BY pos), ',')
+           AS pooled_sig
+FROM p GROUP BY grp
+"""
+
+
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (random hyperplanes,
     probe hamming<=1 buckets, exact cosine on the candidates)."""
@@ -518,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "emb_mean_pool": emb_mean_pool,
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_stats": text_stats,
@@ -538,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _DEDUP_EMBEDDING_ORACLE,
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
+        "emb_mean_pool": _EMB_MEAN_POOL_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,

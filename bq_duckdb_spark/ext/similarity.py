@@ -134,6 +134,39 @@ def lsh_ann_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out: str = "pooled",
+) -> DataFrame:
+    """Element-wise mean of embeddings per group — the pooling step of a
+    chunk→embed→pool pipeline (one doc vector from many chunk vectors).
+
+    Scale shape: posexplode to (group, position, value) rows, ONE
+    shuffle on (group, position) for the partial-aggregated mean, then
+    reassemble the array with a position-ordered collect. This streams —
+    no group's full set of vectors is ever buffered in one task, unlike
+    a collect_list-of-arrays fold.
+    """
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
+    )
+    per_pos = exploded.groupBy(group_col, "__pos").agg(
+        F.avg(F.col("__val").cast("double")).alias("__avg")
+    )
+    return (
+        per_pos.groupBy(group_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct"
+                "('p', __pos, 'v', __avg))), s -> s.v)"
+            ).alias(out)
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style coarse quantization
 # ---------------------------------------------------------------------------

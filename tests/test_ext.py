@@ -351,3 +351,15 @@ def test_ivf_topk_probes_right_cells(vecs):
     # every result must be in the probed (positive-dot) cell
     for vid, cos in got:
         assert cos > 0
+
+
+def test_mean_pool_embeddings(spark):
+    from bq_duckdb_spark.ext.similarity import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (2, [10.0, 20.0])],
+        "grp: long, embedding: array<float>",
+    )
+    got = {r.grp: r.pooled for r in mean_pool_embeddings(df, "grp").collect()}
+    assert got[1] == [2.0, 4.0]
+    assert got[2] == [10.0, 20.0]
