@@ -426,6 +426,68 @@ GROUP BY c_custkey
 """
 
 
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (dialect symmetry of J2): every order keeps its
+    row even if the probe side is filtered away."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "right")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("c_custkey").alias("n_rich_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q_RIGHT_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders, count(c_custkey) AS n_rich_cust
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+RIGHT JOIN orders ON c.c_custkey = o_custkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join via the USING clause: both unmatched sides
+    survive with NULLs (SQL-text path exercises USING resolution)."""
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        WITH big_cust AS (
+            SELECT c_custkey AS custkey, c_acctbal FROM customer
+            WHERE c_acctbal > 9000.0
+        ),
+        big_orders AS (
+            SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders
+            WHERE o_totalprice > 300000.0 GROUP BY o_custkey
+        )
+        SELECT custkey,
+               CAST(c_acctbal IS NOT NULL AS BOOLEAN) AS is_rich,
+               CAST(coalesce(n_orders, 0) AS BIGINT) AS n_big_orders
+        FROM big_cust FULL OUTER JOIN big_orders USING (custkey)
+        """
+    )
+
+
+_Q_FULL_OUTER_JOIN_ORACLE = """
+WITH big_cust AS (
+    SELECT c_custkey AS custkey, c_acctbal FROM customer
+    WHERE c_acctbal > 9000.0
+),
+big_orders AS (
+    SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders
+    WHERE o_totalprice > 300000.0 GROUP BY o_custkey
+)
+SELECT coalesce(big_cust.custkey, big_orders.custkey) AS custkey,
+       c_acctbal IS NOT NULL AS is_rich,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_big_orders
+FROM big_cust FULL OUTER JOIN big_orders USING (custkey)
+"""
+
+
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit CROSS JOIN product (J3)."""
     r = _t(spark, sf_dir, "region")
@@ -683,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exists_semi": q_exists_semi,
         "q_not_exists_anti": q_not_exists_anti,
         "q_left_join": q_left_join,
+        "q_right_join": q_right_join,
+        "q_full_outer_join": q_full_outer_join,
         "q_cross_join": q_cross_join,
         "q_theta_join": q_theta_join,
         "q_union_all": q_union_all,
@@ -727,6 +791,8 @@ def oracle_sql() -> dict[str, str]:
         "q_exists_semi": _Q_EXISTS_SEMI_ORACLE,
         "q_not_exists_anti": _Q_NOT_EXISTS_ANTI_ORACLE,
         "q_left_join": _Q_LEFT_JOIN_ORACLE,
+        "q_right_join": _Q_RIGHT_JOIN_ORACLE,
+        "q_full_outer_join": _Q_FULL_OUTER_JOIN_ORACLE,
         "q_cross_join": _Q_CROSS_JOIN_ORACLE,
         "q_theta_join": _Q_THETA_JOIN_ORACLE,
         "q_union_all": _Q_UNION_ALL_ORACLE,
