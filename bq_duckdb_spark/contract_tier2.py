@@ -267,6 +267,64 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (the PIVOT inverse): wide per-status counts back to
+    (priority, status, n) rows — Spark's native UNPIVOT clause; the
+    oracle builds the long form with a UNION ALL."""
+    q_pivot(spark, sf_dir).createOrReplaceTempView("pivoted_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, status, CAST(n AS BIGINT) AS n
+        FROM pivoted_orders
+        UNPIVOT (n FOR status IN (n_f AS F, n_o AS O, n_p AS P))
+        """
+    )
+
+
+_Q_UNPIVOT_ORACLE = """
+WITH p AS (
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'F' AS status, n_f AS n FROM p
+UNION ALL SELECT o_orderpriority, 'O', n_o FROM p
+UNION ALL SELECT o_orderpriority, 'P', n_p FROM p
+"""
+
+
+def q_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST / NTH_VALUE — the remaining unattested
+    window functions (tier-2), one shuffle on the partition key."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_cust"),
+    )
+
+
+_Q_WINDOW_EXTRAS_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       nth_value(c_custkey, 2) OVER
+           (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — the reproducible
     dataset-split curation op (hash-free modulo split so any engine
@@ -496,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join_bands": q_range_join_bands,
         "q_ntile_scalable": q_ntile_scalable,
         "q_percentiles_approx": q_percentiles_approx,
+        "q_unpivot": q_unpivot,
+        "q_window_extras": q_window_extras,
     }
 
 
@@ -519,4 +579,6 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": _Q_ASOF_JOIN_ORACLE,
         "q_range_join_bands": _Q_RANGE_JOIN_BANDS_ORACLE,
         "q_ntile_scalable": _Q_NTILE_SCALABLE_ORACLE,
+        "q_unpivot": _Q_UNPIVOT_ORACLE,
+        "q_window_extras": _Q_WINDOW_EXTRAS_ORACLE,
     }
