@@ -296,7 +296,8 @@ class Session:
         in the SQL can match."""
         for e in list(self.tables.values()):
             pat = re.compile(
-                rf"{re.escape(e.view)}\s+AS\s+(\w+)\s+(?:AS\s+)?([A-Za-z_]\w*)"
+                rf"{re.escape(e.view)}\s+AS\s+(\w+)\s+(?:AS\s+)?([A-Za-z_]\w*)",
+                re.IGNORECASE,
             )
 
             def sub(m):

@@ -379,3 +379,9 @@ def test_tablesample_system(sess):
     n2 = rows(sess.query(
         "SELECT count(t.id) AS c FROM big t TABLESAMPLE SYSTEM (50 PERCENT)"))[0][0]
     assert 100 <= n2 <= 400
+
+
+def test_lowercase_as_alias(sess):
+    """User aliases written with lowercase 'as' collapse correctly."""
+    make(sess, "lc", [{"name": "id", "type": "INT64"}], [[5]])
+    assert rows(sess.query("SELECT z.id FROM lc as z")) == [(5,)]
