@@ -325,6 +325,27 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): the hot-key side is
+    salted and the dimension replicated, spreading stragglers over
+    num_salts tasks. Results are identical to the plain join, so the
+    oracle is the unsalted join."""
+    from bq_duckdb_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on="o_custkey", num_salts=8, how="inner")
+    return joined.select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+
+
+_Q_SALTED_JOIN_ORACLE = """
+SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — the reproducible
     dataset-split curation op (hash-free modulo split so any engine
@@ -556,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles_approx": q_percentiles_approx,
         "q_unpivot": q_unpivot,
         "q_window_extras": q_window_extras,
+        "q_salted_join": q_salted_join,
     }
 
 
@@ -581,4 +603,5 @@ def oracle_sql() -> dict[str, str]:
         "q_ntile_scalable": _Q_NTILE_SCALABLE_ORACLE,
         "q_unpivot": _Q_UNPIVOT_ORACLE,
         "q_window_extras": _Q_WINDOW_EXTRAS_ORACLE,
+        "q_salted_join": _Q_SALTED_JOIN_ORACLE,
     }
