@@ -438,6 +438,13 @@ _SIMPLE_FUNC_RENAMES = {
     "SAFE_ADD": "try_add",
     "SAFE_SUBTRACT": "try_subtract",
     "SAFE_MULTIPLY": "try_multiply",
+    # JSON accessors: BigQuery names → Spark's get_json_object/to_json
+    # (same $.path syntax; scalar extraction returns STRING in both)
+    "JSON_EXTRACT_SCALAR": "get_json_object",
+    "JSON_VALUE": "get_json_object",
+    "JSON_EXTRACT": "get_json_object",
+    "JSON_QUERY": "get_json_object",
+    "TO_JSON_STRING": "to_json",
 }
 
 

@@ -357,3 +357,14 @@ class TestRegexpExtract:
             transpile("SELECT REGEXP_EXTRACT(s, '(?:ab)+') FROM t")
             == "SELECT regexp_substr(s, '(?:ab)+') FROM t"
         )
+
+
+def test_json_function_renames():
+    got = transpile(
+        "SELECT JSON_VALUE(j, '$.a'), JSON_EXTRACT_SCALAR(j, '$.b'), "
+        "TO_JSON_STRING(s) FROM t"
+    )
+    assert got == (
+        "SELECT get_json_object(j, '$.a'), get_json_object(j, '$.b'), "
+        "to_json(s) FROM t"
+    )
