@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # date/timestamp extraction parity with the DuckDB oracle requires a
+    # UTC session — runtime-settable, so pin it here in case the driver's
+    # SparkSession (or the host machine) defaults to another zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
