@@ -515,7 +515,13 @@ def _array_agg(args: list[str]):
         return None
     expr, key, direction = m.group(1).strip(), m.group(2).strip(), m.group(3)
     desc = bool(direction and direction.strip().upper() == "DESC")
-    if key == expr:
+    distinct = bool(re.match(r"DISTINCT\s", expr, re.IGNORECASE))
+    if distinct:
+        # BigQuery requires the ORDER BY expression to appear in the
+        # argument list when DISTINCT is present — so key == expr here
+        expr = re.sub(r"^DISTINCT\s+", "", expr, flags=re.IGNORECASE)
+        base = f"array_sort(collect_set({expr}))"
+    elif key == expr:
         base = f"array_sort(collect_list({expr}))"
     else:
         base = (

@@ -368,3 +368,19 @@ def test_json_function_renames():
         "SELECT get_json_object(j, '$.a'), get_json_object(j, '$.b'), "
         "to_json(s) FROM t"
     )
+
+
+def test_array_agg_distinct_order_by():
+    assert (
+        transpile("SELECT ARRAY_AGG(DISTINCT x ORDER BY x) FROM t")
+        == "SELECT array_sort(collect_set(x)) FROM t"
+    )
+    assert (
+        transpile("SELECT ARRAY_AGG(DISTINCT x ORDER BY x DESC) FROM t")
+        == "SELECT reverse(array_sort(collect_set(x))) FROM t"
+    )
+    # plain DISTINCT without ORDER BY stays native (Spark supports it)
+    assert (
+        transpile("SELECT ARRAY_AGG(DISTINCT x) FROM t")
+        == "SELECT ARRAY_AGG(DISTINCT x) FROM t"
+    )
