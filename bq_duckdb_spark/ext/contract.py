@@ -442,6 +442,34 @@ FROM s2
 """
 
 
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal over docs with a planted shared footer
+    (every doc gets one): the footer must vanish, unique lines stay."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "concat(text, '\\n', 'shared footer line') AS text"
+    )
+    return scrub.strip_boilerplate(docs, max_doc_frac=0.2)
+
+
+_TEXT_BOILERPLATE_ORACLE = """
+WITH planted AS (
+    SELECT doc_id, concat(text, chr(10), 'shared footer line') AS text
+    FROM documents
+),
+arrs AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (
+    SELECT doc_id, CAST(i AS INT) AS idx, ls[CAST(i AS INT) + 1] AS line
+    FROM arrs, unnest(range(0, len(ls))) AS t(i)
+),
+freq AS (SELECT line, count(DISTINCT doc_id) AS ld FROM lines GROUP BY line),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM planted)
+SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.idx) AS clean_text
+FROM lines l JOIN freq f USING (line) CROSS JOIN n
+WHERE f.ld / n.nd <= 0.2
+GROUP BY l.doc_id
+"""
+
+
 def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus domain frequency over planted URLs (one per doc +
     a shared domain every 10th doc)."""
@@ -558,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_curate": text_curate,
         "pii_redact": pii_redact,
         "url_domains": url_domains,
+        "text_boilerplate": text_boilerplate,
         "multimodal_features": multimodal_features,
     }
 
@@ -577,5 +606,6 @@ def oracle_sql() -> dict[str, str]:
         "text_curate": _TEXT_CURATE_ORACLE,
         "pii_redact": _PII_REDACT_ORACLE,
         "url_domains": _URL_DOMAINS_ORACLE,
+        "text_boilerplate": _TEXT_BOILERPLATE_ORACLE,
         "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     }

@@ -50,6 +50,48 @@ def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("domain", F.lower("domain"))
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop lines that appear in more
+    than ``max_doc_frac`` of documents (headers, footers, nav chrome),
+    keeping each document's remaining lines in order.
+
+    Scale shape: explode to (doc, line_idx, line); line document-
+    frequency is one shuffle on the line text (partial-aggregated);
+    the frequency table joins back on ``line`` — a natural shuffle
+    key — with no broadcast hint (it scales with distinct lines, like
+    a vocabulary; AQE broadcasts only when it truly fits); reassembly
+    is one shuffle on the doc id with an index-ordered collect.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    )
+    line_df = lines.groupBy("__line").agg(
+        F.countDistinct(id_col).alias("__line_docs")
+    )
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("__n_docs"))
+    kept = (
+        lines.join(line_df, "__line")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__line_docs") / F.col("__n_docs") <= max_doc_frac)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.expr(
+                "concat_ws('\\n', transform(array_sort(collect_list("
+                "named_struct('i', __idx, 'l', __line))), s -> s.l))"
+            ).alias(out_col)
+        )
+    )
+
+
 def domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level domain frequency: the crawl-style source breakdown.
     One shuffle on domain (partial aggregation map-side)."""

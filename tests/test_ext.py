@@ -363,3 +363,26 @@ def test_mean_pool_embeddings(spark):
     got = {r.grp: r.pooled for r in mean_pool_embeddings(df, "grp").collect()}
     assert got[1] == [2.0, 4.0]
     assert got[2] == [10.0, 20.0]
+
+
+def test_strip_boilerplate(spark):
+    from bq_duckdb_spark.ext.scrub import strip_boilerplate
+
+    footer = "copyright acme corp all rights reserved"
+    docs_ = spark.createDataFrame(
+        [
+            (1, f"unique alpha content\n{footer}"),
+            (2, f"unique beta content\nmore beta\n{footer}"),
+            (3, f"unique gamma content\n{footer}"),
+            (4, f"unique delta content\n{footer}"),
+            (5, "entirely footer free"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.clean_text for r in
+           strip_boilerplate(docs_, max_doc_frac=0.5).collect()}
+    # the footer (4/5 docs) is stripped everywhere; unique lines stay in order
+    assert out[1] == "unique alpha content"
+    assert out[2] == "unique beta content\nmore beta"
+    assert out[5] == "entirely footer free"
+    assert all(footer not in t for t in out.values())
