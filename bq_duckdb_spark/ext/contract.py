@@ -175,6 +175,52 @@ LIMIT 10
 """
 
 
+def _lsh_ann_oracle() -> str:
+    """DuckDB oracle for sim_ann_lsh, upgrading it from rows-only: the
+    hyperplanes are deterministic Python-generated literals, the dot
+    products are sequential folds (bitwise-identical across engines),
+    so the exact bucket bits — and therefore the candidate set and
+    top-k — are reproducible in SQL. Testdata embeddings are dim=64 at
+    every SF (the entry's nbits=8, max_hamming=1, seed=42)."""
+    from bq_duckdb_spark.ext.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def bucket(v):
+        terms = [
+            f"(CASE WHEN list_dot_product({v}, {arr(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    ham = " + ".join(f"((d >> {i}) & 1)" for i in range(8))
+    return f"""
+WITH q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id = 0
+),
+qb AS (SELECT qv, {bucket('qv')} AS qbucket FROM q),
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+    FROM embeddings
+),
+b AS (SELECT vec_id, ev, {bucket('ev')} AS eb FROM e),
+h AS (SELECT vec_id, ev, xor(eb, qbucket) AS d, qv FROM b, qb)
+SELECT vec_id,
+       list_dot_product(ev, qv)
+       / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))
+           AS cosine
+FROM h
+WHERE {ham} <= 1
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean-pooling of embeddings per group (chunk→embed→
     pool). Serialized as 1e-4-quantized integers: the per-position avg
@@ -597,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _DEDUP_EMBEDDING_ORACLE,
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
+        "sim_ann_lsh": _lsh_ann_oracle(),
         "emb_mean_pool": _EMB_MEAN_POOL_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
