@@ -93,7 +93,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed variant: hyperplane signatures gate the pair join
     (the 100 TB path; approximate → rows-only)."""
     return dedup.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, use_lsh=True
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, use_lsh=True, dim=64
     )
 
 

@@ -57,23 +57,44 @@ def _tokens_expr(text_col: str) -> str:
     return f"split(trim({text_col}), '\\\\s+')"
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """CPU-bound hashing stages need one task per core even when the
-    input is a single small file (file-split partitioning follows bytes,
-    not compute cost). Only widens — never coalesces a big input."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def _shingles_expr(text_col: str, k: int) -> str:
-    """Token k-gram shingles as an array<string> (distinct)."""
+    """Token k-gram shingles as an array<string> (distinct). Kept for
+    callers that need the human-readable shingle text; the dedup hot
+    paths use :func:`_with_shingle_hashes` instead — building shingle
+    STRINGS (slice + concat_ws per k-gram, inside an interpreted
+    higher-order lambda) measured 12x slower than hash-combining the
+    token hashes at sf0.1."""
     toks = _tokens_expr(text_col)
     return (
         f"array_distinct(CASE WHEN size({toks}) < {k} THEN array(concat_ws(' ', {toks})) "
         f"ELSE transform(sequence(0, size({toks}) - {k}), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) END)"
+    )
+
+
+def _with_shingle_hashes(
+    df: DataFrame, text_col: str, k: int, out: str = "__sh_hashes"
+) -> DataFrame:
+    """Add ``out: array<bigint>`` — the distinct token-k-gram shingle ids.
+
+    Each shingle id is xxhash64 over the k consecutive TOKEN HASHES, not
+    over the shingle string: set equality (and hence Jaccard, MinHash)
+    is preserved up to 2^-64 collisions, while skipping the dominant
+    cost of materializing k-gram strings (slice + concat_ws per gram in
+    an interpreted lambda — 12x slower, measured). Docs shorter than k
+    tokens hash as one whole-document shingle.
+    """
+    th = f"transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))"
+    args = ", ".join(f"element_at(__th, i + {j})" for j in range(k))
+    sh = (
+        f"array_distinct(CASE WHEN size(__th) < {k} THEN array(xxhash64(__th)) "
+        f"ELSE transform(sequence(1, size(__th) - {k - 1}), "
+        f"i -> xxhash64({args})) END)"
+    )
+    return (
+        df.withColumn("__th", F.expr(th))
+        .withColumn(out, F.expr(sh))
+        .drop("__th")
     )
 
 
@@ -98,25 +119,42 @@ def _minhash_sig_udf(num_hashes: int):
     wraparound — one multiply-add per (shingle, seed) instead of
     ``num_hashes`` interpreted re-hashes of every shingle string.
     """
-    a_np: "np.ndarray" = np.array(_minhash_coeffs(num_hashes)[0], dtype=np.uint64)
-    b_np: "np.ndarray" = np.array(_minhash_coeffs(num_hashes)[1], dtype=np.uint64)
+    coeffs = _minhash_coeffs(num_hashes)
+    a_np: "np.ndarray" = np.array(coeffs[0], dtype=np.uint64)
+    b_np: "np.ndarray" = np.array(coeffs[1], dtype=np.uint64)
+    # flat-vectorized: one (total_shingles, num_hashes) multiply-add per
+    # chunk + minimum.reduceat per doc — no per-row Python loop. Chunked
+    # so the intermediate stays ~50 MB regardless of Arrow batch size.
+    chunk_budget = 200_000
 
     @pandas_udf(ArrayType(LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
-        out = []
+        n = len(hashes)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        out = np.zeros((n, num_hashes), dtype=np.int64)
         err = np.seterr(over="ignore")
         try:
-            for hs in hashes:
-                if hs is None or len(hs) == 0:
-                    out.append([0] * num_hashes)
-                    continue
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                # (n_shingles, num_hashes) wrap-around multiply-add
-                m = (h[:, None] * a_np[None, :] + b_np[None, :]).min(axis=0)
-                out.append(m.astype(np.int64).tolist())
+            start = 0
+            while start < n:
+                end = start
+                tot = 0
+                while end < n and (tot == 0 or tot + lens[end] <= chunk_budget):
+                    tot += lens[end]
+                    end += 1
+                nz = np.nonzero(lens[start:end])[0] + start
+                if len(nz):
+                    flat = np.concatenate(
+                        [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz]
+                    ).astype(np.uint64)
+                    m = flat[:, None] * a_np[None, :] + b_np[None, :]
+                    offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+                    out[nz] = np.minimum.reduceat(m, offs, axis=0).astype(np.int64)
+                start = end
         finally:
             np.seterr(**err)
-        return pd.Series(out)
+        return pd.Series(list(out))
 
     return sig
 
@@ -125,14 +163,19 @@ def with_minhash_signature(
     df: DataFrame, text_col: str, num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
     """Add ``signature: array<bigint>`` — ``num_hashes`` permutation
-    minima over the document's shingle set. Shingle hashing is one JVM
-    xxhash64 pass; permutations are Arrow-batched numpy (see
-    _minhash_sig_udf). Deterministic."""
-    sh = _shingles_expr(text_col, shingle_k)
+    minima over the document's shingle set. Shingle-id hashing is JVM
+    xxhash64 over token hashes (see _with_shingle_hashes); permutations
+    are flat-vectorized Arrow-batched numpy (see _minhash_sig_udf).
+    Deterministic.
+
+    No repartition here: hashing parallelism follows the parquet scan's
+    file splits (maxPartitionBytes), so a corpus big enough to need many
+    tasks arrives in many splits; a small single file is exactly the case
+    where one task wins (round-2 measured: a pre-repartition shuffle cost
+    +130% at sf0.1 and bought nothing at any size)."""
     sig = _minhash_sig_udf(num_hashes)
     return (
-        _ensure_parallelism(df)
-        .withColumn("__sh_hashes", F.expr(f"transform({sh}, s -> xxhash64(s))"))
+        _with_shingle_hashes(df, text_col, shingle_k)
         .withColumn("signature", sig(F.col("__sh_hashes")))
         .drop("__sh_hashes")
     )
@@ -211,17 +254,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard verification over
     MinHash-banded candidates: candidates via bucket join, then
-    jaccard = |A∩B| / |A∪B| on the true shingle sets — only for
-    co-bucketed pairs."""
+    jaccard = |A∩B| / |A∪B| on the true shingle-id sets — only for
+    co-bucketed pairs. Shingle ids are xxhash64 of the k-gram (see
+    _with_shingle_hashes), so intersect/union cardinalities equal the
+    string-shingle ones up to 2^-64 collisions."""
     cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
-    # joined twice (a-side and b-side): shingling is cheap codegen'd JVM
-    # work, so recomputing one extra scan beats persist() — which would
-    # leak executor storage across calls in a long-lived session.
-    # _ensure_parallelism: a single-file input would otherwise shingle
-    # the whole corpus in ONE task per side.
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col), F.expr(_shingles_expr(text_col, shingle_k)).alias("sh")
-    )
+    # joined twice (a-side and b-side): shingle-id hashing is one cheap
+    # JVM pass, so recomputing one extra scan beats persist() — which
+    # would leak executor storage across calls in a long-lived session.
+    # Scan parallelism comes from the parquet file splits; no repartition.
+    sh = _with_shingle_hashes(df, text_col, shingle_k, out="sh").select(id_col, "sh")
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -249,19 +291,39 @@ def ngram_jaccard_pairs(
 # Python, Arrow-batched and fully vectorized.
 @pandas_udf(LongType())  # DataType instance: a "long" DDL string would
 def _simhash_pack(hashes: pd.Series) -> pd.Series:  # need a live session at import
-    out = np.zeros(len(hashes), dtype=np.int64)
+    n = len(hashes)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+    )
+    out = np.zeros(n, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
-    for i, hs in enumerate(hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-        # bits[t, b] = bit b of token t's hash; vote = sum(±1)
-        bits = (h[:, None] >> shifts) & np.uint64(1)
-        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
-        fp = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp.astype(np.int64))
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+    # flat-vectorized over the whole Arrow batch: bits[t, b] for every
+    # token of every doc at once, per-doc vote sums via add.reduceat —
+    # no per-row Python loop. Chunked to bound the (tokens, 64) uint8
+    # intermediate at ~13 MB.
+    chunk_budget = 200_000
+    start = 0
+    while start < n:
+        end = start
+        tot = 0
+        while end < n and (tot == 0 or tot + lens[end] <= chunk_budget):
+            tot += lens[end]
+            end += 1
+        nz = np.nonzero(lens[start:end])[0] + start
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz]
+            ).astype(np.uint64)
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            votes = np.add.reduceat(bits, offs, axis=0).astype(np.int64)
+            pos = (2 * votes) > lens[nz][:, None]  # majority-1 bits
+            fp = (pos.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nz] = fp.astype(np.int64)
+        start = end
     return pd.Series(out)
 
 
@@ -275,7 +337,7 @@ def with_simhash64(df: DataFrame, text_col: str) -> DataFrame:
     """
     toks = _tokens_expr(text_col)
     return (
-        _ensure_parallelism(df)
+        df
         .withColumn("__tok_hashes", F.expr(f"transform({toks}, t -> xxhash64(t))"))
         .withColumn("simhash", _simhash_pack(F.col("__tok_hashes")))
         .drop("__tok_hashes")
@@ -310,7 +372,12 @@ def embedding_near_dup_pairs(
     base = df.select(F.col(id_col), F.col(vec_col), F.expr(norm).alias("__n"))
     if use_lsh:
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            # inferring dim would cost a driver-side .first() Spark job in
+            # the middle of the pipeline; require it instead
+            raise ValueError(
+                "embedding_near_dup_pairs(use_lsh=True) requires dim= "
+                "(the embedding length) so the plan stays a single job"
+            )
         base = with_lsh_signature(base, dim=dim, nbits=nbits, vec_col=vec_col)
         masks = [m for m in range(1 << nbits) if m.bit_count() <= max_hamming]
         probed = base.withColumn(

@@ -185,7 +185,7 @@ def test_embedding_near_dup_exact(vecs):
 def test_embedding_near_dup_lsh_finds_copy(vecs):
     pairs = {(r.id_a, r.id_b)
              for r in dedup.embedding_near_dup_pairs(
-                 vecs, threshold=0.99, use_lsh=True, nbits=6).collect()}
+                 vecs, threshold=0.99, use_lsh=True, nbits=6, dim=8).collect()}
     assert (5, 99) in pairs  # identical vectors share every bucket bit
 
 
