@@ -270,7 +270,12 @@ FROM orders GROUP BY o_orderpriority
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (the PIVOT inverse): wide per-status counts back to
     (priority, status, n) rows — Spark's native UNPIVOT clause; the
-    oracle builds the long form with a UNION ALL."""
+    oracle builds the long form with a UNION ALL.
+
+    NULL-safety: Spark UNPIVOT default-excludes NULL cells, but the
+    input here is q_pivot's output, which coalesces every pivot cell to
+    0 — so no (priority, status) row can be dropped at any scale factor
+    and both sides always emit all 3 statuses per priority."""
     q_pivot(spark, sf_dir).createOrReplaceTempView("pivoted_orders")
     return spark.sql(
         """

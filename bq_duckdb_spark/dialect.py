@@ -172,7 +172,15 @@ _DATE_PARTS = {
 
 def _trunc(cast_to: str | None):
     """BigQuery DATE_TRUNC(expr, part) → Spark date_trunc('part', expr).
-    Spark's own form (part string first) passes through untouched."""
+    Spark's own form (part string first) passes through untouched.
+
+    Week-family parts diverge and are emulated:
+    - BigQuery WEEK starts Sunday; Spark 'WEEK' truncates to Monday →
+      dayofweek arithmetic back to the most recent Sunday.
+    - ISOWEEK (Monday start) is exactly Spark 'WEEK'.
+    - ISOYEAR (Monday of the ISO week containing Jan 4) has no Spark
+      unit (date_trunc would return NULL) → built from YEAROFWEEK.
+    """
 
     def rw(args: list[str]):
         if len(args) != 2:
@@ -181,7 +189,18 @@ def _trunc(cast_to: str | None):
         first = args[0].strip().strip("'\"").upper()
         if part not in _DATE_PARTS or first in _DATE_PARTS:
             return None  # not the BigQuery arg order
-        inner = f"date_trunc('{part}', {args[0]})"
+        x = args[0]
+        if part == "WEEK":
+            # most recent Sunday (dayofweek: 1=Sunday..7=Saturday)
+            inner = f"CAST(date_sub(CAST({x} AS DATE), dayofweek({x}) - 1) AS TIMESTAMP)"
+        elif part == "ISOWEEK":
+            inner = f"date_trunc('WEEK', {x})"
+        elif part == "ISOYEAR":
+            inner = (
+                f"date_trunc('WEEK', make_date(extract(YEAROFWEEK FROM {x}), 1, 4))"
+            )
+        else:
+            inner = f"date_trunc('{part}', {x})"
         return f"CAST({inner} AS {cast_to})" if cast_to else inner
 
     return rw
@@ -438,14 +457,25 @@ _SIMPLE_FUNC_RENAMES = {
     "SAFE_ADD": "try_add",
     "SAFE_SUBTRACT": "try_subtract",
     "SAFE_MULTIPLY": "try_multiply",
-    # JSON accessors: BigQuery names → Spark's get_json_object/to_json
-    # (same $.path syntax; scalar extraction returns STRING in both)
+    # JSON scalar accessors: BigQuery names → Spark's get_json_object
+    # (same $.path syntax; both return the UNQUOTED scalar as STRING).
+    # JSON_EXTRACT / JSON_QUERY return JSON-encoded text (string scalars
+    # keep their quotes) — rewritten via variant in transpile(), not here.
     "JSON_EXTRACT_SCALAR": "get_json_object",
     "JSON_VALUE": "get_json_object",
-    "JSON_EXTRACT": "get_json_object",
-    "JSON_QUERY": "get_json_object",
     "TO_JSON_STRING": "to_json",
 }
+
+
+def _json_as_text(args: list[str]):
+    """BigQuery JSON_EXTRACT / JSON_QUERY return JSON-encoded text:
+    string scalars keep their quotes ('"b"'), JSON null is the text
+    'null'. Spark's get_json_object unquotes scalars, so re-encode via
+    variant: to_json(variant_get(...)) renders exactly the JSON text
+    (objects/arrays unchanged, absent paths → SQL NULL)."""
+    if len(args) != 2:
+        return None
+    return f"to_json(variant_get(try_parse_json({args[0]}), {args[1]}))"
 
 
 _CAPTURE_GROUP_RE = re.compile(r"(?<!\\)\((?!\?)")
@@ -641,13 +671,22 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
             return segment
 
         out = _apply_outside_strings(out, _map_code)
-    for src, dst in _SIMPLE_FUNC_RENAMES.items():
-        out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
-    # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE (n PERCENT)
-    out = re.sub(r"\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", out, flags=re.IGNORECASE)
+    def _rename_code(segment: str) -> str:
+        # outside string literals only: common-word names (SPLIT, FORMAT,
+        # ARRAY_CONCAT, ...) must never corrupt literal data like "SPLIT("
+        for src, dst in _SIMPLE_FUNC_RENAMES.items():
+            segment = re.sub(rf"\b{src}\s*\(", f"{dst}(", segment, flags=re.IGNORECASE)
+        # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE (n PERCENT)
+        return re.sub(
+            r"\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", segment, flags=re.IGNORECASE
+        )
+
+    out = _apply_outside_strings(out, _rename_code)
     out = _rewrite_calls(out, "ARRAY_AGG", _array_agg)
     out = _rewrite_calls(out, "GENERATE_DATE_ARRAY", _generate_date_array)
     out = _rewrite_calls(out, "GENERATE_TIMESTAMP_ARRAY", _generate_date_array)
+    out = _rewrite_calls(out, "JSON_EXTRACT", _json_as_text)
+    out = _rewrite_calls(out, "JSON_QUERY", _json_as_text)
     out = _rewrite_calls(out, "REGEXP_EXTRACT_ALL", _regexp_extract_all)
     out = _rewrite_calls(out, "REGEXP_EXTRACT", _regexp_extract)
     out = _rewrite_calls(out, "DATE_ADD", _date_add_sub("+"))

@@ -26,6 +26,18 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
 
+# The client declares the payload length in the frame header and
+# readexactly(n) buffers it fully, so an unchecked 64-bit length lets a
+# single malicious header demand arbitrary server memory. Applies to
+# individual frames AND to the reassembled fragmented message.
+MAX_MESSAGE_BYTES = 16 * 1024 * 1024
+
+CLOSE_TOO_BIG = 1009  # RFC 6455 §7.4.1 Message Too Big
+
+
+class MessageTooBig(Exception):
+    """A frame or reassembled message exceeded MAX_MESSAGE_BYTES."""
+
 
 def accept_key(client_key: str) -> str:
     """Sec-WebSocket-Accept for a client's Sec-WebSocket-Key."""
@@ -53,8 +65,11 @@ def encode_frame(opcode: int, payload: bytes, mask: bytes | None = None) -> byte
     return bytes(head) + payload
 
 
-async def read_frame(reader: asyncio.StreamReader) -> tuple[bool, int, bytes]:
-    """Read one frame → (fin, opcode, unmasked payload)."""
+async def read_frame(
+    reader: asyncio.StreamReader, max_bytes: int = MAX_MESSAGE_BYTES
+) -> tuple[bool, int, bytes]:
+    """Read one frame → (fin, opcode, unmasked payload). Raises
+    MessageTooBig before buffering a payload over ``max_bytes``."""
     b1, b2 = await reader.readexactly(2)
     fin = bool(b1 & 0x80)
     opcode = b1 & 0x0F
@@ -64,6 +79,8 @@ async def read_frame(reader: asyncio.StreamReader) -> tuple[bool, int, bytes]:
         (n,) = struct.unpack(">H", await reader.readexactly(2))
     elif n == 127:
         (n,) = struct.unpack(">Q", await reader.readexactly(8))
+    if n > max_bytes:
+        raise MessageTooBig(f"frame payload {n} > {max_bytes}")
     mask = await reader.readexactly(4) if masked else None
     data = await reader.readexactly(n)
     if mask:
@@ -129,6 +146,8 @@ async def serve_connection(
                 frag_opcode = opcode
                 buf = bytearray(data)
             elif opcode == OP_CONT:
+                if len(buf) + len(data) > MAX_MESSAGE_BYTES:
+                    raise MessageTooBig("reassembled message too big")
                 buf.extend(data)
             if fin and frag_opcode == OP_TEXT:
                 reply = on_text(bytes(buf).decode("utf-8"))
@@ -136,6 +155,12 @@ async def serve_connection(
                 if reply is not None:
                     writer.write(encode_frame(OP_TEXT, reply.encode("utf-8")))
                     await writer.drain()
+    except MessageTooBig:
+        try:
+            writer.write(encode_frame(OP_CLOSE, struct.pack(">H", CLOSE_TOO_BIG)))
+            await writer.drain()
+        except (ConnectionResetError, OSError):
+            pass
     except (asyncio.IncompleteReadError, ConnectionResetError):
         pass
     finally:

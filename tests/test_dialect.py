@@ -236,6 +236,23 @@ class TestDateTimeFamily:
         sql = "SELECT date_trunc('MONTH', d) FROM t"
         assert transpile(sql) == sql
 
+    def test_date_trunc_week_family_emulated(self, spark):
+        """BigQuery WEEK is Sunday-start (Spark 'WEEK' is Monday-start);
+        ISOWEEK == Spark WEEK; ISOYEAR has no Spark unit at all
+        (date_trunc would silently return NULL)."""
+        got = spark.sql(
+            transpile(
+                "SELECT DATE_TRUNC(DATE'2026-08-13', WEEK) AS wk, "
+                "DATE_TRUNC(DATE'2026-08-13', ISOWEEK) AS isowk, "
+                "DATE_TRUNC(DATE'2026-01-01', ISOYEAR) AS isoyr"
+            )
+        ).collect()[0]
+        # 2026-08-13 is a Thursday: Sunday=08-09, Monday=08-10;
+        # ISO year 2026 begins Monday 2025-12-29
+        assert str(got.wk) == "2026-08-09"
+        assert str(got.isowk) == "2026-08-10"
+        assert str(got.isoyr) == "2025-12-29"
+
     def test_timestamp_trunc(self):
         assert (
             transpile("SELECT TIMESTAMP_TRUNC(ts, HOUR) FROM t")
@@ -368,6 +385,34 @@ def test_json_function_renames():
         "SELECT get_json_object(j, '$.a'), get_json_object(j, '$.b'), "
         "to_json(s) FROM t"
     )
+
+
+def test_json_extract_keeps_json_encoding(spark):
+    """JSON_EXTRACT / JSON_QUERY return JSON-encoded text in BigQuery:
+    string scalars KEEP their quotes, unlike JSON_VALUE."""
+    got = spark.sql(
+        transpile(
+            """SELECT JSON_EXTRACT('{"a":"b"}', '$.a') AS q,
+                      JSON_QUERY('{"o":{"x":1}}', '$.o') AS o,
+                      JSON_EXTRACT('{"n":3}', '$.n') AS n,
+                      JSON_EXTRACT('{"a":1}', '$.miss') AS miss,
+                      JSON_VALUE('{"a":"b"}', '$.a') AS unquoted"""
+        )
+    ).collect()[0]
+    assert got.q == '"b"'
+    assert got.o == '{"x":1}'
+    assert got.n == "3"
+    assert got.miss is None
+    assert got.unquoted == "b"
+
+
+def test_func_renames_leave_string_literals_alone():
+    """Common-word renames (SPLIT, FORMAT, ...) must not rewrite literal
+    data — they apply outside '-quoted strings only."""
+    sql = "SELECT 'use SPLIT(a,b) or FORMAT(x)' AS doc, SPLIT(s, ',') FROM t"
+    got = transpile(sql)
+    assert "'use SPLIT(a,b) or FORMAT(x)'" in got
+    assert "BQ_SPLIT(s, ',')" in got
 
 
 def test_array_agg_distinct_order_by():

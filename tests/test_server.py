@@ -301,6 +301,40 @@ def test_websocket_full_rpc_round_trip(spark):
     asyncio.run(scenario())
 
 
+def test_websocket_rejects_oversized_frame(spark):
+    """A frame header declaring a payload over MAX_MESSAGE_BYTES must be
+    answered with close 1009 (Message Too Big) BEFORE buffering it —
+    the declared length is client-controlled."""
+    import asyncio
+    import struct
+
+    from bq_duckdb_spark import wsproto
+    from bq_duckdb_spark.engine import SessionManager
+    from bq_duckdb_spark.server import start_websocket
+
+    async def scenario():
+        ws = await start_websocket(SessionManager(spark), host="127.0.0.1", port=0)
+        port = ws.sockets[0].getsockname()[1]
+        try:
+            reader, writer = await wsproto.client_connect("127.0.0.1", port)
+            # masked text frame header claiming a 2^40-byte payload
+            writer.write(
+                bytes([0x80 | wsproto.OP_TEXT, 0x80 | 127])
+                + struct.pack(">Q", 1 << 40)
+                + b"abcd"
+            )
+            await writer.drain()
+            fin, op, data = await wsproto.read_frame(reader)
+            assert op == wsproto.OP_CLOSE
+            assert struct.unpack(">H", data[:2])[0] == wsproto.CLOSE_TOO_BIG
+            writer.close()
+        finally:
+            ws.close()
+            await ws.wait_closed()
+
+    asyncio.run(scenario())
+
+
 def test_websocket_rejects_non_upgrade_request(spark):
     """A plain HTTP request gets 400, not a hang."""
     import asyncio
