@@ -372,9 +372,34 @@ CROSS JOIN n
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID (heuristic; rows-only)."""
+    """Stopword-profile language ID. Hash-free (pure argmax over
+    stopword hit counts, ties alphabetical) → full DuckDB oracle."""
     return text.with_lang_id(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "pred_lang"
+    )
+
+
+def _langid_oracle() -> str:
+    """DuckDB twin of text.with_lang_id: the Spark fold keeps the FIRST
+    language (alphabetical scan order) whose score beats the running
+    max strictly, i.e. the alphabetically-first argmax — reproduced
+    with a >= CASE chain."""
+    from bq_duckdb_spark.ext.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    score_cols = ", ".join(
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> t IN ({', '.join(repr(w) for w in _STOPWORDS[lang])}))) AS s_{lang}"
+        for lang in langs
+    )
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return (
+        f"WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents) "
+        f"SELECT doc_id, lang, {case} AS pred_lang FROM s"
     )
 
 
@@ -649,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "text_tfidf": _TEXT_TFIDF_ORACLE,
+        "text_langid": _langid_oracle(),
         "text_chunks": _TEXT_CHUNKS_ORACLE,
         "text_curate": _TEXT_CURATE_ORACLE,
         "pii_redact": _PII_REDACT_ORACLE,
