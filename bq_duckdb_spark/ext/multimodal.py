@@ -3,11 +3,14 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs via
 ``mapInPandas``.
 
 Decode support is tiered:
-- PPM/PGM (netpbm P5/P6) images decode FOR REAL with numpy only —
-  ``decode_stub=False`` works end to end for them (header parse,
-  pixel array, channel-statistics features, nearest-neighbor resize).
-- JPEG/PNG/audio/video need libs absent from this container (PIL,
-  ffmpeg); those payloads raise ``NotImplementedError`` under
+- PPM/PGM (netpbm P5/P6) and uncompressed BMP images decode FOR REAL
+  with numpy only — ``decode_stub=False`` works end to end for them
+  (header parse, pixel array, channel-statistics features,
+  nearest-neighbor resize for netpbm).
+- WAV/PCM audio (RIFF, 8/16/32-bit integer PCM) decodes FOR REAL too:
+  chunk walk, normalized sample matrix, amplitude/zero-crossing stats.
+- JPEG/PNG/compressed audio/video need libs absent from this container
+  (PIL, ffmpeg); those payloads raise ``NotImplementedError`` under
   ``decode_stub=False`` and use the deterministic byte-stats stub
   otherwise, so the Spark-side plumbing — schema, partitioning, UDF
   signature, Arrow batch shape — is exercised either way.
@@ -19,6 +22,7 @@ repartition by size class before decode when blob sizes are skewed.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -96,26 +100,113 @@ def _parse_netpbm(payload: bytes) -> tuple[np.ndarray, int]:
     return raster.reshape(h, w, channels), maxval
 
 
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed (BI_RGB) 24/32-bit BMP → (h, w, channels)
+    uint8 array in RGB(A) order. Pure stdlib struct + numpy."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (got "
+            f"compression={comp}, bpp={bpp})"
+        )
+    top_down, h = h < 0, abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+    ).reshape(h, row_bytes)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]  # BMP default raster order is bottom-up
+    order = [2, 1, 0] + ([3] if nch == 4 else [])  # BGR(A) → RGB(A)
+    return px[:, :, order]
+
+
+def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE integer-PCM payload → (samples as (n, channels)
+    float64 in [-1, 1], sample_rate). Pure stdlib struct + numpy."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_fmt, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits not in (8, 16, 32) or nch == 0:
+        raise NotImplementedError(
+            f"only integer PCM WAV supported (got format={audio_fmt}, "
+            f"bits={bits})"
+        )
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    raw = np.frombuffer(data, dtype=dtype)
+    raw = raw[: (len(raw) // nch) * nch].reshape(-1, nch)
+    if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        x = raw.astype(np.float64) / float(2 ** (bits - 1))
+    return x, rate
+
+
+def _image_features(px: np.ndarray, maxval: int) -> list[float]:
+    """Per-channel mean/std + shape stats — shared by netpbm and BMP."""
+    h, w, c = px.shape
+    scaled = px.astype(np.float64) / maxval
+    means = [float(scaled[:, :, i % c].mean()) for i in range(3)]
+    stds = [float(scaled[:, :, i % c].std()) for i in range(3)]
+    return means + stds + [float(w) / h, float(c)]
+
+
+def _audio_features(x: np.ndarray, rate: int) -> list[float]:
+    """Amplitude/shape stats over the normalized sample matrix."""
+    mono = x.mean(axis=1)
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    return [
+        float(mono.mean()),
+        float(mono.std()),
+        float(np.sqrt(np.mean(mono**2))),  # RMS level
+        float(np.abs(mono).max()) if len(mono) else 0.0,
+        zc,  # zero-crossing rate
+        float(len(mono)) / rate,  # duration (s)
+        float(rate),
+        float(x.shape[1]),
+    ]
+
+
 def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
     """Decode a media payload into an 8-dim feature vector.
 
-    Real path (``decode_stub=False``): netpbm P5/P6 images decode with
-    numpy — features are per-channel mean/std plus shape stats. Other
+    Real path (``decode_stub=False``): netpbm P5/P6 and uncompressed
+    BMP images decode with numpy (per-channel mean/std + shape stats);
+    WAV/PCM audio decodes to amplitude/zero-crossing stats. Other
     formats need PIL/librosa/ffmpeg (absent here) and raise.
     Stub path: deterministic byte statistics, any payload.
     """
     if not decode_stub:
         if payload[:2] in (b"P5", b"P6"):
             px, maxval = _parse_netpbm(payload)
-            h, w, c = px.shape
-            scaled = px.astype(np.float64) / maxval
-            means = [float(scaled[:, :, i % c].mean()) for i in range(3)]
-            stds = [float(scaled[:, :, i % c].std()) for i in range(3)]
-            return means + stds + [float(w) / h, float(c)]
+            return _image_features(px, maxval)
+        if payload[:2] == b"BM":
+            return _image_features(_parse_bmp(payload), 255)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _audio_features(*_parse_wav(payload))
         raise NotImplementedError(
-            "real decode beyond netpbm (P5/P6) requires image/audio "
-            "libraries not present in this environment; run with "
-            "decode_stub=True"
+            "real decode beyond netpbm (P5/P6), uncompressed BMP, and "
+            "PCM WAV requires image/audio libraries not present in this "
+            "environment; run with decode_stub=True"
         )
     n = len(payload)
     if n == 0:

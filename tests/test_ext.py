@@ -335,8 +335,78 @@ def test_netpbm_real_resize_roundtrip(spark):
     assert (px[0, 0] == src[0, 0]).all()  # top-left corner preserved
 
 
+def _make_bmp(w, h):
+    """Uncompressed 24-bit bottom-up BMP with pixel (x, y) = RGB
+    (x*10, y*10, 7)."""
+    import struct
+
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)  # stored BGR, bottom-up
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (7, y * 10, x * 10)  # B, G, R
+    row_bytes = (w * 3 + 3) & ~3
+    raster = b"".join(
+        px[h - 1 - y].tobytes().ljust(row_bytes, b"\0") for y in range(h)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return header + info + raster
+
+
+def _make_wav(rate=8000, n=64, nch=1):
+    """16-bit PCM mono WAV containing a square wave of period 2."""
+    import struct
+
+    import numpy as np
+
+    samples = (np.tile([12000, -12000], n // 2).astype(np.int16)).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_bmp_real_decode_features(spark):
+    """decode_stub=False does REAL decode for uncompressed BMP: BGR and
+    bottom-up raster order must be undone before channel stats."""
+    import numpy as np
+
+    blob = _make_bmp(5, 3)
+    df = spark.createDataFrame(
+        [(1, blob, "image/bmp", (len(blob), "s"))], multimodal.BLOB_SCHEMA
+    )
+    feats = multimodal.extract_features(df, decode_stub=False).collect()[0]
+    px = multimodal._parse_bmp(blob)
+    assert px.shape == (3, 5, 3)
+    assert (px[1, 2] == np.array([20, 10, 7])).all()  # (x=2,y=1) → RGB
+    expect_mean_r = float(px[:, :, 0].astype(np.float64).mean() / 255)
+    assert feats.feature[0] == pytest.approx(expect_mean_r, abs=1e-6)
+    assert feats.feature[6] == pytest.approx(5 / 3)  # aspect ratio
+    assert feats.feature[7] == 3.0
+
+
+def test_wav_real_decode_features(spark):
+    """decode_stub=False does REAL decode for PCM WAV: amplitude stats
+    of a ±12000/32768 square wave, duration from the sample rate."""
+    blob = _make_wav(rate=8000, n=64)
+    df = spark.createDataFrame(
+        [(1, blob, "audio/wav", (len(blob), "s"))], multimodal.BLOB_SCHEMA
+    )
+    feats = multimodal.extract_features(df, decode_stub=False).collect()[0]
+    amp = 12000 / 32768
+    assert feats.feature[0] == pytest.approx(0.0, abs=1e-9)  # mean
+    assert feats.feature[2] == pytest.approx(amp, abs=1e-6)  # RMS
+    assert feats.feature[3] == pytest.approx(amp, abs=1e-6)  # peak
+    assert feats.feature[4] == pytest.approx(1.0)  # zero-crossing rate
+    assert feats.feature[5] == pytest.approx(64 / 8000)  # duration
+    assert feats.feature[6] == 8000.0 and feats.feature[7] == 1.0
+
+
 def test_non_netpbm_real_decode_still_gated(spark):
-    """Non-netpbm payloads under decode_stub=False raise (no PIL here)."""
+    """Unsupported payloads under decode_stub=False raise (no PIL here),
+    including compressed-BMP and float-WAV variants."""
     with pytest.raises(NotImplementedError):
         multimodal._decode_one(b"\x89PNG...", decode_stub=False)
 
