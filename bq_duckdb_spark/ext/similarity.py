@@ -122,15 +122,73 @@ def lsh_ann_topk(
     column is precomputable and partition-prunable (store bucketed-by
     ``lsh_bucket`` at rest for O(probed buckets) reads).
     """
-    planes = _hyperplanes(dim, nbits, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if sum(a * float(b) for a, b in zip(p, query_vec)) >= 0:
-            qbucket |= 1 << i
+    qbucket = _query_bucket(query_vec, dim, nbits, seed)
     sig = with_lsh_signature(df, dim, nbits, seed, vec_col)
     cands = sig.filter(
         F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming
     )
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def _query_bucket(query_vec: list[float], dim: int, nbits: int, seed: int) -> int:
+    """The LSH bucket the query vector falls into (driver-side ints)."""
+    qbucket = 0
+    for i, p in enumerate(_hyperplanes(dim, nbits, seed)):
+        if sum(a * float(b) for a, b in zip(p, query_vec)) >= 0:
+            qbucket |= 1 << i
+    return qbucket
+
+
+def _hamming_ball(center: int, nbits: int, max_hamming: int) -> list[int]:
+    """All bucket ids within ``max_hamming`` bit flips of ``center``."""
+    return [
+        center ^ m for m in range(1 << nbits) if bin(m).count("1") <= max_hamming
+    ]
+
+
+def write_lsh_index(
+    df: DataFrame,
+    table_name: str,
+    dim: int,
+    nbits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist embeddings WITH their LSH bucket id, directory-partitioned
+    at rest by ``lsh_bucket`` (one cell = one partition directory; the
+    map-only signature pass is paid once at write time).
+
+    Directory partitioning (not bucketBy) is the right layout for ANN
+    probes: an IN-list on the partition column becomes a
+    PartitionFilter, pruning the FILE LISTING itself — O(probed/2^nbits)
+    I/O per query with no Exchange. (bucketBy only prunes when the
+    planner keeps the bucketed scan, which it disables for scan-only
+    queries; partition pruning always applies.)
+    """
+    sig = with_lsh_signature(df, dim, nbits, seed, vec_col)
+    sig.write.mode("overwrite").format("parquet").partitionBy("lsh_bucket").saveAsTable(
+        table_name
+    )
+
+
+def lsh_ann_topk_indexed(
+    spark,
+    table_name: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a write_lsh_index table: the hamming ball of
+    the query's bucket becomes an IN-list filter on the partition
+    column — a PartitionFilter in the scan, so only the probed cell
+    directories are even listed (no full read, no Exchange)."""
+    probes = _hamming_ball(_query_bucket(query_vec, dim, nbits, seed), nbits, max_hamming)
+    cands = spark.table(table_name).filter(F.col("lsh_bucket").isin(probes))
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
@@ -221,3 +279,41 @@ def ivf_assign(
         "(acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END).cell"
     )
     return df.withColumn(out, F.expr(best))
+
+
+def write_ivf_index(
+    df: DataFrame,
+    table_name: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Persist embeddings WITH their IVF cell assignment,
+    directory-partitioned at rest by ``ivf_cell`` — one coarse cell per
+    partition directory, assignment paid once at write time (see
+    write_lsh_index for why partitioning beats bucketBy for probes)."""
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    assigned.write.mode("overwrite").format("parquet").partitionBy(
+        "ivf_cell"
+    ).saveAsTable(table_name)
+
+
+def ivf_topk_indexed(
+    spark,
+    table_name: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN against a write_ivf_index table: the nprobe nearest cells
+    become an IN-list on the partition column — a PartitionFilter in
+    the scan (probe-only I/O, no Exchange)."""
+    scores = [
+        (ci, sum(float(a) * float(b) for a, b in zip(c, query_vec)))
+        for ci, c in enumerate(centroids)
+    ]
+    probed = [ci for ci, _ in sorted(scores, key=lambda t: (-t[1], t[0]))[:nprobe]]
+    cands = spark.table(table_name).filter(F.col("ivf_cell").isin(probed))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

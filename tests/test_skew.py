@@ -66,6 +66,81 @@ def test_bucketed_join_has_no_exchange(spark, skewed_pair):
         spark.sql("DROP TABLE IF EXISTS b_dim2")
 
 
+def _unit_vecs(spark, n=50):
+    import math
+
+    def unit(seed):
+        raw = [((seed * 37 + i * 13) % 19) - 9.0 for i in range(8)]
+        nn = math.sqrt(sum(x * x for x in raw))
+        return [x / nn for x in raw]
+
+    df = spark.createDataFrame(
+        [(i, unit(i)) for i in range(n)], ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    return df, unit(5)
+
+
+def _scan_partition_count(df):
+    """(#partition dirs the scan will read, partition-filter string) for
+    the single FileSourceScan leaf — the at-rest pruning ground truth."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = leaves.head()
+    n = scan.selectedPartitions().partitionCount()
+    return n, scan.toString()
+
+
+def test_lsh_index_at_rest_partition_prunes(spark):
+    """write_lsh_index + lsh_ann_topk_indexed: the probe's IN-list on
+    the partition column must prune the at-rest scan to the hamming-ball
+    directories only — no full read, no Exchange — and return the same
+    rows as the unindexed ANN."""
+    from bq_duckdb_spark.ext import similarity
+
+    vecs, q = _unit_vecs(spark)
+    try:
+        similarity.write_lsh_index(vecs, "emb_lsh_idx", dim=8, nbits=6)
+        total = spark.table("emb_lsh_idx").select("lsh_bucket").distinct().count()
+        probe = similarity.lsh_ann_topk_indexed(
+            spark, "emb_lsh_idx", q, dim=8, k=5, nbits=6, max_hamming=1
+        )
+        n_read, scan = _scan_partition_count(probe)
+        assert "PartitionFilters" in scan and "lsh_bucket" in scan
+        # hamming<=1 ball of a 6-bit bucket = 7 probe ids; only populated
+        # cells materialize as directories, and the scan must read fewer
+        # than all of them
+        assert 0 < n_read <= 7 and n_read < total, f"read {n_read} of {total} cells"
+        assert "Exchange" not in probe._jdf.queryExecution().executedPlan().toString()
+        direct = similarity.lsh_ann_topk(vecs, q, dim=8, k=5, nbits=6, max_hamming=1)
+        assert [tuple(r) for r in probe.collect()] == [
+            tuple(r) for r in direct.collect()
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_lsh_idx")
+
+
+def test_ivf_index_at_rest_partition_prunes(spark):
+    """write_ivf_index + ivf_topk_indexed with nprobe=1: the scan reads
+    exactly ONE cell directory and matches the unindexed ivf_topk."""
+    from bq_duckdb_spark.ext import similarity
+
+    vecs, q = _unit_vecs(spark)
+    centroids = [q, [-x for x in q]]
+    try:
+        similarity.write_ivf_index(vecs, "emb_ivf_idx", centroids)
+        probe = similarity.ivf_topk_indexed(
+            spark, "emb_ivf_idx", q, centroids, k=3, nprobe=1
+        )
+        n_read, scan = _scan_partition_count(probe)
+        assert "PartitionFilters" in scan and "ivf_cell" in scan
+        assert n_read == 1, f"nprobe=1 must read exactly one cell, got {n_read}"
+        direct = similarity.ivf_topk(vecs, q, centroids, k=3, nprobe=1)
+        assert [tuple(r) for r in probe.collect()] == [
+            tuple(r) for r in direct.collect()
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_ivf_idx")
+
+
 def test_join_with_strategy_controls_physical_plan(spark, skewed_pair):
     from bq_duckdb_spark.operators import join_with_strategy
 
