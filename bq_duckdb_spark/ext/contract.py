@@ -91,7 +91,8 @@ WHERE a.vec_id < b.vec_id AND cosine >= 0.3
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed variant: hyperplane signatures gate the pair join
-    (the 100 TB path; approximate → rows-only)."""
+    (the 100 TB path). Full oracle: the deterministic plane literals
+    make the candidate set reproducible in SQL (_embedding_lsh_oracle)."""
     return dedup.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, use_lsh=True, dim=64
     )
@@ -175,6 +176,26 @@ LIMIT 10
 """
 
 
+def _bucket_sql(v: str, dim: int = 64, nbits: int = 8, seed: int = 42) -> str:
+    """DuckDB SQL expression for the nbits-bit hyperplane LSH bucket of
+    list-of-double expression ``v`` — the exact planes Spark's
+    with_lsh_signature uses (similarity.py:_hyperplanes), inlined as
+    literals so both engines evaluate identical arithmetic."""
+    from bq_duckdb_spark.ext.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits, seed)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    terms = [
+        f"(CASE WHEN list_dot_product({v}, {arr(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _lsh_ann_oracle() -> str:
     """DuckDB oracle for sim_ann_lsh, upgrading it from rows-only: the
     hyperplanes are deterministic Python-generated literals, the dot
@@ -182,21 +203,7 @@ def _lsh_ann_oracle() -> str:
     so the exact bucket bits — and therefore the candidate set and
     top-k — are reproducible in SQL. Testdata embeddings are dim=64 at
     every SF (the entry's nbits=8, max_hamming=1, seed=42)."""
-    from bq_duckdb_spark.ext.similarity import _hyperplanes
-
-    planes = _hyperplanes(64, 8, 42)
-
-    def arr(p):
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
-
-    def bucket(v):
-        terms = [
-            f"(CASE WHEN list_dot_product({v}, {arr(p)}) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
+    bucket = _bucket_sql
     ham = " + ".join(f"((d >> {i}) & 1)" for i in range(8))
     return f"""
 WITH q AS (
@@ -218,6 +225,38 @@ FROM h
 WHERE {ham} <= 1
 ORDER BY cosine DESC, vec_id
 LIMIT 10
+"""
+
+
+def _embedding_lsh_oracle() -> str:
+    """DuckDB oracle for dedup_embedding_lsh, upgrading it from
+    rows-only. Spark's multi-probe expansion emits a pair exactly when
+    the two 8-bit signatures differ in <= max_hamming(=2) bits, so the
+    candidate set is reproducible as a hamming filter over the same
+    deterministic bucket bits (_bucket_sql); the verify cosine is the
+    bitwise-deterministic fold both engines share (see
+    _DEDUP_EMBEDDING_ORACLE)."""
+    bucket = _bucket_sql("ev")
+    ham = " + ".join(f"((d >> {i}) & 1)" for i in range(8))
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, ev, {bucket} AS eb,
+           sqrt(list_dot_product(ev, ev)) AS n
+    FROM e
+),
+h AS (
+    SELECT a.vec_id AS ia, c.vec_id AS ib, a.ev AS ea, c.ev AS ec,
+           a.n AS na, c.n AS nc, xor(a.eb, c.eb) AS d
+    FROM b a JOIN b c ON a.vec_id < c.vec_id
+)
+SELECT ia AS id_a, ib AS id_b,
+       list_dot_product(ea, ec) / (na * nc) AS cosine
+FROM h
+WHERE {ham} <= 2 AND list_dot_product(ea, ec) / (na * nc) >= 0.3
 """
 
 
@@ -666,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_embedding": _DEDUP_EMBEDDING_ORACLE,
+        "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
         "sim_ann_lsh": _lsh_ann_oracle(),
