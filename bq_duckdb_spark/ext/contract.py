@@ -98,6 +98,47 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into duplicate CLUSTERS + canonical-doc
+    pick: LSH-gated embedding pairs -> hash-min connected components ->
+    every vector labelled (cluster_id = component min, is_canonical).
+    Oracle: same pairs via _lsh_pair_ctes, components via a recursive
+    min-label CTE (terminates: UNION-distinct over finite (node,label)
+    pairs). Beyond-reference: the reference stops at pair output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.3, use_lsh=True, dim=64
+    )
+    return dedup.assign_dup_clusters(
+        emb.select("vec_id"), pairs, "vec_id"
+    ).select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_lsh_pair_ctes()},
+edges AS (
+    SELECT ia AS src, ib AS dst FROM cand
+    UNION
+    SELECT ib, ia FROM cand
+),
+reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.node
+),
+lab AS (SELECT node, min(lbl) AS cl FROM reach GROUP BY node)
+SELECT v.vec_id,
+       CAST(coalesce(l.cl, v.vec_id) AS BIGINT) AS cluster_id,
+       v.vec_id = coalesce(l.cl, v.vec_id) AS is_canonical
+FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -228,18 +269,13 @@ LIMIT 10
 """
 
 
-def _embedding_lsh_oracle() -> str:
-    """DuckDB oracle for dedup_embedding_lsh, upgrading it from
-    rows-only. Spark's multi-probe expansion emits a pair exactly when
-    the two 8-bit signatures differ in <= max_hamming(=2) bits, so the
-    candidate set is reproducible as a hamming filter over the same
-    deterministic bucket bits (_bucket_sql); the verify cosine is the
-    bitwise-deterministic fold both engines share (see
-    _DEDUP_EMBEDDING_ORACLE)."""
+def _lsh_pair_ctes() -> str:
+    """Shared CTE chain producing the dedup_embedding_lsh candidate
+    pairs (ia, ib, cosine) in DuckDB — the building block for both the
+    pair entry's oracle and the cluster-resolution oracle."""
     bucket = _bucket_sql("ev")
     ham = " + ".join(f"((d >> {i}) & 1)" for i in range(8))
-    return f"""
-WITH e AS (
+    return f"""e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
     FROM embeddings
 ),
@@ -252,11 +288,25 @@ h AS (
     SELECT a.vec_id AS ia, c.vec_id AS ib, a.ev AS ea, c.ev AS ec,
            a.n AS na, c.n AS nc, xor(a.eb, c.eb) AS d
     FROM b a JOIN b c ON a.vec_id < c.vec_id
-)
-SELECT ia AS id_a, ib AS id_b,
-       list_dot_product(ea, ec) / (na * nc) AS cosine
-FROM h
-WHERE {ham} <= 2 AND list_dot_product(ea, ec) / (na * nc) >= 0.3
+),
+cand AS (
+    SELECT ia, ib, list_dot_product(ea, ec) / (na * nc) AS cosine
+    FROM h
+    WHERE {ham} <= 2 AND list_dot_product(ea, ec) / (na * nc) >= 0.3
+)"""
+
+
+def _embedding_lsh_oracle() -> str:
+    """DuckDB oracle for dedup_embedding_lsh, upgrading it from
+    rows-only. Spark's multi-probe expansion emits a pair exactly when
+    the two 8-bit signatures differ in <= max_hamming(=2) bits, so the
+    candidate set is reproducible as a hamming filter over the same
+    deterministic bucket bits (_bucket_sql); the verify cosine is the
+    bitwise-deterministic fold both engines share (see
+    _DEDUP_EMBEDDING_ORACLE)."""
+    return f"""
+WITH {_lsh_pair_ctes()}
+SELECT ia AS id_a, ib AS id_b, cosine FROM cand
 """
 
 
@@ -682,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_clusters": dedup_clusters,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
@@ -706,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_embedding": _DEDUP_EMBEDDING_ORACLE,
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
         "sim_ann_lsh": _lsh_ann_oracle(),

@@ -463,3 +463,99 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
+    ``(node, cluster_id)`` where ``cluster_id`` is the minimum id in the
+    node's connected component. The output is fully deterministic (mins
+    only), independent of partitioning and iteration order.
+
+    Hash-min label propagation: every node starts labelled with its own
+    id; each round a node takes the min of its label and its
+    neighbors' labels. Converges in O(component diameter) rounds —
+    near-dup clusters are dense and shallow (dup groups, not social
+    graphs), so the practical round count is 2-4. Each round is one
+    join + one groupBy shuffle over the EDGE list (edges ~ candidate
+    pairs, already sub-linear in corpus size from banding), never over
+    the corpus. Lineage is truncated per round with localCheckpoint —
+    iterative plans otherwise grow exponentially in the optimizer; on a
+    cluster, set a reliable checkpoint dir and swap for checkpoint().
+    Convergence detection costs one tiny sum-aggregate action per
+    round: the label sum is strictly decreasing until fixpoint.
+
+    Reference parity: the reference engine stops at pair output
+    (no cluster resolver); this is part of the beyond-reference
+    training-pipeline suite.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    # symmetrize once; dedup to keep the per-round join minimal
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    if prev_sum is None:  # no edges at all
+        return labels.select("node", F.col("lbl").alias("cluster_id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbl", "lbl")).alias("lbl"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def assign_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical-document assignment for the whole corpus: every row of
+    ``df`` gains ``cluster_id`` (min id of its near-dup component;
+    itself if unpaired) and ``is_canonical`` (the one row per cluster a
+    dedup pipeline keeps). The label table is tiny relative to the
+    corpus (only nodes that appear in a pair), so the join broadcasts
+    under AQE at any corpus scale."""
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    out = (
+        df.join(labels, df[id_col] == labels.node, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .drop("node")
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))

@@ -456,3 +456,42 @@ def test_strip_boilerplate(spark):
     assert out[2] == "unique beta content\nmore beta"
     assert out[5] == "entirely footer free"
     assert all(footer not in t for t in out.values())
+
+
+# ---------------------------------------------------------------------------
+# connected-components cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round), island 7-8, and a
+    # pair 10-11 whose min arrives from the "wrong" side
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (11, 10)], ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_assign_dup_clusters_canonical(spark):
+    df = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.assign_dup_clusters(df, pairs, "doc_id").collect()
+    }
+    # {0,3,5} cluster to 0; 1,2,4 are singletons and self-canonical
+    assert out == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (0, False), 4: (4, True), 5: (0, False),
+    }
+    # exactly one canonical row per cluster
+    assert sum(1 for c, is_can in out.values() if is_can) == 4
