@@ -259,14 +259,29 @@ def ngram_jaccard_pairs(
     _with_shingle_hashes), so intersect/union cardinalities equal the
     string-shingle ones up to 2^-64 collisions."""
     cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
-    # joined twice (a-side and b-side): shingle-id hashing is one cheap
-    # JVM pass, so recomputing one extra scan beats persist() — which
-    # would leak executor storage across calls in a long-lived session.
-    # Scan parallelism comes from the parquet file splits; no repartition.
-    sh = _with_shingle_hashes(df, text_col, shingle_k, out="sh").select(id_col, "sh")
+    # LONG-FORMAT verify: explode each candidate pair into its two member
+    # ids, join the shingle table ONCE, then regroup per pair. One join
+    # instead of two, and the shingle sets are computed once for the
+    # verify (a two-sided a/b join computes them once per side AND, at
+    # corpus scale, sort-merge-shuffles the whole shingled corpus twice
+    # — once by id_a, once by id_b; here the corpus crosses at most one
+    # join, and the regroup shuffles only candidate-member arrays, which
+    # banding already made sublinear). Recomputing the one cheap JVM
+    # hashing pass beats persist(), which leaks executor storage across
+    # calls in a long-lived session.
+    sh = _with_shingle_hashes(df, text_col, shingle_k, out="sh").select(
+        F.col(id_col).alias("__id"), "sh"
+    )
+    member = cands.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+    )
     return (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        member.join(sh, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
+        )
         .withColumn(
             "jaccard",
             F.expr(
@@ -460,8 +475,10 @@ def simhash_near_dup_pairs(
     return (
         bucketed.select(F.explode(F.expr(pair)).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
-        .distinct()
+        # filter BEFORE the dedup shuffle: hamming is already computed
+        # in-bucket, so only qualifying pairs cross the exchange
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
