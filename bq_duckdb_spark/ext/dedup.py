@@ -200,6 +200,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    dedup: bool = True,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each
     band, and emit candidate id-pairs that share any band bucket.
@@ -213,7 +214,10 @@ def minhash_candidate_pairs(
     storage in a long-lived session). ``max_bucket`` deterministically
     caps pathological buckets (pairs grow quadratically in bucket size;
     run exact dedup first so identical docs don't form mega-buckets).
-    Output: (id_a, id_b) distinct with id_a < id_b.
+    Output: (id_a, id_b) with id_a < id_b; distinct unless ``dedup=False``
+    (a pair sharing several band buckets is emitted once per shared
+    band — callers whose next step is itself a groupBy on the pair key
+    get deduplication for free there and skip this extra shuffle).
     """
     rows = num_hashes // bands
     sig = with_minhash_signature(df, text_col, num_hashes, shingle_k).select(
@@ -234,13 +238,10 @@ def minhash_candidate_pairs(
         .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
-        bucketed.select(
-            F.explode(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    pairs = bucketed.select(
+        F.explode(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct() if dedup else pairs
 
 
 def ngram_jaccard_pairs(
@@ -258,7 +259,13 @@ def ngram_jaccard_pairs(
     co-bucketed pairs. Shingle ids are xxhash64 of the k-gram (see
     _with_shingle_hashes), so intersect/union cardinalities equal the
     string-shingle ones up to 2^-64 collisions."""
-    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    # dedup=False: a pair co-bucketed in several bands arrives once per
+    # band, but the verify's groupBy(id_a, id_b) collapses duplicates
+    # anyway — requesting distinct here would pay a whole extra shuffle
+    # of the candidate set for nothing.
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k, dedup=False
+    )
     # LONG-FORMAT verify: explode each candidate pair into its two member
     # ids, join the shingle table ONCE, then regroup per pair. One join
     # instead of two, and the shingle sets are computed once for the
