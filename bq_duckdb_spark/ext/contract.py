@@ -493,10 +493,34 @@ def _langid_oracle() -> str:
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-hash winnowing fingerprint per document (rows-only)."""
-    return text.with_fingerprint(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint"
-    )
+    """Min-hash winnowing fingerprint per document. The contract entry
+    uses the portable char-polynomial hash family (same min-of-window
+    semantics as the default xxhash64 path) so DuckDB can reproduce the
+    values exactly — see ext/text.py:with_fingerprint."""
+    return text.with_fingerprint(
+        _t(spark, sf_dir, "documents"), hash="poly"
+    ).select("doc_id", "fingerprint")
+
+
+_TEXT_FINGERPRINT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 2),
+                   i -> array_to_string(list_slice(t, i, i + 3), ' ')) END AS g
+  FROM t
+)
+SELECT doc_id,
+       list_min(list_transform(g, s ->
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(s) + 1),
+                            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+           (h, c) -> (h * 131 + c) % 2147483647))) AS fingerprint
+FROM g
+"""
 
 
 def text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_ORACLE,
         "text_tfidf": _TEXT_TFIDF_ORACLE,
         "text_langid": _langid_oracle(),
+        "text_fingerprint": _TEXT_FINGERPRINT_ORACLE,
         "text_chunks": _TEXT_CHUNKS_ORACLE,
         "text_curate": _TEXT_CURATE_ORACLE,
         "pii_redact": _PII_REDACT_ORACLE,

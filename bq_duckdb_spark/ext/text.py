@@ -203,16 +203,38 @@ def curate_corpus(
     return keep.select(id_col, "n_tokens", "stopword_ratio", "distinct_ratio")
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 4) -> DataFrame:
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 4,
+    hash: str = "xxhash64",
+) -> DataFrame:
     """Document fingerprint: min-of-rolling-window hashes (winnowing-style
-    min selection over token k-gram hashes) — a stable 64-bit content id
-    robust to small edits at the document tail."""
+    min selection over token k-gram hashes) — a stable content id robust
+    to small edits at the document tail.
+
+    ``hash`` picks the k-gram hash family; min-selection semantics are
+    identical either way:
+    - ``"xxhash64"`` (default): JVM codegen'd, the fast path;
+    - ``"poly"``: a portable char-polynomial ``h = (h*131 + code) mod
+      (2^31 - 1)`` that any engine reproduces in plain 64-bit integer
+      arithmetic — this is what lets the contract entry carry a full
+      DuckDB oracle. Weaker (31-bit) but collision quality is irrelevant
+      for a min-of-window content id.
+    """
     toks = _tokens(text_col)
     shingles = (
         f"CASE WHEN size({toks}) < {shingle_k} THEN array(concat_ws(' ', {toks})) "
         f"ELSE transform(sequence(0, size({toks}) - {shingle_k}), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {shingle_k}))) END"
     )
+    if hash == "poly":
+        gram_hash = (
+            "aggregate(split(s, ''), CAST(0 AS BIGINT), "
+            "(h, c) -> (h * 131 + ascii(c)) % 2147483647)"
+        )
+    else:
+        gram_hash = "xxhash64(s)"
     return df.withColumn(
-        "fingerprint", F.expr(f"array_min(transform({shingles}, s -> xxhash64(s)))")
+        "fingerprint", F.expr(f"array_min(transform({shingles}, s -> {gram_hash}))")
     )

@@ -151,6 +151,21 @@ def test_fingerprint_stable_under_tail_edit(spark):
     # min-hash over shared 4-gram shingles usually survives a tail edit
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+    # the portable hash family keeps the same winnowing property
+    pfps = {
+        r.doc_id: r.fingerprint
+        for r in text.with_fingerprint(df, hash="poly").collect()
+    }
+    assert pfps[1] == pfps[2]
+    assert pfps[1] != pfps[3]
+
+
+def test_fingerprint_poly_known_value(spark):
+    # pins the exact portable-hash arithmetic: h = (h*131 + code) mod 2^31-1
+    # over the chars of the single whole-doc shingle "a b c d"
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = text.with_fingerprint(df, hash="poly").first().fingerprint
+    assert got == 618493247
 
 
 def test_multimodal_plumbing(spark):
