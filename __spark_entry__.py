@@ -785,6 +785,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(contract_pipeline.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark.ext import contract_portable
+
+        q.update(contract_portable.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -835,6 +841,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark.ext import contract_pipeline
 
         o.update(contract_pipeline.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark.ext import contract_portable
+
+        o.update(contract_portable.oracle_sql())
     except ImportError:
         pass
     return o

@@ -1,0 +1,130 @@
+"""Driver-contract entries for the portable-hash dedup twins
+(ext/dedup_portable.py) — the full MinHash-LSH banding, SimHash
+pigeonhole, and Jaccard-verify pipelines, value-checked against DuckDB.
+
+The DuckDB SQL is generated from the SAME expression builders the Spark
+operators use (char_poly_expr / grams_expr / band_bucket_expr /
+simhash_expr with engine='duckdb'), so the arithmetic is defined once;
+an oracle mismatch would mean the banding semantics themselves drifted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import dedup_portable as dp
+from bq_duckdb_spark.testdata import load_table as _t
+
+_NUM_HASHES, _BANDS, _K = 32, 8, 3
+
+
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding candidates with the engine-portable hash
+    family — the whole pipeline (shingle hash, permutations, band
+    buckets, pair expansion) is oracle-verified; the xxhash64 twin
+    (dedup_minhash) stays the production fast path."""
+    return dp.portable_minhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_K,
+    )
+
+
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole near-dup pairs, portable hash family."""
+    return dp.portable_simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def dedup_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over portable-minhash candidates."""
+    return dp.portable_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3,
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_K,
+    )
+
+
+def _sh_cte() -> str:
+    g = dp.grams_expr("text", _K, "duckdb")
+    poly = dp.char_poly_expr("s", "duckdb")
+    return (
+        f"sh AS (SELECT doc_id, "
+        f"list_distinct(list_transform({g}, s -> {poly})) AS sh FROM documents)"
+    )
+
+
+def _banded_cte() -> str:
+    a, b = dp.poly_hash_coeffs(_NUM_HASHES)
+    rows = _NUM_HASHES // _BANDS
+    buckets = ", ".join(
+        dp.band_bucket_expr("sh", a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], "duckdb")
+        for i in range(_BANDS)
+    )
+    return (
+        f"b AS (SELECT doc_id, [{buckets}] AS buckets FROM sh), "
+        f"banded AS (SELECT doc_id, u.band, buckets[u.band + 1] AS bucket "
+        f"FROM b, UNNEST(range(0, {_BANDS})) AS u(band))"
+    )
+
+
+def _minhash_oracle() -> str:
+    return (
+        f"WITH {_sh_cte()}, {_banded_cte()} "
+        "SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM banded a JOIN banded b2 USING (band, bucket) "
+        "WHERE a.doc_id < b2.doc_id"
+    )
+
+
+def _jaccard_oracle() -> str:
+    return (
+        f"WITH {_sh_cte()}, {_banded_cte()}, "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM banded a JOIN banded b2 USING (band, bucket) "
+        "WHERE a.doc_id < b2.doc_id) "
+        "SELECT p.id_a, p.id_b, "
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard "
+        "FROM pairs p JOIN sh sa ON sa.doc_id = p.id_a "
+        "JOIN sh sb ON sb.doc_id = p.id_b "
+        "WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.3"
+    )
+
+
+def _simhash_oracle() -> str:
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    poly = dp.char_poly_expr("t", "duckdb")
+    fp = dp.simhash_expr("th", 28, "duckdb")
+    return (
+        f"WITH th AS (SELECT doc_id, "
+        f"list_transform({toks}, t -> {poly}) AS th FROM documents), "
+        f"fp AS (SELECT doc_id, {fp} AS simhash FROM th), "
+        f"ch AS (SELECT doc_id, simhash, u.chunk, "
+        f"(simhash >> (u.chunk * 7)) & 127 AS val "
+        f"FROM fp, UNNEST(range(0, 4)) AS u(chunk)) "
+        f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        f"FROM ch a JOIN ch b USING (chunk, val) "
+        f"WHERE a.doc_id < b.doc_id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_minhash_portable": dedup_minhash_portable,
+        "dedup_simhash_portable": dedup_simhash_portable,
+        "dedup_jaccard_portable": dedup_jaccard_portable,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_minhash_portable": _minhash_oracle(),
+        "dedup_simhash_portable": _simhash_oracle(),
+        "dedup_jaccard_portable": _jaccard_oracle(),
+    }

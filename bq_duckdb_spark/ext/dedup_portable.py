@@ -1,0 +1,245 @@
+"""Portable-hash twins of the LSH dedup operators — every stage
+reproducible in any SQL engine, so the full banding pipelines carry
+value-level DuckDB oracles.
+
+The production paths (ext/dedup.py) hash with JVM xxhash64 — fast, but
+no other engine computes it, so those contract entries are rows-only.
+These twins swap ONLY the hash family: a char-polynomial
+``h = (h*131 + code) mod P`` (P = 2^31 - 1) and universal permutations
+``(a*h + b) mod P`` — plain 64-bit integer arithmetic every engine
+evaluates identically (products stay < 2^62). Banding, bucketing,
+pair expansion, and verification semantics are IDENTICAL to the
+production operators, which is exactly what the oracles then prove.
+
+Use the xxhash64 operators in production (stronger hashes, codegen'd);
+use these when cross-engine reproducibility of the candidate set is the
+requirement (e.g. auditing a dedup run from another stack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext.dedup import _bucket_pairs_expr, _minhash_coeffs
+
+P = 2147483647  # Mersenne prime 2^31 - 1
+
+
+def poly_hash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """The dedup LCG coefficients reduced mod P (a forced nonzero)."""
+    a64, b64 = _minhash_coeffs(num_hashes)
+    return [a % P or 1 for a in a64], [b % P for b in b64]
+
+
+# --- engine-neutral expression builders ------------------------------------
+# Each takes the target engine's function names so the Spark operator and
+# the DuckDB oracle are generated from ONE definition of the arithmetic —
+# any drift between them would be a bug in exactly one place.
+
+
+def char_poly_expr(s: str, engine: str) -> str:
+    """Polynomial hash of a string's characters."""
+    if engine == "spark":
+        return (
+            f"aggregate(split({s}, ''), CAST(0 AS BIGINT), "
+            f"(h, c) -> (h * 131 + ascii(c)) % {P})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({s}) + 1), "
+        f"i -> CAST(unicode(substr({s}, i, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * 131 + c) % {P})"
+    )
+
+
+def grams_expr(text_col: str, k: int, engine: str) -> str:
+    """Token k-gram strings (whole doc if shorter than k tokens)."""
+    if engine == "spark":
+        toks = f"split(trim({text_col}), '\\\\s+')"
+        return (
+            f"CASE WHEN size({toks}) < {k} THEN array(concat_ws(' ', {toks})) "
+            f"ELSE transform(sequence(0, size({toks}) - {k}), "
+            f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) END"
+        )
+    toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    return (
+        f"CASE WHEN len({toks}) < {k} THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')) END"
+    )
+
+
+def perm_min_expr(sh: str, a: int, b: int, engine: str) -> str:
+    """min over shingle hashes of the universal permutation (a*h+b) mod P."""
+    fn = ("array_min", "transform") if engine == "spark" else ("list_min", "list_transform")
+    return f"{fn[0]}({fn[1]}({sh}, h -> ({a} * h + {b}) % {P}))"
+
+
+def band_bucket_expr(sh: str, a: list[int], b: list[int], engine: str) -> str:
+    """Fold a band's permutation minima into one bucket id:
+    acc = (acc * 131 + min_j) mod P."""
+    acc = perm_min_expr(sh, a[0], b[0], engine)
+    for j in range(1, len(a)):
+        acc = f"(({acc}) * 131 + {perm_min_expr(sh, a[j], b[j], engine)}) % {P}"
+    return acc
+
+
+def simhash_expr(th: str, nbits: int, engine: str) -> str:
+    """Majority-vote fingerprint over token hashes' low ``nbits`` bits."""
+    if engine == "spark":
+        return (
+            f"aggregate(transform(sequence(0, {nbits - 1}), "
+            f"b -> IF(2 * size(filter({th}, h -> ((h >> b) & 1) = 1)) > size({th}), "
+            f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_sum(list_transform(range(0, {nbits}), "
+        f"b -> CASE WHEN 2 * len(list_filter({th}, h -> ((h >> b) & 1) = 1)) "
+        f"> len({th}) THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+# --- Spark operators --------------------------------------------------------
+
+
+def _with_poly_shingle_hashes(
+    df: DataFrame, text_col: str, k: int, out: str
+) -> DataFrame:
+    g = grams_expr(text_col, k, "spark")
+    return df.withColumn(
+        out, F.expr(f"array_distinct(transform({g}, s -> {char_poly_expr('s', 'spark')}))")
+    )
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH banding candidates, portable-hash family. Same scale
+    shape as dedup.minhash_candidate_pairs: ONE shuffle on (band,
+    bucket), in-bucket pair expansion, ``max_bucket`` cap, distinct."""
+    a, b = poly_hash_coeffs(num_hashes)
+    rows = num_hashes // bands
+    sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "__sh")
+    buckets = ", ".join(
+        f"named_struct('band', {i}, 'bucket', "
+        f"{band_bucket_expr('__sh', a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], 'spark')})"
+        for i in range(bands)
+    )
+    banded = sh.select(
+        id_col, F.explode(F.expr(f"array({buckets})")).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        bucketed.select(
+            F.explode(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def portable_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over portable-minhash candidates (long-format
+    single-join verify, as in dedup.ngram_jaccard_pairs)."""
+    cands = portable_minhash_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "sh").select(
+        F.col(id_col).alias("__id"), "sh"
+    )
+    member = cands.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+    )
+    return (
+        member.join(sh, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def portable_simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    nbits: int = 28,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs, portable-hash family: 28-bit fingerprint
+    (7-bit x 4 pigeonhole chunks — any pair within Hamming 3 agrees on
+    some chunk), bit_count(xor) verify. Same one-shuffle bucket shape as
+    dedup.simhash_near_dup_pairs."""
+    cbits = nbits // chunks
+    th = f"transform(split(trim({text_col}), '\\\\s+'), t -> {char_poly_expr('t', 'spark')})"
+    fp = simhash_expr("__th", nbits, "spark")
+    sh = (
+        df.withColumn("__th", F.expr(th))
+        .withColumn("simhash", F.expr(fp))
+        .select(id_col, "simhash")
+    )
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), "
+                f"c -> named_struct('chunk', c, 'val', "
+                f"(simhash >> (c * {cbits})) & {(1 << cbits) - 1}))"
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    bucketed = (
+        chunked.groupBy("chunk", "val")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+                ),
+                1,
+                max_bucket,
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    pair = (
+        "flatten(transform(sequence(1, size(xs) - 1), "
+        "i -> transform(slice(xs, i + 1, size(xs) - i), "
+        "y -> named_struct('id_a', element_at(xs, i).id, 'id_b', y.id, "
+        "'hamming', bit_count(element_at(xs, i).simhash ^ y.simhash)))))"
+    )
+    return (
+        bucketed.select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

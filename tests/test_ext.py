@@ -510,3 +510,42 @@ def test_assign_dup_clusters_canonical(spark):
     }
     # exactly one canonical row per cluster
     assert sum(1 for c, is_can in out.values() if is_can) == 4
+
+
+def test_portable_minhash_finds_planted_near_dup(docs):
+    from bq_duckdb_spark.ext import dedup_portable as dp
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dp.portable_minhash_pairs(docs, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_portable_jaccard_matches_production_scores(docs):
+    from bq_duckdb_spark.ext import dedup_portable as dp
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dp.portable_jaccard_pairs(docs, "text", "doc_id", threshold=0.2).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2).collect()
+    }
+    # hash family changes candidate generation only marginally; on the
+    # planted pairs both paths agree on the exact Jaccard value
+    for k in ((1, 2), (1, 3)):
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_portable_simhash_exact_dup_zero_hamming(docs):
+    from bq_duckdb_spark.ext import dedup_portable as dp
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dp.portable_simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0  # identical docs: identical fingerprint
