@@ -190,3 +190,62 @@ def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus-prep (ingestion-time twins of ext/pipeline.py)
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a documents parquet directory — each new
+    file is an arriving corpus shard."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_repetition_filter(
+    docs: DataFrame, text_col: str = "text", ngram: int = 3, **thresholds
+) -> DataFrame:
+    """Ingestion-time Gopher repetition filtering: the batch operator is
+    map-only (per-row expressions, zero shuffles), so it composes with a
+    stream unchanged — stateless, append-mode, watermark-free."""
+    from bq_duckdb_spark.ext.pipeline import repetition_filter
+
+    return repetition_filter(docs, text_col, ngram=ngram, **thresholds)
+
+
+def decontaminate_each_batch(
+    heldout: DataFrame, text_col: str, id_col: str, n: int = 5, out_dir: str = ""
+):
+    """foreachBatch writer running the BATCH decontamination operator on
+    every arriving micro-batch (shard) against a static held-out set.
+
+    The per-doc contamination decision only needs the doc's own n-grams
+    and the static held-out set, so shard-at-a-time processing gives
+    exactly the batch answer — no cross-batch state. The held-out n-gram
+    table broadcasts inside each batch, same as the batch plan. This is
+    the idiomatic Structured Streaming shape for batch logic with joins
+    + aggregations per shard (foreachBatch), and the parquet sink makes
+    the output restart-safe (batch ids are transactional)."""
+    from bq_duckdb_spark.ext.pipeline import decontaminate
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        out = decontaminate(batch_df, heldout, text_col, id_col, n=n)
+        out.write.mode("append").parquet(out_dir)
+
+    return _write

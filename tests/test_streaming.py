@@ -256,3 +256,63 @@ def test_stream_dedup_exact_drops_in_watermark_duplicates(spark, tmp_path):
         assert counts == {1: 1, 2: 1, 3: 1}
     finally:
         q.stop()
+
+
+def test_stream_repetition_filter_matches_batch(spark, tmp_path):
+    from bq_duckdb_spark.ext.pipeline import repetition_filter
+    from bq_duckdb_spark.streaming import streams
+
+    rows = [
+        (1, "spam spam spam spam spam spam", "en", "s", 29),
+        (2, "all words here are fully distinct", "en", "s", 33),
+        (3, "loop loop loop loop once more now", "en", "s", 33),
+    ]
+    src = str(tmp_path / "docs_src")
+    batch = spark.createDataFrame(rows, streams.DOC_SCHEMA)
+    batch.write.parquet(src)
+
+    stream = streams.read_document_stream(spark, src)
+    q = streams.run_available_now(
+        streams.stream_repetition_filter(stream), "rep_filtered"
+    )
+    got = {r.doc_id for r in spark.sql("SELECT * FROM rep_filtered").collect()}
+    want = {r.doc_id for r in repetition_filter(batch, "text").collect()}
+    assert got == want and 2 in got and 1 not in got
+    q.stop()
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    from bq_duckdb_spark.ext.pipeline import decontaminate
+    from bq_duckdb_spark.streaming import streams
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    heldout = docs.filter(F.col("doc_id") % 7 == 0)
+
+    src = str(tmp_path / "corpus_src")
+    out = str(tmp_path / "clean_out")
+    ckpt = str(tmp_path / "ckpt")
+    # two files → two micro-batches (shard-at-a-time)
+    corpus.filter(F.col("doc_id") < 250).write.parquet(src)
+    corpus.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+
+    stream = streams.read_document_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            streams.decontaminate_each_batch(heldout, "text", "doc_id", n=5, out_dir=out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in decontaminate(corpus, heldout, "text", "doc_id", n=5)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
