@@ -63,10 +63,14 @@ def _banded_cte() -> str:
         dp.band_bucket_expr("sh", a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], "duckdb")
         for i in range(_BANDS)
     )
+    # the trailing QUALIFY mirrors the operator's max_bucket cap (the
+    # sorted collect_list slice keeps each bucket's 1000 SMALLEST ids)
     return (
         f"b AS (SELECT doc_id, [{buckets}] AS buckets FROM sh), "
         f"banded AS (SELECT doc_id, u.band, buckets[u.band + 1] AS bucket "
-        f"FROM b, UNNEST(range(0, {_BANDS})) AS u(band))"
+        f"FROM b, UNNEST(range(0, {_BANDS})) AS u(band) "
+        f"QUALIFY row_number() OVER (PARTITION BY u.band, buckets[u.band + 1] "
+        f"ORDER BY doc_id) <= 1000)"
     )
 
 
@@ -105,7 +109,10 @@ def _simhash_oracle() -> str:
         f"fp AS (SELECT doc_id, {fp} AS simhash FROM th), "
         f"ch AS (SELECT doc_id, simhash, u.chunk, "
         f"(simhash >> (u.chunk * 7)) & 127 AS val "
-        f"FROM fp, UNNEST(range(0, 4)) AS u(chunk)) "
+        f"FROM fp, UNNEST(range(0, 4)) AS u(chunk) "
+        # mirrors the operator's max_bucket cap (1000 smallest ids kept)
+        f"QUALIFY row_number() OVER (PARTITION BY u.chunk, "
+        f"(simhash >> (u.chunk * 7)) & 127 ORDER BY doc_id) <= 1000) "
         f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
         f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
         f"FROM ch a JOIN ch b USING (chunk, val) "
