@@ -223,9 +223,17 @@ def minhash_candidate_pairs(
     sig = with_minhash_signature(df, text_col, num_hashes, shingle_k).select(
         F.col(id_col), "signature"
     )
+    # explode_outer EVERYWHERE a computed array is exploded: plain
+    # explode triggers Catalyst's InferFiltersFromGenerate, which inserts
+    # a pre-Generate filter with the generating expression INLINED TWICE
+    # (size(expr) > 0 AND isnotnull(expr)) — the whole interpreted
+    # banding/pair expression then evaluates 3x per row (measured 8x
+    # slower on the shingle explode at sf0.1). The arrays here are never
+    # empty/null (transform over a literal sequence), so _outer is
+    # value-identical.
     banded = sig.select(
         id_col,
-        F.explode(
+        F.explode_outer(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> named_struct('band', b, 'bucket', "
@@ -238,8 +246,11 @@ def minhash_candidate_pairs(
         .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # _outer: the quadratic pair array must not be re-evaluated in an
+    # inferred filter (see banding comment); size("ids") > 1 above
+    # guarantees non-emptiness
     pairs = bucketed.select(
-        F.explode(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
+        F.explode_outer(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
     ).select("p.id_a", "p.id_b")
     return pairs.distinct() if dedup else pairs
 
@@ -294,7 +305,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"), "sh"
     )
     member = cands.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+        "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("__id")
     )
     return (
         member.join(sh, "__id")
@@ -334,7 +345,7 @@ def _ngram_jaccard_carry(
     banded = sig.select(
         id_col,
         F.col("__sh").alias("sh"),
-        F.explode(
+        F.explode_outer(  # never-empty computed array; see banding comment
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> named_struct('band', b, 'bucket', "
@@ -363,7 +374,7 @@ def _ngram_jaccard_carry(
         "/ size(array_union(element_at(xs, i).sh, y.sh))))))"
     )
     return (
-        bucketed.select(F.explode(F.expr(pair)).alias("p"))
+        bucketed.select(F.explode_outer(F.expr(pair)).alias("p"))
         .select("p.id_a", "p.id_b", "p.jaccard")
         .filter(F.col("jaccard") >= threshold)
         .groupBy("id_a", "id_b")
@@ -475,7 +486,7 @@ def embedding_near_dup_pairs(
         masks = [m for m in range(1 << nbits) if m.bit_count() <= max_hamming]
         probed = base.withColumn(
             "__probe",
-            F.explode(
+            F.explode_outer(  # never-empty computed array; see banding comment
                 F.expr(
                     f"transform(array({', '.join(f'{m}L' for m in masks)}), "
                     f"m -> lsh_bucket ^ m)"
@@ -523,7 +534,7 @@ def simhash_near_dup_pairs(
     chunked = sh.select(
         id_col,
         "simhash",
-        F.explode(
+        F.explode_outer(  # never-empty computed array; see banding comment
             F.expr(
                 "transform(sequence(0, 3), "
                 "c -> named_struct('chunk', c, 'val', "
@@ -551,7 +562,7 @@ def simhash_near_dup_pairs(
         "'hamming', bit_count(element_at(xs, i).simhash ^ y.simhash)))))"
     )
     return (
-        bucketed.select(F.explode(F.expr(pair)).alias("p"))
+        bucketed.select(F.explode_outer(F.expr(pair)).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
         # filter BEFORE the dedup shuffle: hamming is already computed
         # in-bucket, so only qualifying pairs cross the exchange

@@ -134,7 +134,10 @@ def portable_minhash_pairs(
         for i in range(bands)
     )
     banded = sh.select(
-        id_col, F.explode(F.expr(f"array({buckets})")).alias("bb")
+        # _outer: plain explode would inline all 32 perm-min scans into an
+        # inferred pre-Generate filter, tripling the dominant cost (see
+        # ext/dedup.py banding comment)
+        id_col, F.explode_outer(F.expr(f"array({buckets})")).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     bucketed = (
         banded.groupBy("band", "bucket")
@@ -143,7 +146,7 @@ def portable_minhash_pairs(
     )
     return (
         bucketed.select(
-            F.explode(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
+            F.explode_outer(F.expr(_bucket_pairs_expr("ids", "id_a", "id_b"))).alias("p")
         )
         .select("p.id_a", "p.id_b")
         .distinct()
@@ -166,7 +169,7 @@ def portable_jaccard_pairs(
         F.col(id_col).alias("__id"), "sh"
     )
     member = cands.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
+        "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("__id")
     )
     return (
         member.join(sh, "__id")
@@ -210,7 +213,7 @@ def portable_simhash_pairs(
     chunked = sh.select(
         id_col,
         "simhash",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 f"transform(sequence(0, {chunks - 1}), "
                 f"c -> named_struct('chunk', c, 'val', "
@@ -238,7 +241,7 @@ def portable_simhash_pairs(
         "'hamming', bit_count(element_at(xs, i).simhash ^ y.simhash)))))"
     )
     return (
-        bucketed.select(F.explode(F.expr(pair)).alias("p"))
+        bucketed.select(F.explode_outer(F.expr(pair)).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -73,12 +73,17 @@ def contaminated_ids(
     """
     ho = (
         _ngram_hashes(heldout, text_col, n, out="__g")
-        .select(F.explode("__g").alias("__g"))
+        .select(F.explode_outer("__g").alias("__g"))  # see note below
         .distinct()
     )
     hits = (
         _ngram_hashes(corpus, text_col, n, out="__g")
-        .select(F.col(id_col), F.explode("__g").alias("__g"))
+        # explode_outer: plain explode makes Catalyst infer a pre-Generate
+        # filter that re-evaluates the whole n-gram-hash expression twice
+        # more per row (8x slower measured at sf0.1); arrays are non-empty
+        # (whole-doc fallback), and a null text row explodes to a null gram
+        # that no equi-join can match — value-identical output.
+        .select(F.col(id_col), F.explode_outer("__g").alias("__g"))
         .join(F.broadcast(ho), "__g", "left_semi")
         .select(id_col)
         .distinct()

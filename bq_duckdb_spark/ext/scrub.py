@@ -44,10 +44,21 @@ def redact_pii(
 def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per URL occurrence: (original columns..., domain).
     Map-only explode; lowercased host part."""
-    return df.withColumn(
-        "domain",
-        F.explode(F.expr(f"regexp_extract_all({text_col}, 'https?://([^/\\\\s]+)', 1)")),
-    ).withColumn("domain", F.lower("domain"))
+    # explode_outer + null filter: plain explode makes Catalyst infer a
+    # pre-Generate filter that re-runs the regex twice more per row (the
+    # post-filter below references only the generated column, so the
+    # regex runs once); the null filter restores explode's drop of
+    # URL-free documents exactly.
+    return (
+        df.withColumn(
+            "domain",
+            F.explode_outer(
+                F.expr(f"regexp_extract_all({text_col}, 'https?://([^/\\\\s]+)', 1)")
+            ),
+        )
+        .filter(F.col("domain").isNotNull())
+        .withColumn("domain", F.lower("domain"))
+    )
 
 
 def strip_boilerplate(

@@ -113,9 +113,13 @@ def tf_idf(
     Spark job.
     """
     toks = _tokens(text_col)
+    # _outer + null filter: avoids the inferred pre-Generate filter that
+    # would run the tokenizing split twice more per row (see
+    # ext/dedup.py banding comment); the whitespace split of a non-null
+    # string is never empty, and null text reduces to the same drop.
     exploded = df.select(
-        F.col(id_col), F.explode(F.expr(toks)).alias("term")
-    )
+        F.col(id_col), F.explode_outer(F.expr(toks)).alias("term")
+    ).filter(F.col("term").isNotNull())
     doc_terms = exploded.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("term_count")
     )
@@ -165,11 +169,20 @@ def chunk_documents(
         f"transform(sequence(0, {n_chunks} - 1), "
         f"i -> concat_ws(' ', slice({toks}, i * {stride} + 1, {chunk_tokens})))"
     )
-    return df.select(
-        F.col(id_col),
-        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
-    ).withColumn(
-        "chunk_n_tokens", F.expr("CAST(size(split(chunk_text, ' ')) AS BIGINT)")
+    # posexplode_outer + null filter: keeps the chunking expression out
+    # of an inferred pre-Generate filter (it would be evaluated 3x per
+    # row; see ext/dedup.py banding comment). The transform always
+    # yields >= 1 chunk for non-null text, so only null-text rows (which
+    # plain posexplode also drops) are filtered.
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
+        )
+        .filter(F.col("chunk_text").isNotNull())
+        .withColumn(
+            "chunk_n_tokens", F.expr("CAST(size(split(chunk_text, ' ')) AS BIGINT)")
+        )
     )
 
 
