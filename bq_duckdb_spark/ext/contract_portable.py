@@ -56,7 +56,7 @@ def _sh_cte() -> str:
     )
 
 
-def _banded_cte() -> str:
+def _banded_cte(cap: int | None = 1000) -> str:
     a, b = dp.poly_hash_coeffs(_NUM_HASHES)
     rows = _NUM_HASHES // _BANDS
     buckets = ", ".join(
@@ -64,13 +64,18 @@ def _banded_cte() -> str:
         for i in range(_BANDS)
     )
     # the trailing QUALIFY mirrors the operator's max_bucket cap (the
-    # sorted collect_list slice keeps each bucket's 1000 SMALLEST ids)
+    # sorted collect_list slice keeps each bucket's ``cap`` SMALLEST
+    # ids); cross_corpus_near_dups has no cap, so its oracle passes None
+    qualify = (
+        f"QUALIFY row_number() OVER (PARTITION BY u.band, buckets[u.band + 1] "
+        f"ORDER BY doc_id) <= {cap}"
+        if cap
+        else ""
+    )
     return (
         f"b AS (SELECT doc_id, [{buckets}] AS buckets FROM sh), "
         f"banded AS (SELECT doc_id, u.band, buckets[u.band + 1] AS bucket "
-        f"FROM b, UNNEST(range(0, {_BANDS})) AS u(band) "
-        f"QUALIFY row_number() OVER (PARTITION BY u.band, buckets[u.band + 1] "
-        f"ORDER BY doc_id) <= 1000)"
+        f"FROM b, UNNEST(range(0, {_BANDS})) AS u(band) {qualify})"
     )
 
 
@@ -126,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": dedup_minhash_portable,
         "dedup_simhash_portable": dedup_simhash_portable,
         "dedup_jaccard_portable": dedup_jaccard_portable,
+        "dedup_incremental": dedup_incremental,
     }
 
 
@@ -134,4 +140,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_portable": _minhash_oracle(),
         "dedup_simhash_portable": _simhash_oracle(),
         "dedup_jaccard_portable": _jaccard_oracle(),
+        "dedup_incremental": _incremental_oracle(),
     }
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental dedup: docs with doc_id % 31 == 0 play
+    the incoming shard, the rest the existing corpus; the corpus never
+    shuffles (batch banding + shingles broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dp.cross_corpus_near_dups(
+        docs.filter(F.col("doc_id") % 31 != 0),
+        docs.filter(F.col("doc_id") % 31 == 0),
+        "text",
+        "doc_id",
+        threshold=0.3,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_k=_K,
+    )
+
+
+def _incremental_oracle() -> str:
+    return (
+        f"WITH {_sh_cte()}, {_banded_cte(cap=None)}, "
+        "pairs AS (SELECT DISTINCT a.doc_id AS corpus_id, b2.doc_id AS batch_id "
+        "FROM banded a JOIN banded b2 USING (band, bucket) "
+        "WHERE a.doc_id % 31 <> 0 AND b2.doc_id % 31 = 0) "
+        "SELECT p.corpus_id, p.batch_id, "
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard "
+        "FROM pairs p JOIN sh sa ON sa.doc_id = p.corpus_id "
+        "JOIN sh sb ON sb.doc_id = p.batch_id "
+        "WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.3"
+    )

@@ -246,3 +246,68 @@ def portable_simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental-ingestion dedup: near-dup pairs between an existing
+    CORPUS and an incoming BATCH (the shard being considered for
+    ingestion), portable-hash family.
+
+    Scale shape — the corpus NEVER shuffles: the batch's banded buckets
+    (and, for the verify, its shingle sets) are broadcast, so candidate
+    generation is a map-side hash probe of the corpus scan, and the only
+    shuffles move candidate pairs (batch-bounded). This is the shape an
+    ingestion pipeline needs at 100 TB: per arriving shard, one pass
+    over the corpus — or, with the banded corpus written partitioned by
+    (band, bucket) at rest (see operators/skew.py bucketing and the ANN
+    index writers), a pruned read of only the probed buckets.
+
+    Output: (corpus_id, batch_id, jaccard >= threshold).
+    """
+    a, b = poly_hash_coeffs(num_hashes)
+    rows = num_hashes // bands
+    buckets = ", ".join(
+        f"named_struct('band', {i}, 'bucket', "
+        f"{band_bucket_expr('__sh', a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], 'spark')})"
+        for i in range(bands)
+    )
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "__sh")
+        return sh.select(
+            F.col(id_col).alias(out_id),
+            F.col("__sh").alias(f"__sh_{out_id}"),
+            F.explode_outer(F.expr(f"array({buckets})")).alias("bb"),
+        ).select(out_id, f"__sh_{out_id}", "bb.band", "bb.bucket")
+
+    cb = banded(corpus, "corpus_id")
+    # batch side carries its shingle set through the broadcast so the
+    # verify needs no second pass over anything corpus-sized
+    bb = banded(batch, "batch_id")
+    cands = cb.join(F.broadcast(bb), ["band", "bucket"]).select(
+        "corpus_id", "batch_id", "__sh_corpus_id", "__sh_batch_id"
+    )
+    return (
+        cands.groupBy("corpus_id", "batch_id")
+        .agg(
+            F.first("__sh_corpus_id").alias("sh_a"),
+            F.first("__sh_batch_id").alias("sh_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "batch_id", "jaccard")
+    )

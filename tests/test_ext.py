@@ -563,3 +563,25 @@ def test_ngram_jaccard_carry_variant_equals_default(docs):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_cross_corpus_near_dups_semantics_and_plan(docs):
+    from bq_duckdb_spark.ext import dedup_portable as dp
+
+    corpus = docs.filter(F.col("doc_id") != 3)
+    batch = docs.filter(F.col("doc_id") == 3)  # near-dup of docs 1 and 2
+    out = dp.cross_corpus_near_dups(corpus, batch, "text", "doc_id", threshold=0.2)
+    got = {(r.corpus_id, r.batch_id): r.jaccard for r in out.collect()}
+    assert set(got) == {(1, 3), (2, 3)}
+    for v in got.values():
+        assert 0.2 <= v < 1.0
+    # the corpus side must reach the candidate join WITHOUT an exchange:
+    # batch banding broadcasts, so the probe is map-side. Plans print
+    # top-down, so everything BELOW the BroadcastHashJoin line is its
+    # input subtree — only broadcast exchanges may appear there (the one
+    # hash exchange, candidate-pair dedup, sits above the join).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
+    assert "BroadcastHashJoin" in final, plan
+    below_join = final.split("BroadcastHashJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below_join, plan
