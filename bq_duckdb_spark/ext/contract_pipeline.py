@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_stratified_sample": pipe_stratified_sample,
         "pipe_seeded_shuffle": pipe_seeded_shuffle,
         "pipe_repetition": pipe_repetition,
+        "pipe_quantile_curate": pipe_quantile_curate,
+        "pipe_vocab_topk": pipe_vocab_topk,
     }
 
 
@@ -196,4 +198,54 @@ def oracle_sql() -> dict[str, str]:
         "pipe_stratified_sample": _PIPE_STRATIFIED_SAMPLE_ORACLE,
         "pipe_seeded_shuffle": _PIPE_SEEDED_SHUFFLE_ORACLE,
         "pipe_repetition": _PIPE_REPETITION_ORACLE,
+        "pipe_quantile_curate": _PIPE_QUANTILE_CURATE_ORACLE,
+        "pipe_vocab_topk": _PIPE_VOCAB_TOPK_ORACLE,
     }
+
+
+def pipe_quantile_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative curation: keep each language's top 80% by
+    distinct-token ratio (rank-based cut — integer-exact)."""
+    from bq_duckdb_spark.ext.text import with_quality_scores
+
+    scored = with_quality_scores(_t(spark, sf_dir, "documents"))
+    return pipeline.quantile_curate(
+        scored, "distinct_ratio", "doc_id", "lang", keep_frac=0.8
+    ).select("doc_id", "lang", "distinct_ratio")
+
+
+_PIPE_QUANTILE_CURATE_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio
+  FROM documents
+)
+SELECT doc_id, lang, distinct_ratio FROM scored
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY distinct_ratio DESC, doc_id)
+        <= CEIL(count(*) OVER (PARTITION BY lang) * 0.8)
+"""
+
+
+def pipe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-50 vocabulary with deterministic tie-breaks."""
+    return pipeline.vocab_topk(
+        _t(spark, sf_dir, "documents"), "text", "lang", k=50
+    ).select("lang", "term", "term_count", F.col("rank").cast("long").alias("rank"))
+
+
+_PIPE_VOCAB_TOPK_ORACLE = r"""
+WITH terms AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT lang, term, count(*) AS term_count FROM terms GROUP BY lang, term
+)
+SELECT lang, term, term_count,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY term_count DESC, term) AS BIGINT) AS rank
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY term_count DESC, term) <= 50
+"""

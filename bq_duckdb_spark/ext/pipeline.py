@@ -304,3 +304,68 @@ def repetition_filter(
         & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
         & (F.col("top_ngram_frac") <= max_top_ngram_frac)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-relative curation
+# ---------------------------------------------------------------------------
+
+
+def quantile_curate(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    group_col: str,
+    keep_frac: float = 0.8,
+) -> DataFrame:
+    """Keep each group's top ``keep_frac`` fraction by score —
+    corpus-RELATIVE quality filtering (vs the fixed thresholds of
+    ext/text.py:curate). Rank-based rather than value-threshold-based,
+    so the cut is integer-exact and engine-portable: no float boundary
+    can flip a row between engines (a `score >= percentile(...)` filter
+    can, when the interpolated threshold differs in the last ulp).
+
+    Scale: one shuffle on the group column; per-group window is a
+    streaming row_number + a count, never a value buffer. Groups are
+    strata (language/source shards) — there is no global funnel, which
+    is also how a 100 TB pipeline curates: per shard, not globally.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * keep_frac))
+        .drop("__rk", "__n")
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Per-group vocabulary: the ``k`` most frequent tokens with counts
+    (ties broken alphabetically — deterministic). One explode + one
+    (group, term) count shuffle with map-side partial aggregation, then
+    a per-group top-k window over the (small) distinct-term table."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    # _outer: keeps the tokenizing split out of the inferred
+    # pre-Generate filter (see ext/dedup.py banding comment)
+    terms = df.select(
+        F.col(group_col), F.explode_outer(F.expr(toks)).alias("term")
+    ).filter(F.col("term").isNotNull())
+    counts = terms.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("term_count").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(group_col, "term", "term_count", F.col("__rk").alias("rank"))
+    )

@@ -137,3 +137,29 @@ def test_seeded_shuffle_no_single_partition_funnel(toy):
 
     # find the exchange feeding the local-rank window: must be range, not single
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan, plan
+
+
+def test_quantile_curate_per_group_fraction(spark):
+    rows = [(i, float(i), "a") for i in range(10)] + [(100 + i, float(i), "b") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "grp"])
+    kept = pipeline.quantile_curate(df, "score", "doc_id", "grp", keep_frac=0.8)
+    got = {r.grp: sorted(r2.doc_id for r2 in kept.filter(F.col("grp") == r.grp).collect())
+           for r in kept.select("grp").distinct().collect()}
+    # a: top ceil(10*0.8)=8 scores = ids 2..9; b: top ceil(5*0.8)=4 = 101..104
+    assert got["a"] == list(range(2, 10))
+    assert got["b"] == [101, 102, 103, 104]
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b c a b", "en"), (2, "c a", "en"), (3, "zz zz yy", "es")],
+        ["doc_id", "text", "lang"],
+    )
+    got = [
+        (r.lang, r.term, r.term_count, r.rank)
+        for r in pipeline.vocab_topk(df, "text", "lang", k=2)
+        .orderBy("lang", "rank")
+        .collect()
+    ]
+    # en: a=3, b=3 (tie broken alphabetically: a first), c=2 cut at k=2
+    assert got == [("en", "a", 3, 1), ("en", "b", 3, 2), ("es", "zz", 2, 1), ("es", "yy", 1, 2)]
