@@ -136,3 +136,67 @@ def test_ivf_topk_no_shuffle(q):
     a = audit_plan(q("sim_ivf_topk"))
     assert "TakeOrderedAndProject" in a.formatted
     assert a.exchanges == 0, f"IVF probe should not shuffle\n{a.formatted}"
+
+
+def test_pipe_repetition_map_only(q):
+    # Gopher repetition stats are per-row expressions: zero exchanges
+    a = audit_plan(q("pipe_repetition"))
+    assert a.exchanges == 0, a.formatted
+
+
+def test_pipe_decontaminate_corpus_never_shuffles(q):
+    # held-out n-grams broadcast; the corpus reaches the semi join with
+    # no exchange below it (plans print top-down: the join's subtree
+    # follows its line). Downstream exchanges move matched ids only.
+    df = q("pipe_decontaminate")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the n-gram probe is a LeftSemi broadcast join whose STREAMED side
+    # is the corpus n-gram stream: it must reach the join with no
+    # exchange. (The held-out side's distinct and the matched-id
+    # distinct both shuffle, but those move benchmark-sized /
+    # contaminated-row-sized data only.) The streamed child's lines sit
+    # between the join line and its Broadcast* child.
+    assert "LeftSemi, BuildRight" in plan, plan
+    after_join = plan.split("LeftSemi", 1)[1].splitlines()
+    streamed = []
+    for ln in after_join[1:]:
+        if "BroadcastQueryStage" in ln or "BroadcastExchange" in ln:
+            break
+        streamed.append(ln)
+    assert streamed and not any("Exchange" in ln for ln in streamed), plan
+
+
+def test_pipe_pack_sequences_single_group_shuffle_no_funnel(q):
+    a = audit_plan(q("pipe_pack_sequences"))
+    assert "SinglePartition" not in a.formatted, a.formatted
+    # one exchange: hash-partition by the group column for the window
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", a.formatted)) == 1, a.formatted
+    assert "hashpartitioning(lang" in a.formatted, a.formatted
+
+
+def test_pipe_vocab_topk_partial_aggregation(q):
+    # the (group, term) count must partial-aggregate map-side before its
+    # shuffle (HashAggregate appears above AND below the exchange)
+    import re
+
+    a = audit_plan(q("pipe_vocab_topk"))
+    assert "SinglePartition" not in a.formatted, a.formatted
+    # formatted-plan block ids are execution order: a HashAggregate block
+    # must run BEFORE the first Exchange (map-side partial aggregation)
+    blocks = dict(
+        (int(m.group(1)), m.group(2))
+        for m in re.finditer(r"\((\d+)\) (\w+)", a.formatted)
+    )
+    agg_ids = [i for i, op in blocks.items() if op == "HashAggregate"]
+    ex_ids = [i for i, op in blocks.items() if op == "Exchange"]
+    assert agg_ids and ex_ids, a.formatted
+    assert min(agg_ids) < min(ex_ids), a.formatted
+
+
+def test_pipe_quantile_curate_no_global_funnel(q):
+    a = audit_plan(q("pipe_quantile_curate"))
+    assert "SinglePartition" not in a.formatted, a.formatted
