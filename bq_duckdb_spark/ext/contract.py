@@ -678,6 +678,75 @@ GROUP BY lower(u) ORDER BY domain
 """
 
 
+
+
+def emb_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embeddings table (map-only).
+    qvec serialized to a comma string (the driver's canonicalizer
+    cannot factorize list cells, same as multimodal_features)."""
+    out = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("qvec")).alias("qvec_sig"),
+        "scale",
+    )
+
+
+# floor(x + 0.5) rounding is IEEE-deterministic in both engines (round()
+# is not: Spark rounds half-up on canonical strings, DuckDB on binary)
+_EMB_QUANTIZED_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, v,
+           greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS mx
+    FROM e
+)
+SELECT vec_id,
+       array_to_string(list_transform(v,
+           x -> CAST(floor(x * 127 / mx + 0.5) AS INT)), ',') AS qvec_sig,
+       mx / 127 AS scale
+FROM m
+"""
+
+
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over the int8-QUANTIZED table — integer dot
+    products, scales factor out of the ranking; the documented
+    query-vector fetch (see _query_vec) is the only driver job."""
+    return similarity.dequantize_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+_SIM_QUANTIZED_TOPK_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, v,
+           greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS mx
+    FROM e
+),
+qt AS (
+    SELECT vec_id,
+           list_transform(v, x -> floor(x * 127 / mx + 0.5)) AS qv
+    FROM m
+),
+q AS (SELECT qv AS qq FROM qt WHERE vec_id = 0)
+SELECT qt.vec_id,
+       list_dot_product(qt.qv, q.qq)
+       / (sqrt(list_dot_product(qt.qv, qt.qv)) * sqrt(list_dot_product(q.qq, q.qq)))
+           AS cosine
+FROM qt, q
+ORDER BY cosine DESC, qt.vec_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -760,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "emb_quantized": emb_quantized,
+        "sim_quantized_topk": sim_quantized_topk,
         "emb_mean_pool": emb_mean_pool,
         "text_tokens": text_tokens,
         "text_quality": text_quality,
@@ -784,6 +855,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
+        "emb_quantized": _EMB_QUANTIZED_ORACLE,
+        "sim_quantized_topk": _SIM_QUANTIZED_TOPK_ORACLE,
         "sim_ann_lsh": _lsh_ann_oracle(),
         "emb_mean_pool": _EMB_MEAN_POOL_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,

@@ -585,3 +585,20 @@ def test_cross_corpus_near_dups_semantics_and_plan(docs):
     assert "BroadcastHashJoin" in final, plan
     below_join = final.split("BroadcastHashJoin", 1)[1]
     assert "Exchange hashpartitioning" not in below_join, plan
+
+
+def test_quantize_embeddings_roundtrip_and_topk(vecs):
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(vecs).collect()}
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in vecs.collect()}
+    for vid, r in out.items():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        # dequantized error bounded by half a quantization step per dim
+        for x, q in zip(orig[vid], r.qvec):
+            assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
+    # quantized top-k still ranks the exact copy of vec 5 at the top
+    q = orig[5]
+    top = [
+        r.vec_id
+        for r in similarity.dequantize_cosine_topk(vecs, q, k=3).collect()
+    ]
+    assert top[0] == 5 and top[1] == 99
