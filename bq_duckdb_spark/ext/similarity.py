@@ -384,3 +384,50 @@ def dequantize_cosine_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse codebook.
+
+    Deterministic: initial centroids are the ``k`` lowest-id vectors
+    (no RNG — a retried run trains the identical codebook), assignment
+    ties break toward the lower cell id (ivf_assign's strict '>'), and
+    each round is one map-side assignment (centroid literals inlined
+    into the plan — no join) plus ONE groupBy shuffle computing the
+    per-cell mean via posexplode + (cell, pos) partial aggregation, so
+    no executor ever buffers a cell's vectors. Empty cells keep their
+    previous centroid. The per-round driver cost is k*dim floats —
+    the codebook, which is driver-sized by definition.
+
+    Returns the trained centroid list (plain floats) for ivf_assign /
+    write_ivf_index / ivf_topk.
+    """
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col=vec_col)
+        means = (
+            assigned.select("ivf_cell", F.posexplode(F.col(vec_col)).alias("p", "v"))
+            .groupBy("ivf_cell", "p")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(cents))}
+        for r in means:
+            new[r.ivf_cell][r.p] = float(r.m)
+        cents = [
+            [new[c][p] for p in sorted(new[c])] if new[c] else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents

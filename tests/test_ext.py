@@ -602,3 +602,28 @@ def test_quantize_embeddings_roundtrip_and_topk(vecs):
         for r in similarity.dequantize_cosine_topk(vecs, q, k=3).collect()
     ]
     assert top[0] == 5 and top[1] == 99
+
+
+def test_train_ivf_centroids_converges_and_deterministic(vecs):
+    import math
+
+    c1 = similarity.train_ivf_centroids(vecs, k=3, iters=4)
+    c2 = similarity.train_ivf_centroids(vecs, k=3, iters=4)
+    assert c1 == c2  # no RNG anywhere
+    assert len(c1) == 3 and all(len(c) == 8 for c in c1)
+
+    def inertia(cents):
+        assigned = similarity.ivf_assign(vecs, cents).collect()
+        tot = 0.0
+        for r in assigned:
+            c = cents[r.ivf_cell]
+            tot += sum((float(x) - y) ** 2 for x, y in zip(r.embedding, c))
+        return tot
+
+    c0 = similarity.train_ivf_centroids(vecs, k=3, iters=0)
+    # Lloyd's never increases inertia: trained codebook beats the init
+    assert inertia(c1) <= inertia(c0) + 1e-9
+    # trained centroids plug into the existing probe path
+    q = [float(x) for x in vecs.filter("vec_id = 5").first().embedding]
+    top = similarity.ivf_topk(vecs, q, c1, k=3, nprobe=2).collect()
+    assert top[0].vec_id in (5, 99)
