@@ -175,6 +175,82 @@ FROM gc
 
 
 # ---------------------------------------------------------------------------
+# span-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def pipe_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: 10-token spans, first corpus-wide
+    occurrence wins, docs reassembled from their surviving spans. The
+    oracle keys winners on the span VALUE (the default); hash_spans=True
+    is the 8-byte-shuffle-key scale path, pinned separately in tests."""
+    return pipeline.span_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=10
+    )
+
+
+_PIPE_SPAN_DEDUP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         CAST(ceil(len(t) / 10.0) AS INT) AS n_spans,
+         unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS span_pos,
+         unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                i -> array_to_string(list_slice(t, CAST(i * 10 + 1 AS INT),
+                                                CAST(i * 10 + 10 AS INT)), ' ')))
+             AS span
+  FROM toks
+),
+kept AS (
+  SELECT * FROM spans
+  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, span_pos) = 1
+)
+SELECT doc_id,
+       string_agg(span, ' ' ORDER BY span_pos) AS text,
+       min(n_spans) AS n_spans,
+       CAST(count(*) AS INT) AS kept_spans
+FROM kept GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-mixture materialization
+# ---------------------------------------------------------------------------
+
+# Per-source epoch weights exercising every branch: upsample with a
+# fractional extra epoch (src0, src1), keep-fraction downsample (src2),
+# drop entirely (src3), default weight 1.0 for the long tail.
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.5, "src2": 0.25, "src3": 0.0}
+_MIX_SEED = 11
+
+
+def pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture materialization (The Pile / Dolma style
+    per-source epoch factors): one output row per (doc, epoch), chosen
+    by the portable mix hash — never rand()."""
+    return pipeline.mixture_sample(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", _MIX_WEIGHTS,
+        seed=_MIX_SEED,
+    ).select("doc_id", "source", "epoch")
+
+
+def _mixture_oracle() -> str:
+    copies = pipeline.mixture_epochs_exprs(
+        "source", "doc_id", _MIX_WEIGHTS, seed=_MIX_SEED
+    )
+    return f"""
+WITH c AS (SELECT doc_id, source, ({copies}) AS copies FROM documents)
+SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch
+FROM c WHERE copies > 0
+"""
+
+
+_PIPE_MIXTURE_ORACLE = _mixture_oracle()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -188,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_repetition": pipe_repetition,
         "pipe_quantile_curate": pipe_quantile_curate,
         "pipe_vocab_topk": pipe_vocab_topk,
+        "pipe_span_dedup": pipe_span_dedup,
+        "pipe_mixture": pipe_mixture,
     }
 
 
@@ -200,6 +278,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_repetition": _PIPE_REPETITION_ORACLE,
         "pipe_quantile_curate": _PIPE_QUANTILE_CURATE_ORACLE,
         "pipe_vocab_topk": _PIPE_VOCAB_TOPK_ORACLE,
+        "pipe_span_dedup": _PIPE_SPAN_DEDUP_ORACLE,
+        "pipe_mixture": _PIPE_MIXTURE_ORACLE,
     }
 
 

@@ -369,3 +369,139 @@ def vocab_topk(
         .filter(F.col("__rk") <= k)
         .select(group_col, "term", "term_count", F.col("__rk").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """C4-style sub-document exact dedup (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 dedups three-sentence spans): split every
+    document into NON-overlapping ``n``-token spans, keep only the first
+    corpus-wide occurrence of each exact span (ordered by (id, position)),
+    and reassemble the surviving spans in original order. Documents whose
+    spans were all seen earlier disappear entirely.
+
+    Output: (id, text, n_spans, kept_spans) — ``text`` is the
+    deduplicated document; ``n_spans``/``kept_spans`` let callers filter
+    docs that lost most of their content.
+
+    Scale: two shuffles — one on the span key to pick winners (a
+    streaming row_number, never a buffer), one back on the doc id to
+    reassemble. With ``hash_spans=True`` the winner shuffle keys on
+    xxhash64(span) (8-byte keys instead of full span text — the 100 TB
+    path; a 2^-64 collision silently drops one span, the standard C4
+    trade). The oracle entry keys on the span VALUE so DuckDB agrees
+    exactly.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    nsp = f"CAST(ceil(size({toks}) / {n}.0) AS INT)"
+    spans = (
+        f"transform(sequence(0, {nsp} - 1), "
+        f"i -> array_join(slice({toks}, i * {n} + 1, {n}), ' '))"
+    )
+    # split('') yields [''] (size 1), so nsp >= 1 and sequence() never
+    # sees start > stop (Spark would count DOWN, not return empty).
+    # Two-step projection: n_spans and the span array are computed once
+    # per document below the Generate; exploding the array by attribute
+    # keeps the tokenizing split out of the per-span Project.
+    base = df.select(
+        F.col(id_col), F.expr(nsp).alias("n_spans"), F.expr(spans).alias("__spans")
+    )
+    exploded = base.select(
+        id_col, "n_spans", F.posexplode("__spans").alias("span_pos", "span")
+    )
+    key = F.xxhash64("span") if hash_spans else F.col("span")
+    w = Window.partitionBy(key).orderBy(id_col, "span_pos")
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(span_pos, span))), s -> s.span)"),
+        ).alias(text_col),
+        F.first("n_spans").alias("n_spans"),
+        F.count(F.lit(1)).cast("int").alias("kept_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-mixture materialization (epoch-weighted sampling)
+# ---------------------------------------------------------------------------
+
+
+def mixture_epochs_exprs(
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> str:
+    """Portable SQL expression (valid in Spark AND DuckDB — integer
+    arithmetic only) for the number of copies of a row under per-source
+    epoch weights: floor(w) guaranteed copies plus one more iff the
+    row's mix hash lands under frac(w) of the hash range. Fractions are
+    pre-scaled to integer thresholds driver-side, so no float ever
+    enters either engine."""
+    h = mix_hash_expr(id_col, seed)
+    branches = []
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {src!r}: {w}")
+        whole, thr = int(w), int(round((w - int(w)) * _MIX_MOD))
+        branches.append(
+            f"WHEN {source_col} = '{src}' THEN "
+            f"{whole} + (CASE WHEN ({h}) < {thr} THEN 1 ELSE 0 END)"
+        )
+    dw, dthr = int(default_weight), int(
+        round((default_weight - int(default_weight)) * _MIX_MOD)
+    )
+    default = f"{dw} + (CASE WHEN ({h}) < {dthr} THEN 1 ELSE 0 END)"
+    return "CASE " + " ".join(branches) + f" ELSE {default} END"
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Materialize a training mixture: per-source epoch weights where
+    w=2.5 means every doc appears twice and half the docs (chosen by
+    deterministic hash, not rand()) a third time; w=0.1 keeps 10%.
+    Emits one row per (doc, epoch) with ``epoch`` in [0, copies).
+
+    This is the standard mixture step of LLM data pipelines (e.g. The
+    Pile / Dolma publish exactly such per-source epoch factors) —
+    upsampling high-quality sources, downsampling crawl.
+
+    Scale: map-only — no shuffle, no rand() (reproducible under task
+    retry), sequence+explode per row is bounded by ceil(max weight)
+    copies. explode_outer + post-filter rather than explode: Catalyst's
+    InferFiltersFromGenerate would otherwise inline the CASE/hash
+    expression into a pre-Generate filter and evaluate it twice more
+    per row (see contaminated_ids note).
+    """
+    copies = mixture_epochs_exprs(source_col, id_col, weights, seed, default_weight)
+    # hoist the CASE/hash into its own projection so the generator's
+    # guard and sequence() both reference the attribute (one evaluation
+    # per row, and nothing for InferFiltersFromGenerate to inline)
+    base = df.withColumn("__copies", F.expr(copies))
+    epochs = "CASE WHEN __copies <= 0 THEN array() ELSE sequence(0, __copies - 1) END"
+    return (
+        base.withColumn("epoch", F.explode_outer(F.expr(epochs)))
+        .filter(F.col("epoch").isNotNull())
+        .withColumn("epoch", F.col("epoch").cast("int"))
+        .drop("__copies")
+    )

@@ -200,3 +200,29 @@ def test_pipe_vocab_topk_partial_aggregation(q):
 def test_pipe_quantile_curate_no_global_funnel(q):
     a = audit_plan(q("pipe_quantile_curate"))
     assert "SinglePartition" not in a.formatted, a.formatted
+
+
+def test_pipe_span_dedup_two_shuffles_no_funnel(q):
+    # winner pick shuffles on the span key, reassembly on the doc id —
+    # exactly two data exchanges (AQE may add stage-boundary reads),
+    # and no SinglePartition funnel anywhere
+    a = audit_plan(q("pipe_span_dedup"))
+    assert "SinglePartition" not in a.formatted, a.formatted
+    # each Exchange node matches twice in `formatted` (tree + detail block)
+    assert a.exchanges <= 4, f"span dedup should be two shuffles\n{a.formatted}"
+
+
+def test_pipe_mixture_map_only(q):
+    # epoch materialization is generate-over-scan: zero exchanges, and
+    # the copies CASE must not be re-inlined into a pre-Generate filter
+    # (the explode_outer pattern — see ext/pipeline.py:mixture_sample)
+    a = audit_plan(q("pipe_mixture"))
+    assert a.exchanges == 0, a.formatted
+    # outer explode renders as `explode(..., <input>, true, [epoch...])`
+    assert ", true, [epoch" in a.formatted, a.formatted
+    # the copies CASE is evaluated once, in a projection below the
+    # Generate — the generator and the post-filter reference only the
+    # projected attribute, never the hash arithmetic itself
+    import re
+    gen_block = re.search(r"\(\d+\) Generate.*?(?=\n\(\d+\))", a.formatted, re.DOTALL)
+    assert gen_block and "2654435761" not in gen_block.group(0), a.formatted
