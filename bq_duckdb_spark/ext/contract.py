@@ -98,6 +98,45 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-bounded cosine near-dup pruning — nearest of 4
+    fixed centroids (the first 4 embeddings) bounds the pair join to
+    within-cell, lower vec_id survives each near-dup pair. Deterministic
+    centroids + sequential-fold cosine → full DuckDB oracle."""
+    cents = [_query_vec(spark, sf_dir, i) for i in range(4)]
+    return dedup.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), cents, threshold=0.3
+    )
+
+
+_DEDUP_SEMANTIC_ORACLE = """
+WITH cents AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+           c.cid,
+           list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cv) AS s
+    FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, ev, cid FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ev, b.ev)
+          / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))
+          >= 0.3
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS ivf_cell FROM assigned a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS resolved into duplicate CLUSTERS + canonical-doc
     pick: LSH-gated embedding pairs -> hash-min connected components ->
@@ -825,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_semantic": dedup_semantic,
         "dedup_clusters": dedup_clusters,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
@@ -852,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_embedding": _DEDUP_EMBEDDING_ORACLE,
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
+        "dedup_semantic": _DEDUP_SEMANTIC_ORACLE,
         "dedup_clusters": _dedup_clusters_oracle(),
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,

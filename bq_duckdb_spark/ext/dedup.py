@@ -665,3 +665,53 @@ def assign_dup_clusters(
         .drop("node")
     )
     return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest coarse
+    centroid, compare pairs only WITHIN a cluster, and drop every vector
+    that has a higher-priority (lower-id) near-duplicate at cosine >=
+    ``threshold``. Returns the survivors as (id, ivf_cell).
+
+    The cluster assignment bounds the quadratic: with k clusters of
+    ~N/k vectors, candidate pairs fall from N^2 to N^2/k — the paper's
+    trick for running semantic dedup on web-scale corpora. ``centroids``
+    is the coarse codebook (train with
+    ext/similarity.py:train_ivf_centroids, or any offline k-means).
+
+    Scale: assignment is map-only; the pair join is an EQUI-join on the
+    cell id (one shuffle of the corpus; skewed cells are AQE skew-split);
+    the drop set (distinct id_b) shuffles matched ids only, and the final
+    anti-join broadcasts when the drop set is small. Deterministic for
+    fixed centroids — cosine uses the sequential double fold
+    (similarity.py:dot_expr), so the whole operator carries a full
+    DuckDB oracle.
+    """
+    from bq_duckdb_spark.ext.similarity import dot_expr, ivf_assign
+
+    norm = f"sqrt({dot_expr(vec_col, vec_col)})"
+    assigned = ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col=vec_col
+    ).withColumn("__n", F.expr(norm))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.expr(dot_expr(f"a.{vec_col}", f"b.{vec_col}")) / (
+        F.col("a.__n") * F.col("b.__n")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "ivf_cell")

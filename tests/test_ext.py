@@ -627,3 +627,23 @@ def test_train_ivf_centroids_converges_and_deterministic(vecs):
     q = [float(x) for x in vecs.filter("vec_id = 5").first().embedding]
     top = similarity.ivf_topk(vecs, q, c1, k=3, nprobe=2).collect()
     assert top[0].vec_id in (5, 99)
+
+
+def test_semantic_dedup_cluster_bounded(spark):
+    # two well-separated clusters on orthogonal axes; near-dups only
+    # within a cluster. Centroids = the axes themselves.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # cluster A, survives (lowest id)
+        (1, [0.99, 0.01, 0.0, 0.0]), # near-dup of 0 -> dropped
+        (2, [0.0, 1.0, 0.0, 0.0]),   # cluster B, survives
+        (3, [0.01, 0.99, 0.0, 0.0]), # near-dup of 2 -> dropped
+        (4, [0.6, 0.0, 0.8, 0.0]),   # cluster A but far from 0/1 -> survives
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {r.vec_id: r.ivf_cell for r in dedup.semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert out == {0: 0, 2: 1, 4: 0}
+    # vectors 0 and 3 have cosine 0.01/... tiny across clusters: even a
+    # trivially low threshold never compares ACROSS cells
+    out_low = {r.vec_id for r in dedup.semantic_dedup(df, cents, threshold=0.5).collect()}
+    assert 2 in out_low  # cluster B's canonical survives regardless of A
