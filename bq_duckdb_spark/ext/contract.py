@@ -256,6 +256,75 @@ LIMIT 10
 """
 
 
+_PQ_M = 8        # subvectors (64-dim embeddings -> 8 dims each)
+_PQ_KSUB = 4     # centroids per sub-codebook
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Deterministic PQ sub-codebooks from the seeded hyperplane
+    generator (similarity.py:_hyperplanes): m*ksub vectors of the
+    subvector dimension, reshaped to m codebooks of ksub centroids.
+    Literal codebooks are what make the PQ path oracle-checkable; a
+    production codebook comes from per-subspace k-means instead."""
+    from bq_duckdb_spark.ext.similarity import _hyperplanes
+
+    d = 64 // _PQ_M
+    flat = _hyperplanes(d, _PQ_M * _PQ_KSUB, seed=1234)
+    return [
+        [list(map(float, flat[j * _PQ_KSUB + c])) for c in range(_PQ_KSUB)]
+        for j in range(_PQ_M)
+    ]
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 by dot product: map-only encode
+    against literal sub-codebooks, driver-side query LUT, per-partition
+    k-heaps. Fully oracle-checked (deterministic codebooks + sequential
+    double folds on both engines)."""
+    return similarity.pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir, 0),
+        _pq_codebooks(),
+        k=10,
+    )
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of sim_pq_topk, generated from the same codebook
+    literals and expression builders (similarity.py:pq_code_exprs):
+    encode per subvector, then score as sum_j dot(query_sub_j,
+    centroid[code_j]) — the SQL computes each LUT entry with the same
+    sequential fold Python used to precompute it for Spark."""
+    from bq_duckdb_spark.ext.similarity import _flit, pq_code_exprs
+
+    cbs = _pq_codebooks()
+    d = 64 // _PQ_M
+    codes = pq_code_exprs("e.embedding", cbs, engine="duckdb")
+    code_cols = ", ".join(f"({c}) AS c{j}" for j, c in enumerate(codes))
+    terms = []
+    for j, cb in enumerate(cbs):
+        cb_lit = (
+            "[" + ", ".join("[" + ", ".join(_flit(x, "duckdb") for x in cent) + "]"
+                            for cent in cb) + "]"
+        )
+        terms.append(
+            f"list_dot_product(list_slice(q.qv, {j * d + 1}, {j * d + d}), "
+            f"list_extract({cb_lit}, c{j} + 1))"
+        )
+    score = " + ".join(terms)
+    return f"""
+WITH q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id = 0
+),
+coded AS (SELECT e.vec_id, {code_cols} FROM embeddings e)
+SELECT coded.vec_id, ({score}) AS pq_score
+FROM coded, q
+ORDER BY pq_score DESC, coded.vec_id
+LIMIT 10
+"""
+
+
 def _bucket_sql(v: str, dim: int = 64, nbits: int = 8, seed: int = 42) -> str:
     """DuckDB SQL expression for the nbits-bit hyperplane LSH bucket of
     list-of-double expression ``v`` — the exact planes Spark's
@@ -869,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_pq_topk": sim_pq_topk,
         "emb_quantized": emb_quantized,
         "sim_quantized_topk": sim_quantized_topk,
         "emb_mean_pool": emb_mean_pool,
@@ -896,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
+        "sim_pq_topk": _pq_oracle(),
         "emb_quantized": _EMB_QUANTIZED_ORACLE,
         "sim_quantized_topk": _SIM_QUANTIZED_TOPK_ORACLE,
         "sim_ann_lsh": _lsh_ann_oracle(),

@@ -431,3 +431,169 @@ def train_ivf_centroids(
             for c in range(len(cents))
         ]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ codes + asymmetric-distance search)
+# ---------------------------------------------------------------------------
+#
+# Jegou et al. 2011, "Product Quantization for Nearest Neighbor Search"
+# (IEEE TPAMI 33(1)): split each vector into m subvectors, quantize each
+# against its own small codebook, and rank with an asymmetric distance —
+# the query stays exact, stored vectors collapse to m small ints. At
+# 100 TB this stores a 64-dim float table as m=8 bytes/vector, and the
+# scan side of a search is pure integer code lookups against an m*ksub
+# LUT of query-to-centroid dots computed ONCE driver-side.
+#
+# Every expression below is emitted for BOTH engines from one builder
+# (the ext/dedup_portable.py pattern): sequential double folds and
+# literal codebooks make encode + search bit-identical in Spark and
+# DuckDB, so — unusually for ANN — the PQ path is fully oracle-checked.
+
+
+def pq_codebooks_from_vectors(
+    vectors: list[list[float]], m: int
+) -> list[list[list[float]]]:
+    """Build m sub-codebooks from ``len(vectors)`` training vectors by
+    splitting each at the subvector boundaries: codebooks[j][c] is
+    training vector c's j-th subvector. (A production codebook comes
+    from per-subspace k-means — train_ivf_centroids on the sliced
+    columns; this constructor is the deterministic-literal variant the
+    oracle entries use.)"""
+    if not vectors:
+        raise ValueError("pq_codebooks_from_vectors needs >= 1 training vector")
+    dim = len(vectors[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+    d = dim // m
+    return [
+        [[float(x) for x in v[j * d : (j + 1) * d]] for v in vectors]
+        for j in range(m)
+    ]
+
+
+def _flit(v: float, engine: str) -> str:
+    """A double literal that is CORRECTLY-ROUNDED text->double in both
+    engines: Spark's D-suffix parses the text as a double directly;
+    DuckDB's bare float literals are DECIMAL (a decimal->double detour
+    can be off by an ulp for 17-digit reprs), so cast from a string."""
+    if engine == "spark":
+        return f"{float(v)!r}D"
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _sub_dot(vec_col: str, j: int, d: int, centroid: list[float], engine: str) -> str:
+    """dot(subvector_j(vec), centroid) as a sequential double fold —
+    Spark's aggregate/zip_with and DuckDB's list_dot_product accumulate
+    left-to-right in double, so the results are bit-identical."""
+    lits = ", ".join(_flit(x, engine) for x in centroid)
+    if engine == "spark":
+        sub = f"slice({vec_col}, {j * d + 1}, {d})"
+        return dot_expr(sub, f"array({lits})")
+    sub = (
+        f"list_transform(list_slice({vec_col}, {j * d + 1}, {j * d + d}), "
+        f"x -> CAST(x AS DOUBLE))"
+    )
+    return f"list_dot_product({sub}, [{lits}])"
+
+
+def pq_code_exprs(
+    vec_col: str, codebooks: list[list[list[float]]], engine: str = "spark"
+) -> list[str]:
+    """Per-subvector nearest-centroid code expressions (one per j).
+    argmin over ||x_j - c||^2 = ||c||^2 - 2*x_j.c (the x_j norm is
+    constant across candidates); the fold keeps the FIRST index on ties
+    (strict '<') in both engines."""
+    d = len(codebooks[0][0])
+    out = []
+    for j, cb in enumerate(codebooks):
+        structs = []
+        for c, cent in enumerate(cb):
+            cnorm = sum(float(x) * float(x) for x in cent)
+            dist = (
+                f"{_flit(cnorm, engine)} - {_flit(2.0, engine)} "
+                f"* ({_sub_dot(vec_col, j, d, cent, engine)})"
+            )
+            if engine == "spark":
+                structs.append(f"named_struct('c', {c}, 'd', {dist})")
+            else:
+                structs.append(f"{{'c': {c}, 'd': {dist}}}")
+        if engine == "spark":
+            out.append(
+                "aggregate(array(" + ", ".join(structs) + "), "
+                "named_struct('c', -1, 'd', CAST('Infinity' AS DOUBLE)), "
+                "(acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).c"
+            )
+        else:
+            # list_reduce seeds with element 0 — same winner as the
+            # infinity-seeded fold under strict '<'
+            out.append(
+                "list_reduce([" + ", ".join(structs) + "], "
+                "(acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END).c"
+            )
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to their PQ codes: (id, pq_code array<int> of
+    length m). Map-only — the codebooks are plan literals, so encoding
+    a 100 TB table is a single codegen'd scan with no shuffle and no
+    driver round trips."""
+    codes = pq_code_exprs(vec_col, codebooks, engine="spark")
+    return df.select(
+        F.col(id_col), F.expr("array(" + ", ".join(codes) + ")").alias(out)
+    )
+
+
+def pq_adc_score_expr(
+    code_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    engine: str = "spark",
+) -> str:
+    """Asymmetric-distance score: sum_j LUT[j][code_j] where LUT[j][c] =
+    dot(query_j, codebooks[j][c]), computed driver-side in the same IEEE
+    doubles both engines use. The per-row work is m integer lookups and
+    m-1 adds in fixed order — bit-identical across engines."""
+    d = len(codebooks[0][0])
+    terms = []
+    for j, cb in enumerate(codebooks):
+        qsub = query_vec[j * d : (j + 1) * d]
+        lut = [
+            sum(float(a) * float(b) for a, b in zip(qsub, cent)) for cent in cb
+        ]
+        lits = ", ".join(_flit(v, engine) for v in lut)
+        if engine == "spark":
+            terms.append(f"element_at(array({lits}), {code_col}[{j}] + 1)")
+        else:
+            terms.append(f"list_extract([{lits}], {code_col}[{j + 1}] + 1)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k by dot product: encode (map-only), score
+    against the driver-side LUT, TakeOrderedAndProject per-partition
+    k-heaps — no shuffle, no global sort. In a real deployment the codes
+    are precomputed at rest (pq_encode + write) and the scan reads m
+    bytes per vector instead of the full float array."""
+    coded = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
+    score = pq_adc_score_expr("pq_code", query_vec, codebooks, engine="spark")
+    return (
+        coded.withColumn("pq_score", F.expr(score))
+        .select(id_col, "pq_score")
+        .orderBy(F.col("pq_score").desc(), F.col(id_col))
+        .limit(k)
+    )

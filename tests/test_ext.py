@@ -647,3 +647,29 @@ def test_semantic_dedup_cluster_bounded(spark):
     # trivially low threshold never compares ACROSS cells
     out_low = {r.vec_id for r in dedup.semantic_dedup(df, cents, threshold=0.5).collect()}
     assert 2 in out_low  # cluster B's canonical survives regardless of A
+
+
+def test_pq_encode_and_adc_ranking(vecs):
+    # codebooks trained from the first 4 vectors themselves: those 4
+    # vectors must encode to their own subvector indices and score
+    # highest against themselves
+    rows = [[float(x) for x in r.embedding] for r in vecs.orderBy("vec_id").limit(4).collect()]
+    cbs = similarity.pq_codebooks_from_vectors(rows, m=8)
+    coded = {r.vec_id: list(r.pq_code) for r in similarity.pq_encode(vecs, cbs).collect()}
+    for c, full in enumerate(rows):
+        assert coded[c] == [c] * 8, f"training vector {c} should pick itself"
+    # ADC top-1 for training vector 1's own query is vector 1's code
+    top = similarity.pq_topk(vecs, rows[1], cbs, k=3).collect()
+    assert top[0].vec_id in coded and coded[top[0].vec_id] == coded[1]
+    # deterministic across runs
+    again = similarity.pq_topk(vecs, rows[1], cbs, k=3).collect()
+    assert [(r.vec_id, r.pq_score) for r in again] == [
+        (r.vec_id, r.pq_score) for r in top
+    ]
+
+
+def test_pq_codebooks_validation():
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks_from_vectors([], m=4)
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks_from_vectors([[1.0, 2.0, 3.0]], m=2)

@@ -226,3 +226,11 @@ def test_pipe_mixture_map_only(q):
     import re
     gen_block = re.search(r"\(\d+\) Generate.*?(?=\n\(\d+\))", a.formatted, re.DOTALL)
     assert gen_block and "2654435761" not in gen_block.group(0), a.formatted
+
+
+def test_sim_pq_topk_map_only_kheap(q):
+    # PQ-ADC search: codebooks are plan literals, encode+score is one
+    # codegen'd scan, top-k is per-partition heaps — zero exchanges
+    a = audit_plan(q("sim_pq_topk"))
+    assert "TakeOrderedAndProject" in a.formatted
+    assert a.exchanges == 0, f"PQ search should not shuffle\n{a.formatted}"
