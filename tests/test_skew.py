@@ -157,3 +157,28 @@ def test_join_with_strategy_controls_physical_plan(spark, skewed_pair):
         assert j.count() == expected_rows
     with pytest.raises(ValueError, match="unknown join strategy"):
         join_with_strategy(fact, dim, "k", strategy="warp_drive")
+
+
+def test_pq_index_at_rest_codes_only_scan(spark):
+    """write_pq_index + pq_topk_indexed: the search table holds m ints
+    per vector; the query scan reads codes only (no embedding column
+    exists to read), no Exchange, and ranks identically to the direct
+    pq_topk over the raw vectors."""
+    from bq_duckdb_spark.ext import similarity
+
+    vecs, q = _unit_vecs(spark)
+    rows = [[float(x) for x in r.embedding]
+            for r in vecs.orderBy("vec_id").limit(4).collect()]
+    cbs = similarity.pq_codebooks_from_vectors(rows, m=4)
+    try:
+        similarity.write_pq_index(vecs, "emb_pq_idx", cbs)
+        probe = similarity.pq_topk_indexed(spark, "emb_pq_idx", q, cbs, k=5)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "ReadSchema" in plan and "embedding" not in plan, plan
+        direct = similarity.pq_topk(vecs, q, cbs, k=5)
+        assert [tuple(r) for r in probe.collect()] == [
+            tuple(r) for r in direct.collect()
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_pq_idx")
