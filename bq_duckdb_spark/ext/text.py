@@ -123,7 +123,15 @@ def tf_idf(
     doc_terms = exploded.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("term_count")
     )
-    doc_lens = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
+    # doc_len = sum of the doc's term counts — derived from doc_terms,
+    # NOT from a second explode of the corpus: the raw-token groupBy(id)
+    # would re-explode and shuffle every token occurrence, while this
+    # re-aggregates the (id, term) table (vocabulary-sized) and lets
+    # ReuseExchange share doc_terms' one shuffle across all three
+    # aggregates below.
+    doc_lens = doc_terms.groupBy(id_col).agg(
+        F.sum("term_count").alias("doc_len")
+    )
     n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
     term_df = doc_terms.groupBy("term").agg(
         F.countDistinct(id_col).alias("df_t")
