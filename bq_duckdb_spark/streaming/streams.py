@@ -249,3 +249,21 @@ def decontaminate_each_batch(
         out.write.mode("append").parquet(out_dir)
 
     return _write
+
+
+def stream_mixture(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Ingestion-time mixture materialization: the batch operator is a
+    deterministic map-only generate (hash-thresholded epoch counts, no
+    rand(), no state), so it composes with a stream unchanged —
+    stateless, append-mode, and replay-safe: a re-delivered shard
+    produces byte-identical (doc, epoch) rows, so downstream exact
+    dedup or idempotent sinks see no divergence."""
+    from bq_duckdb_spark.ext.pipeline import mixture_sample
+
+    return mixture_sample(docs, source_col, id_col, weights or {}, seed=seed)

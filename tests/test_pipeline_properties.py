@@ -123,3 +123,68 @@ def test_seeded_shuffle_is_always_a_permutation(spark, ids, seed):
     )
     want = {i: p for p, i in enumerate(keyed)}
     assert {r.doc_id: r.shuffle_pos for r in got} == want
+
+
+def _span_dedup_reference(docs, n):
+    """Single-machine C4-style span dedup: first occurrence of each
+    exact span (by (doc_id, pos)) survives."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = text.strip().split() if text.strip() else [""]
+        spans = [" ".join(toks[i : i + n]) for i in range(0, len(toks), n)]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        if kept:
+            out[doc_id] = (" ".join(kept), len(spans), len(kept))
+    return out
+
+
+span_corpora = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=9).map(
+            " ".join
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(span_corpora, st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_span_dedup_matches_reference(spark, docs, n):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text, r.n_spans, r.kept_spans)
+        for r in pipeline.span_dedup(df, "text", "doc_id", n=n).collect()
+    }
+    assert got == _span_dedup_reference(docs, n)
+
+
+@given(
+    st.lists(st.integers(0, 1_000), min_size=1, max_size=12, unique=True),
+    st.floats(0.0, 3.0).map(lambda w: round(w, 2)),
+    st.integers(0, 99),
+)
+@settings(**_SETTINGS)
+def test_mixture_sample_copies_law(spark, ids, w, seed):
+    """Every doc appears floor(w) or ceil(w) times, epochs are dense
+    0..copies-1, and the operator is deterministic."""
+    import math
+
+    df = spark.createDataFrame([(i, "s") for i in ids], ["doc_id", "source"])
+    got = pipeline.mixture_sample(df, "source", "doc_id", {"s": w}, seed=seed).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.doc_id, []).append(r.epoch)
+    lo, hi = math.floor(w), math.ceil(w)
+    for i in ids:
+        epochs = sorted(per.get(i, []))
+        assert len(epochs) in (lo, hi)
+        assert epochs == list(range(len(epochs)))

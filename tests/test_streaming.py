@@ -316,3 +316,34 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_mixture_matches_batch(spark, tmp_path):
+    from bq_duckdb_spark.ext.pipeline import mixture_sample
+    from bq_duckdb_spark.streaming import streams
+
+    rows = [
+        (i, "w " * (i % 5 + 1), "en", f"src{i % 3}", 10 + i) for i in range(30)
+    ]
+    src = str(tmp_path / "mix_src")
+    batch = spark.createDataFrame(rows, streams.DOC_SCHEMA)
+    batch.write.parquet(src)
+
+    weights = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    stream = streams.read_document_stream(spark, src)
+    q = streams.run_available_now(
+        streams.stream_mixture(stream, weights=weights, seed=5).select(
+            "doc_id", "source", "epoch"
+        ),
+        "mixture_stream",
+    )
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in spark.sql("SELECT * FROM mixture_stream").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.epoch)
+        for r in mixture_sample(batch, "source", "doc_id", weights, seed=5).collect()
+    )
+    assert got == want and len(got) > 0
+    q.stop()
