@@ -505,3 +505,32 @@ def mixture_sample(
         .withColumn("epoch", F.col("epoch").cast("int"))
         .drop("__copies")
     )
+
+
+def temperature_weights(
+    token_counts: dict[str, int | float],
+    alpha: float = 0.3,
+    total_epochs_budget: float | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights (multilingual-LM style, e.g.
+    XLM-R, Conneau et al. 2020, arXiv:1911.02116): sampling probability
+    p_i ∝ count_i^alpha flattens the source distribution (alpha=1 keeps
+    natural proportions, alpha=0 is uniform), converted to per-source
+    EPOCH factors for mixture_sample: epochs_i = p_i * budget / count_i,
+    where ``budget`` is the total token budget in units of corpus
+    tokens (defaults to the corpus size, i.e. one pass overall).
+
+    Driver-side pure math — source counts are a tiny groupBy-count
+    collect (one row per source), the codebook-sized driver round trip
+    this module's operators allow."""
+    if not token_counts:
+        return {}
+    if any(c <= 0 for c in token_counts.values()):
+        raise ValueError("token counts must be positive")
+    total = float(sum(token_counts.values()))
+    powed = {s: float(c) ** alpha for s, c in token_counts.items()}
+    z = sum(powed.values())
+    budget = total if total_epochs_budget is None else float(total_epochs_budget)
+    return {
+        s: (powed[s] / z) * budget / float(token_counts[s]) for s in token_counts
+    }

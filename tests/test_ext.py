@@ -673,3 +673,32 @@ def test_pq_codebooks_validation():
         similarity.pq_codebooks_from_vectors([], m=4)
     with pytest.raises(ValueError):
         similarity.pq_codebooks_from_vectors([[1.0, 2.0, 3.0]], m=2)
+
+
+def test_pq_recall_with_data_derived_codebooks(spark):
+    """QA bound: PQ-ADC with codebooks trained on a sample of the real
+    sf0.001 embeddings must keep >= 4 of the exact cosine top-10 in its
+    own top-10 (asymmetric distance preserves neighborhood structure)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    q = sample[0]
+    cbs = similarity.pq_codebooks_from_vectors(sample, m=8)
+    pq_ids = {r.vec_id for r in similarity.pq_topk(emb, q, cbs, k=10).collect()}
+    exact_ids = {r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    assert len(pq_ids & exact_ids) >= 4, (pq_ids, exact_ids)
+
+
+def test_semantic_dedup_with_trained_centroids(vecs):
+    """Composition: the k-means trainer's codebook plugs straight into
+    semantic_dedup; the exact duplicate pair (5, 99) must always resolve
+    to the lower id regardless of the trained cells."""
+    cents = similarity.train_ivf_centroids(vecs, k=3, iters=3)
+    out = {r.vec_id for r in dedup.semantic_dedup(vecs, cents, threshold=0.999).collect()}
+    assert 5 in out and 99 not in out  # identical copy drops, original stays
+    # the fixture hides a second exact pair: unit(seed) depends on
+    # seed mod 19, so vec 19 duplicates vec 0 — it must drop too
+    assert 0 in out and 19 not in out
+    assert len(out) == vecs.count() - 2  # nothing else is near-identical

@@ -226,3 +226,38 @@ def test_mixture_sample_default_weight_and_validation(spark):
     assert sorted((r.doc_id, r.epoch) for r in out) == [(1, 0), (1, 1), (2, 0)]
     with pytest.raises(ValueError):
         pipeline.mixture_sample(df, "source", "doc_id", {"known": -1.0})
+
+
+def test_temperature_weights_flatten_and_budget():
+    counts = {"big": 900, "small": 100}
+    # alpha=1: natural proportions -> every source runs exactly 1 epoch
+    nat = pipeline.temperature_weights(counts, alpha=1.0)
+    assert abs(nat["big"] - 1.0) < 1e-12 and abs(nat["small"] - 1.0) < 1e-12
+    # alpha=0: uniform sampling -> the small source is upsampled 900/100x
+    # harder than the big one, while the total token budget is conserved
+    uni = pipeline.temperature_weights(counts, alpha=0.0)
+    assert uni["small"] > 1.0 > uni["big"]
+    assert abs(uni["small"] / uni["big"] - 9.0) < 1e-9
+    spent = sum(uni[s] * counts[s] for s in counts)
+    assert abs(spent - 1000.0) < 1e-6
+    # intermediate alpha sits between; explicit budget scales linearly
+    mid = pipeline.temperature_weights(counts, alpha=0.3)
+    assert uni["small"] > mid["small"] > nat["small"]
+    double = pipeline.temperature_weights(counts, alpha=0.3, total_epochs_budget=2000)
+    assert abs(double["small"] - 2 * mid["small"]) < 1e-9
+    with pytest.raises(ValueError):
+        pipeline.temperature_weights({"s": 0})
+    assert pipeline.temperature_weights({}) == {}
+
+
+def test_temperature_weights_feed_mixture(spark):
+    rows = [(i, "src_big" if i < 90 else "src_small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = pipeline.temperature_weights({"src_big": 90, "src_small": 10}, alpha=0.0)
+    out = pipeline.mixture_sample(df, "source", "doc_id", w, seed=1).collect()
+    per = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + 1
+    # uniform sampling: each source contributes ~half the output docs
+    assert per["src_small"] > 90 * 0.3  # small source heavily upsampled
+    assert abs(per["src_big"] - 50) < 25
