@@ -24,8 +24,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        # parquet TIMESTAMP(NANOS) arrives as epoch-nanos long
-        # (spark.sql.legacy.parquet.nanosAsLong)
+        # ts has shipped as TIMESTAMP(NANOS) (epoch-nanos long under
+        # nanosAsLong) in some rounds and TIMESTAMP(MICROS) in others;
+        # read_event_stream probes the footer and adapts
         T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
@@ -40,14 +41,19 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream over an events parquet directory; ts normalized
     to a proper timestamp column for event-time semantics."""
+    from bq_duckdb_spark.testdata import normalize_event_ts
+
     # runtime-settable; required for TIMESTAMP(NANOS) parquet regardless
     # of how the caller built the session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    # file streams need an explicit schema; probe the footers with a
+    # metadata-only batch read so either physical ts type works
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(df)
 
 
 def windowed_counts(

@@ -20,8 +20,10 @@ def stream_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
+    from bq_duckdb_spark.testdata import normalize_event_ts
+
     df = spark.read.parquet(SRC)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(df)
 
 
 def test_windowed_counts_match_batch(spark, stream_dir, batch_events):
