@@ -791,6 +791,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(contract_portable.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier3
+
+        q.update(contract_tier3.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -847,6 +853,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark.ext import contract_portable
 
         o.update(contract_portable.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier3
+
+        o.update(contract_tier3.oracle_sql())
     except ImportError:
         pass
     return o

@@ -259,3 +259,63 @@ def with_fingerprint(
     return df.withColumn(
         "fingerprint", F.expr(f"array_min(transform({shingles}, s -> {gram_hash}))")
     )
+
+
+def ngram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model quality score — CCNet-style perplexity
+    filtering (Wenzek et al. 2020): train add-one-smoothed bigram counts
+    on the corpus itself, then score every document by its mean bigram
+    log-probability ``avg ln((c(w1,w2) + 1) / (c(w1) + V))``.  Low
+    scores mark incoherent/boilerplate text; a real pipeline thresholds
+    or quantile-curates on this column (compose with
+    ``pipeline.quantile_curate``).  Documents with fewer than two
+    tokens carry no bigram evidence and are dropped.
+
+    Scale notes (100 TB): every model table derives from ONE exploded
+    bigram frame — context counts c(w1) and the continuation vocabulary
+    V re-aggregate the (w1, w2) count table (vocabulary-sized), not the
+    corpus, so the token stream is shuffled exactly once.  Model joins
+    use their natural keys ((w1, w2), then w1) with no broadcast hint —
+    the vocabulary of a web corpus does not fit an executor, and AQE
+    still broadcasts when it genuinely does.  V is a lazy 1-row
+    aggregate cross-joined in (scalar broadcast), never a driver job.
+    """
+    toks = _tokens(text_col)
+    # guarded pair build: sequence(0, size-2) would generate a DESCENDING
+    # sequence for 1-token docs, so gate on size >= 2; explode_outer +
+    # null post-filter per the InferFiltersFromGenerate pitfall
+    pairs = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - 2), "
+        f"i -> struct({toks}[i] AS w1, {toks}[i + 1] AS w2)) END"
+    )
+    bg = (
+        df.select(F.col(id_col), F.explode_outer(F.expr(pairs)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(id_col, "p.w1", "p.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # context counts and vocabulary from the pair-count table: sum of a
+    # context's pair counts IS its bigram-context count, and distinct
+    # continuations are already unique per (w1, w2) row
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.select("w2").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    (F.col("c2") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+            ).alias("avg_logprob"),
+        )
+    )
