@@ -235,6 +235,29 @@ GROUP BY bg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# BPE subword tokenization (iterative trainer → rows-only, pinned in
+# tests/test_bpe.py against a pure-Python reference implementation)
+# ---------------------------------------------------------------------------
+
+
+def text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an 8-merge BPE vocabulary on the corpus (ext/bpe.py —
+    one word-frequency groupBy, then one pair-count shuffle + 1-row
+    argmax per merge), apply it map-only, and report per-document
+    subword counts.  Iterative (driver-looped) training is not
+    single-SQL-expressible, so this entry is rows-only; the merge
+    semantics are exact-matched against a reference implementation in
+    tests/test_bpe.py."""
+    from bq_duckdb_spark.ext.bpe import apply_bpe, train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe_merges(docs, n_merges=8)
+    return apply_bpe(docs, merges, "text").select(
+        "doc_id", F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -245,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": q_retention,
         "q_gapfill": q_gapfill,
         "text_perplexity": text_perplexity,
+        "text_bpe": text_bpe,
     }
 
 

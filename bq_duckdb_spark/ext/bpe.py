@@ -1,0 +1,132 @@
+"""Distributed byte-pair-encoding (BPE) vocabulary training and
+application (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units").
+
+Spark-first shape:
+- the trainer operates on the WORD-FREQUENCY table (one groupBy of the
+  corpus), never the raw token stream — the classic BPE formulation:
+  pair statistics are word-internal, so every round touches vocabulary-
+  sized data only;
+- each merge round is ONE pair-count shuffle plus a 1-row argmax
+  reduce; the winning pair (model-sized: two strings) comes back to the
+  driver, mirroring the Lloyd's-k-means trainer (similarity.py) where
+  the per-round driver payload is the model by definition;
+- merge application is a pure JVM higher-order fold (F.aggregate) —
+  map-only, no Python in the loop;
+- fully deterministic: no RNG, and the argmax tie-breaks on
+  (count DESC, left ASC, right ASC), so retries and reruns train the
+  identical merge table.
+
+At 100 TB: the corpus is touched once (word-frequency groupBy); all k
+rounds run over the distinct-word table (~100M rows for a web corpus —
+a few GB), with lineage truncated per round via localCheckpoint so the
+plan does not deepen with k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKENS = "split(trim({col}), '\\\\s+')"
+
+
+def _merge_fold(sym: Column, left: str, right: str) -> Column:
+    """Replace every non-overlapping left-to-right (left, right) symbol
+    pair with their concatenation — the standard greedy BPE merge, as a
+    single JVM aggregate fold over the symbol array.
+
+    The input column is referenced exactly ONCE: k stacked merges must
+    grow the expression linearly in k, not 5^k (a multi-reference fold
+    — size guard + slice + init — exploded the analyzed tree when
+    nested under apply_bpe's per-word transform).  The fold therefore
+    starts from an empty accumulator and uses try_element_at, which
+    yields NULL (not an ANSI error) while the accumulator is empty."""
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        is_pair = (F.try_element_at(acc, F.lit(-1)) == F.lit(left)) & (
+            x == F.lit(right)
+        )
+        return F.when(
+            is_pair,
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(sym, F.expr("CAST(array() AS ARRAY<STRING>)"), step)
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over whitespace tokens — the trainer's input table."""
+    toks = _TOKENS.format(col=text_col)
+    return (
+        df.select(F.explode_outer(F.expr(toks)).alias("word"))
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns
+    [(left, right, pair_count), ...] in merge order.  Stops early when
+    the best remaining pair occurs fewer than ``min_pair_count`` times
+    (weighted by word frequency)."""
+    words = word_frequencies(df, text_col).withColumn(
+        "s", F.split(F.col("word"), "")
+    )
+    # one truncation up front: the word-frequency shuffle happens once,
+    # not once per round
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            "CASE WHEN size(s) < 2 THEN array() "
+            "ELSE transform(sequence(0, size(s) - 2), "
+            "i -> struct(s[i] AS left, s[i + 1] AS right)) END"
+        )
+        best = (
+            words.select(F.explode_outer(F.expr(pairs)).alias("p"), "n")
+            .filter(F.col("p").isNotNull())
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
+        merges.append((left, right, cnt))
+        words = words.withColumn("s", _merge_fold(F.col("s"), left, right))
+        # truncate lineage so round k's plan is not k folds deep
+        words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def segment_word(sym: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Apply a learned merge list to a symbol array, in merge order —
+    k nested JVM folds, map-only."""
+    for left, right, _ in merges:
+        sym = _merge_fold(sym, left, right)
+    return sym
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize each document with the learned BPE vocabulary: flat
+    subword array per document (word-internal merges only, matching the
+    trainer).  Map-only — scales with input splits."""
+    toks = _TOKENS.format(col=text_col)
+    words = F.filter(F.expr(toks), lambda w: w != F.lit(""))
+    per_word = F.transform(words, lambda w: segment_word(F.split(w, ""), merges))
+    return df.withColumn(out_col, F.flatten(per_word))
