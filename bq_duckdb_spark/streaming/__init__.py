@@ -7,6 +7,7 @@ and a custom stateful operator via ``applyInPandasWithState``.
 """
 
 from bq_duckdb_spark.streaming.streams import (
+    click_attribution,
     read_event_stream,
     run_available_now,
     session_windows,
@@ -21,5 +22,6 @@ __all__ = [
     "session_windows",
     "stateful_user_stats",
     "stream_dedup_exact",
+    "click_attribution",
     "run_available_now",
 ]

@@ -184,6 +184,43 @@ def stream_dedup_exact(
     )
 
 
+def click_attribution(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: attribute every click to the view(s)
+    by the same user within ``horizon`` before it.
+
+    Both sides carry watermarks, so the join state is bounded: a
+    buffered view can be evicted once the click-side watermark passes
+    ``view_ts + horizon``, and vice versa — Spark derives the state
+    cleanup condition from the time-bound join predicate.  This is the
+    canonical scale shape for event-to-event correlation: an unbounded
+    stream join without a time bound would accumulate state forever.
+    Works identically on a batch DataFrame (the streamed result equals
+    the batch interval join — pinned in tests/test_streaming.py)."""
+    is_stream = events.isStreaming
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if is_stream:
+        v = v.withWatermark("view_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    cond = F.expr(
+        f"user_id = click_user_id AND click_ts > view_ts "
+        f"AND click_ts <= view_ts + INTERVAL {horizon}"
+    )
+    return v.join(c, cond, "inner").select(
+        "click_id", "view_id", "user_id", "view_ts", "click_ts"
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain all currently-available input into an in-memory sink and
     block until done — deterministic harness for tests/demos."""

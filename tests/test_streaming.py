@@ -349,3 +349,19 @@ def test_stream_mixture_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     q.stop()
+
+
+def test_click_attribution_stream_matches_batch(spark, stream_dir, batch_events):
+    stream = streaming.read_event_stream(spark, stream_dir)
+    streaming.run_available_now(
+        streaming.click_attribution(stream), "click_attr"
+    )
+    got = {
+        (r.click_id, r.view_id) for r in spark.table("click_attr").collect()
+    }
+    want = {
+        (r.click_id, r.view_id)
+        for r in streaming.click_attribution(batch_events).collect()
+    }
+    assert got == want
+    assert len(want) > 0
