@@ -235,6 +235,59 @@ GROUP BY bg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# z-order (Morton) clustering key
+# ---------------------------------------------------------------------------
+
+
+def _z_interleave_sql(r1: str, r2: str, bits: int) -> str:
+    """Bit-interleave expression shared verbatim by both engines —
+    plain 64-bit shifts/masks, matching operators/zorder.py's column
+    builder (col 0 → even bit positions, col 1 → odd)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({r1} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({r2} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (o_totalprice, o_custkey) — the clustering value
+    behind operators/zorder.py's data-skipping layout (the layout
+    effect itself is pinned in tests/test_zorder.py; this entry
+    oracle-checks the key arithmetic: min/max rank normalization is
+    IEEE double math and the interleave is integer shifts, so any
+    engine reproduces it bit-for-bit)."""
+    from bq_duckdb_spark.operators.zorder import with_zvalue
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return with_zvalue(orders, ["o_totalprice", "o_custkey"], bits=8).select(
+        "o_orderkey", "z"
+    )
+
+
+_Q_ZORDER_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo1,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi1,
+           CAST(min(o_custkey) AS DOUBLE) AS lo2,
+           CAST(max(o_custkey) AS DOUBLE) AS hi2
+    FROM orders
+),
+r AS (
+    SELECT o_orderkey,
+           least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo1)
+               / (hi1 - lo1) * 255.0) AS BIGINT), 0), 255) AS r1,
+           least(greatest(CAST(floor((CAST(o_custkey AS DOUBLE) - lo2)
+               / (hi2 - lo2) * 255.0) AS BIGINT), 0), 255) AS r2
+    FROM orders, b
+)
+SELECT o_orderkey, {_z_interleave_sql("r1", "r2", 8)} AS z FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE subword tokenization (iterative trainer → rows-only, pinned in
 # tests/test_bpe.py against a pure-Python reference implementation)
 # ---------------------------------------------------------------------------
@@ -269,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill": q_gapfill,
         "text_perplexity": text_perplexity,
         "text_bpe": text_bpe,
+        "q_zorder": q_zorder,
     }
 
 
@@ -278,4 +332,5 @@ def oracle_sql() -> dict[str, str]:
         "q_retention": _Q_RETENTION_ORACLE,
         "q_gapfill": _Q_GAPFILL_ORACLE,
         "text_perplexity": _TEXT_PERPLEXITY_ORACLE,
+        "q_zorder": _Q_ZORDER_ORACLE,
     }
