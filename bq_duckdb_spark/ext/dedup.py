@@ -18,12 +18,77 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# scan-parallelism widening
+# ---------------------------------------------------------------------------
+
+
+def widen_small_scan(
+    df: DataFrame,
+    target: int | None = None,
+    max_widen_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Restore task parallelism for tiny single-file corpora — a no-op on
+    the at-scale path.
+
+    A small corpus written as one parquet file with one row group scans
+    as ONE task, which serializes the (compute-heavy) shingle/signature
+    stages onto a single core; file-split tuning cannot help because
+    Spark assigns a row group to the one byte-range split containing its
+    midpoint. The only way to widen is a repartition — cheap here
+    precisely because the corpus is tiny (the round-2 mistake was the
+    opposite: probing ``df.rdd.getNumPartitions()`` per call, an RDD
+    conversion, and shuffling unconditionally, which at scale shuffles
+    the whole corpus).
+
+    This version decides driver-side from file metadata only (no Spark
+    job, no RDD conversion): if the scan already yields at least
+    ``target`` file splits, or the source totals more than
+    ``max_widen_bytes`` (scan splits then provide the parallelism and a
+    shuffle would be the bottleneck), or the inputs are not local files
+    we can stat, the frame is returned unchanged. Otherwise one
+    round-robin repartition to ``target`` (adjacent repartitions
+    collapse under Catalyst's CollapseRepartition, so composed operators
+    that each widen the same source still shuffle once).
+    """
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            path = f[len("file://"):] if f.startswith("file://") else f[len("file:"):]
+        elif "://" not in f:
+            path = f
+        else:  # remote object store: the scale path — leave untouched
+            return df
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df
+    max_pb = int(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        .lower().rstrip("b")
+    )
+    est_splits = max(len(files), total // max_pb)
+    if est_splits >= target or total > max_widen_bytes:
+        return df
+    return df.repartition(target)
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -169,10 +234,10 @@ def with_minhash_signature(
     Deterministic.
 
     No repartition here: hashing parallelism follows the parquet scan's
-    file splits (maxPartitionBytes), so a corpus big enough to need many
-    tasks arrives in many splits; a small single file is exactly the case
-    where one task wins (round-2 measured: a pre-repartition shuffle cost
-    +130% at sf0.1 and bought nothing at any size)."""
+    file splits (maxPartitionBytes) — at corpus scale that is already
+    full parallelism. Pipelines that must also handle tiny single-file
+    corpora widen the scan first via :func:`widen_small_scan` (a
+    metadata-only decision, no-op at scale)."""
     sig = _minhash_sig_udf(num_hashes)
     return (
         _with_shingle_hashes(df, text_col, shingle_k)
@@ -220,9 +285,9 @@ def minhash_candidate_pairs(
     get deduplication for free there and skip this extra shuffle).
     """
     rows = num_hashes // bands
-    sig = with_minhash_signature(df, text_col, num_hashes, shingle_k).select(
-        F.col(id_col), "signature"
-    )
+    sig = with_minhash_signature(
+        widen_small_scan(df), text_col, num_hashes, shingle_k
+    ).select(F.col(id_col), "signature")
     # explode_outer EVERYWHERE a computed array is exploded: plain
     # explode triggers Catalyst's InferFiltersFromGenerate, which inserts
     # a pre-Generate filter with the generating expression INLINED TWICE
@@ -288,6 +353,7 @@ def ngram_jaccard_pairs(
     # band, but the verify's groupBy(id_a, id_b) collapses duplicates
     # anyway — requesting distinct here would pay a whole extra shuffle
     # of the candidate set for nothing.
+    df = widen_small_scan(df)
     cands = minhash_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_k, dedup=False
     )
@@ -340,7 +406,7 @@ def _ngram_jaccard_carry(
     on the pair key dedups multi-band collisions (values identical, so
     ``first`` is deterministic)."""
     rows = num_hashes // bands
-    sh = _with_shingle_hashes(df, text_col, shingle_k, out="__sh")
+    sh = _with_shingle_hashes(widen_small_scan(df), text_col, shingle_k, out="__sh")
     sig = sh.withColumn("signature", _minhash_sig_udf(num_hashes)(F.col("__sh")))
     banded = sig.select(
         id_col,
@@ -530,7 +596,7 @@ def simhash_near_dup_pairs(
     UDF would run once per join side), no persist (leaks storage in a
     long-lived session). ``max_bucket`` caps pathological buckets.
     """
-    sh = with_simhash64(df, text_col).select(F.col(id_col), "simhash")
+    sh = with_simhash64(widen_small_scan(df), text_col).select(F.col(id_col), "simhash")
     chunked = sh.select(
         id_col,
         "simhash",

@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bq_duckdb_spark.ext.dedup import _bucket_pairs_expr, _minhash_coeffs
+from bq_duckdb_spark.ext.dedup import (
+    _bucket_pairs_expr,
+    _minhash_coeffs,
+    widen_small_scan,
+)
 
 P = 2147483647  # Mersenne prime 2^31 - 1
 
@@ -127,7 +131,7 @@ def portable_minhash_pairs(
     bucket), in-bucket pair expansion, ``max_bucket`` cap, distinct."""
     a, b = poly_hash_coeffs(num_hashes)
     rows = num_hashes // bands
-    sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "__sh")
+    sh = _with_poly_shingle_hashes(widen_small_scan(df), text_col, shingle_k, "__sh")
     buckets = ", ".join(
         f"named_struct('band', {i}, 'bucket', "
         f"{band_bucket_expr('__sh', a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], 'spark')})"
@@ -164,6 +168,7 @@ def portable_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over portable-minhash candidates (long-format
     single-join verify, as in dedup.ngram_jaccard_pairs)."""
+    df = widen_small_scan(df)
     cands = portable_minhash_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "sh").select(
         F.col(id_col).alias("__id"), "sh"
@@ -206,7 +211,7 @@ def portable_simhash_pairs(
     th = f"transform(split(trim({text_col}), '\\\\s+'), t -> {char_poly_expr('t', 'spark')})"
     fp = simhash_expr("__th", nbits, "spark")
     sh = (
-        df.withColumn("__th", F.expr(th))
+        widen_small_scan(df).withColumn("__th", F.expr(th))
         .withColumn("simhash", F.expr(fp))
         .select(id_col, "simhash")
     )
@@ -289,7 +294,10 @@ def cross_corpus_near_dups(
             F.explode_outer(F.expr(f"array({buckets})")).alias("bb"),
         ).select(out_id, f"__sh_{out_id}", "bb.band", "bb.bucket")
 
-    cb = banded(corpus, "corpus_id")
+    # widen is metadata-only and a no-op at scale, so "the corpus never
+    # shuffles" still holds where it matters; at tiny SF the round-robin
+    # exchange restores parallelism for the poly-hash stage
+    cb = banded(widen_small_scan(corpus), "corpus_id")
     # batch side carries its shingle set through the broadcast so the
     # verify needs no second pass over anything corpus-sized
     bb = banded(batch, "batch_id")
