@@ -797,6 +797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(contract_tier3.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier4
+
+        q.update(contract_tier4.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -859,6 +865,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tier3
 
         o.update(contract_tier3.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier4
+
+        o.update(contract_tier4.oracle_sql())
     except ImportError:
         pass
     return o

@@ -1,0 +1,186 @@
+"""Tier-4 driver-contract entries: retrieval and model-inference
+operators (BM25 keyword scoring, hashed-linear classifier inference,
+random-projection sketching) plus crawl-style URL canonicalization.
+Every entry carries a full DuckDB oracle.
+
+The classifier, projection, and URL entries are generated from
+engine-neutral expression builders (ext/retrieval.py, ext/scrub.py):
+the Spark operator and the DuckDB oracle share one definition of the
+arithmetic, so the oracle check pins the semantics, not a copy of them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import retrieval, scrub
+from bq_duckdb_spark.testdata import load_table as _t
+
+_BM25_TERMS = ["join", "window", "customer"]
+_EMB_DIM = 64
+_PROJ_DIM = 8
+_CLS_BUCKETS = 1024
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 of every document against a 3-term query. Rounded 4dp: the
+    per-term sum order differs across engines and ln() may differ in
+    final ulps between libm implementations."""
+    out = retrieval.bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25_r"))
+
+
+_TEXT_BM25_ORACLE = """
+WITH lens AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS doc_len
+    FROM documents
+),
+stats AS (
+    SELECT avg(doc_len) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM lens
+),
+matched AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ) WHERE term IN ('join', 'window', 'customer')
+),
+doc_tc AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tc
+    FROM matched GROUP BY doc_id, term
+),
+term_df AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM doc_tc GROUP BY term
+)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * tc * (1.2 + 1.0)
+                 / (tc + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))), 4)
+           AS bm25_r
+FROM doc_tc
+JOIN term_df USING (term)
+JOIN lens USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear classifier
+# ---------------------------------------------------------------------------
+
+
+def text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear inference over documents. prob
+    rounded 4dp (exp() libm ulps)."""
+    out = retrieval.classify_documents(
+        _t(spark, sf_dir, "documents"), n_buckets=_CLS_BUCKETS
+    )
+    return out.select(
+        "doc_id", F.round("prob", 4).alias("prob_r"), "label"
+    )
+
+
+def _text_classify_oracle() -> str:
+    score = retrieval.classifier_score_expr("text", _CLS_BUCKETS, "duckdb")
+    return f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-10.0 * ({score}))), 4) AS prob_r,
+       CAST(1.0 / (1.0 + exp(-10.0 * ({score}))) >= 0.5 AS INT) AS label
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# random projection
+# ---------------------------------------------------------------------------
+
+
+def emb_random_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection of the 64-d embeddings to 8 columns.
+    No rounding: both engines evaluate the identical fixed-order ± sum
+    of doubles, which is bitwise-reproducible (no libm calls)."""
+    return retrieval.random_projection(
+        _t(spark, sf_dir, "embeddings"), in_dim=_EMB_DIM, out_dim=_PROJ_DIM
+    )
+
+
+def _emb_random_proj_oracle() -> str:
+    exprs = retrieval.projection_exprs(
+        "embedding", _EMB_DIM, _PROJ_DIM, "duckdb"
+    )
+    cols = ",\n       ".join(f"{e} AS p{j}" for j, e in enumerate(exprs))
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+# messy planted URLs exercising every rule: mixed-case authority,
+# default port, trailing slash, tracking params in first/middle/last
+# position, fragment
+_PLANT_URL = (
+    "concat('HTTPS://WWW.Example', CAST(doc_id % 5 AS {int}), '.COM',"
+    " CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,"
+    " '/Path/', CAST(doc_id % 20 AS {int}),"
+    " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,"
+    " '?utm_source=feed&id=', CAST(doc_id % 7 AS {int}),"
+    " CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x' ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize planted messy URLs and count the resulting exact-dup
+    groups — the crawl-frontier URL-dedup shape (map-only canonicalize,
+    ONE shuffle on the canonical key)."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _PLANT_URL.format(int="STRING") + " AS url"
+    )
+    return (
+        scrub.canonicalize_urls(docs)
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _url_canonical_oracle() -> str:
+    canon = scrub.canonical_url_expr("url", "duckdb")
+    plant = _PLANT_URL.format(int="VARCHAR")
+    return f"""
+WITH planted AS (SELECT doc_id, {plant} AS url FROM documents)
+SELECT {canon} AS canon_url, count(*) AS n_dups
+FROM planted GROUP BY canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_bm25": text_bm25,
+        "text_classify": text_classify,
+        "emb_random_proj": emb_random_proj,
+        "url_canonical": url_canonical,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "text_bm25": _TEXT_BM25_ORACLE,
+        "text_classify": _text_classify_oracle(),
+        "emb_random_proj": _emb_random_proj_oracle(),
+        "url_canonical": _url_canonical_oracle(),
+    }

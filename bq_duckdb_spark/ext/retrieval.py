@@ -1,0 +1,215 @@
+"""Retrieval / model-inference operators for training-data pipelines:
+BM25 keyword scoring, hashed-linear (fastText-style) classifier
+inference, and random-projection dimensionality reduction.
+
+These extend the corpus surface beyond the reference's SQL operators
+(reference has no retrieval layer at all — its closest surface is the
+aggregate pipeline in src/executor/, which these reuse Spark-side as
+plain groupBy/join plans).
+
+Scale design:
+- BM25 filters the exploded token stream to the query's terms BEFORE any
+  aggregation, so every shuffle is proportional to query-term matches,
+  not corpus vocabulary; document length is a row-local expression (no
+  second explode); corpus statistics (avgdl, N) are 1-row aggregates
+  broadcast via crossJoin, never driver-side ``.first()`` jobs.
+- Classifier inference and random projection are MAP-ONLY (zero
+  shuffles): the ideal 100 TB shape — throughput scales with input
+  splits and nothing else.
+- The classifier's feature hash and the projection's sign matrix are
+  engine-neutral expression builders (one definition of the arithmetic
+  serves both the Spark operator and the DuckDB oracle — drift between
+  them would be a bug in exactly one place; see ext/dedup_portable.py).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext.dedup_portable import P, char_poly_expr
+from bq_duckdb_spark.ext.text import _tokens
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms.
+
+    idf uses the Lucene form ``ln(1 + (N - df + 0.5) / (df + 0.5))``
+    (always positive, saturates for rare terms). Returns one row per
+    document containing at least one query term: ``(id_col, bm25)``.
+
+    Scale: the exploded token stream is filtered to ``query_terms``
+    before the (id, term) count — the only vocabulary-sized shuffle a
+    naive formulation would pay is avoided entirely, and the surviving
+    frames are bounded by match counts, which AQE happily broadcasts.
+    ``doc_len`` is ``size(tokens)`` computed row-local on the base scan
+    (no second explode); ``avgdl``/``N`` are 1-row aggregates crossJoin-
+    broadcast so the whole plan is one Spark job.
+    """
+    toks = _tokens(text_col)
+    lens = df.select(
+        F.col(id_col), F.expr(f"CAST(size({toks}) AS DOUBLE)").alias("doc_len")
+    )
+    avg = lens.agg(
+        F.avg("doc_len").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    qlit = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    matched = (
+        df.select(F.col(id_col), F.explode_outer(F.expr(toks)).alias("term"))
+        .filter(F.expr(f"term IN ({qlit})"))
+    )
+    doc_tc = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tc")
+    )
+    term_df = doc_tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    idf = "ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))"
+    tf_part = f"tc * ({k1} + 1.0) / (tc + {k1} * (1.0 - {b} + {b} * doc_len / avgdl))"
+    return (
+        doc_tc.join(term_df, "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(avg))
+        .withColumn("__s", F.expr(f"({idf}) * ({tf_part})"))
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear classifier inference
+# ---------------------------------------------------------------------------
+
+
+def classifier_weight_coeffs(seed: int = 7) -> tuple[int, int]:
+    """Deterministic affine coefficients for the bucket→weight map."""
+    rng = random.Random(seed)
+    return rng.randrange(1, P), rng.randrange(P)
+
+
+def classifier_score_expr(
+    text_col: str, n_buckets: int, engine: str, seed: int = 7
+) -> str:
+    """Mean hashed-feature weight of a document's tokens — the linear
+    score of a fastText-style bag-of-buckets model, as ONE expression
+    valid in the target engine.
+
+    ``h(tok) = char_poly(tok) mod n_buckets``;
+    ``w(u) = ((a*u + c) mod P) / P - 0.5`` — a fixed pseudo-random
+    weight table evaluated analytically instead of materialized, so
+    inference needs no model broadcast at all. A trained model would
+    replace ``w`` with an ``element_at`` into a broadcast weight array;
+    the plan shape (map-only, zero shuffle) is identical.
+    """
+    a, c = classifier_weight_coeffs(seed)
+    if engine == "spark":
+        toks = f"split(trim({text_col}), '\\\\s+')"
+        h = char_poly_expr("t", "spark")
+        return (
+            f"aggregate(transform({toks}, "
+            f"t -> ((({h}) % {n_buckets}) * {a} + {c}) % {P} / CAST({P} AS DOUBLE) - 0.5), "
+            f"CAST(0 AS DOUBLE), (s, w) -> s + w, "
+            f"s -> s / size({toks}))"
+        )
+    toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    h = char_poly_expr("t", "duckdb")
+    return (
+        f"list_sum(list_transform({toks}, "
+        f"t -> ((({h}) % {n_buckets}) * {a} + {c}) % {P} / CAST({P} AS DOUBLE) - 0.5)) "
+        f"/ len({toks})"
+    )
+
+
+def classify_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """fastText-style inference: ``(id, prob, label)`` via a logistic
+    over the mean hashed-feature weight. Map-only — no shuffle, no UDF,
+    whole-stage codegen end to end; the 100 TB cost is exactly one scan.
+    """
+    score = classifier_score_expr(text_col, n_buckets, "spark", seed)
+    return df.select(
+        F.col(id_col),
+        F.expr(f"1.0 / (1.0 + exp(-10.0 * ({score})))").alias("prob"),
+    ).withColumn("label", (F.col("prob") >= 0.5).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# random projection
+# ---------------------------------------------------------------------------
+
+
+def projection_signs(in_dim: int, out_dim: int, seed: int = 11) -> list[list[int]]:
+    """Deterministic Achlioptas ±1 sign matrix (out_dim × in_dim)."""
+    rng = random.Random(seed)
+    return [
+        [rng.choice((1, -1)) for _ in range(in_dim)] for _ in range(out_dim)
+    ]
+
+
+def projection_exprs(
+    vec_col: str, in_dim: int, out_dim: int, engine: str, seed: int = 11
+) -> list[str]:
+    """One fixed-order sum expression per output dimension:
+    ``p_j = sum_i sign[j][i] * v[i] / sqrt(out_dim)``.
+
+    The sum order is identical in both engines (left-to-right fold of
+    the same literal expression), and ± sums of doubles carry no libm
+    dependence — the Spark result and the DuckDB oracle agree bitwise,
+    no rounding tolerance needed.
+    """
+    el = (
+        (lambda i: f"CAST(element_at({vec_col}, {i}) AS DOUBLE)")
+        if engine == "spark"
+        else (lambda i: f"CAST({vec_col}[{i}] AS DOUBLE)")
+    )
+    scale = 1.0 / math.sqrt(out_dim)
+    signs = projection_signs(in_dim, out_dim, seed)
+    out = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            (el(i + 1) if signs[j][i] > 0 else f"(0.0 - {el(i + 1)})")
+            for i in range(in_dim)
+        )
+        out.append(f"({terms}) * {scale!r}")
+    return out
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: project ``in_dim`` embeddings to
+    ``out_dim`` columns ``p0..p{out_dim-1}`` with a deterministic ±1
+    matrix. Map-only (zero shuffle); the projected table is the cheap
+    stand-in for the full embedding column in distance-based pipelines
+    (cluster assignment, coarse filtering) at 1/8th the width.
+    """
+    exprs = projection_exprs(vec_col, in_dim, out_dim, "spark", seed)
+    return df.select(
+        F.col(id_col),
+        *[F.expr(e).alias(f"p{j}") for j, e in enumerate(exprs)],
+    )

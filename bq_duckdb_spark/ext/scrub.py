@@ -111,3 +111,59 @@ def domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_urls"))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+# tracking params dropped by every crawl-dedup pipeline
+_TRACKING_PARAM_RE = "(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+
+
+# case-insensitive scheme+authority: spelled as character classes, not
+# an (?i) flag — the inline-flag syntax is Java-only, classes are
+# portable to RE2-family engines
+_SCHEME_AUTH_RE = "^[hH][tT][tT][pP][sS]?://[^/?#]+"
+
+
+def canonical_url_expr(url: str, engine: str = "spark") -> str:
+    """Canonical form of a URL as ONE expression built for the target
+    engine from shared pattern definitions (function names match; the
+    per-engine differences are exactly (a) DuckDB needs a 'g' flag for
+    replace-all where Spark always replaces all, and (b) replacement
+    backreferences — avoided entirely, $1 vs \\1).
+
+    Steps, in crawl-frontier order: strip fragment → drop tracking
+    params (then orphaned ?/& separators) → lowercase scheme+authority →
+    strip default ports → strip trailing slashes (root normalizes to
+    the bare authority). Used for URL-level dedup: two fetches of the
+    same logical resource canonicalize to the same key, so the dedup is
+    an exact groupBy — map-only per row, one shuffle on the canonical
+    key corpus-wide.
+    """
+    g = ", 'g'" if engine != "spark" else ""
+
+    def sub(s: str, pat: str, rep: str = "") -> str:
+        return f"regexp_replace({s}, '{pat}', '{rep}'{g})"
+
+    u = url
+    u = sub(u, "#.*$")
+    u = sub(u, _TRACKING_PARAM_RE)
+    u = sub(u, "[?&]+$")          # params were the tail
+    u = sub(u, "[?]&+", "?")      # first param dropped
+    u = sub(u, "&&+", "&")        # middle param dropped
+    # lowercase only scheme://host[:port] (the authority is
+    # case-insensitive per RFC 3986; the path is not)
+    auth = f"regexp_extract({u}, '({_SCHEME_AUTH_RE})', 1)"
+    auth = sub(f"lower({auth})", ":(443|80)$")
+    rest = sub(u, _SCHEME_AUTH_RE)
+    return sub(f"concat({auth}, {rest})", "/+$")
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Add the canonical form of ``url_col`` (see canonical_url_expr).
+    Map-only; zero shuffle."""
+    return df.withColumn(out_col, F.expr(canonical_url_expr(url_col)))

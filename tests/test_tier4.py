@@ -1,0 +1,179 @@
+"""Unit + plan-shape tests for the tier-4 operators: BM25 scoring,
+hashed-classifier inference, random projection, URL canonicalization."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import retrieval, scrub
+from bq_duckdb_spark.plans import audit_plan
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_term_frequency_monotone(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog fish bird"),
+            (3, "fish bird fish bird"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in retrieval.bm25_scores(df, ["cat"]).collect()
+    }
+    # doc 3 has no query term: absent; doc 1 repeats it: scores higher
+    assert set(got) == {1, 2}
+    assert got[1] > got[2] > 0
+
+
+def test_bm25_matches_hand_formula(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a b c"), (3, "b c")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in retrieval.bm25_scores(df, ["a"], k1=1.2, b=0.75).collect()
+    }
+    n, df_t, avgdl = 3.0, 2.0, 8.0 / 3.0
+    idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def s(tc, dl):
+        return idf * tc * 2.2 / (tc + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert got[1] == pytest.approx(s(1, 2))
+    assert got[2] == pytest.approx(s(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# hashed classifier
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} shared word") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: (r.prob, r.label) for r in retrieval.classify_documents(df).collect()}
+    b = {r.doc_id: (r.prob, r.label) for r in retrieval.classify_documents(df).collect()}
+    assert a == b
+    for prob, label in a.values():
+        assert 0.0 < prob < 1.0
+        assert label == int(prob >= 0.5)
+
+
+def test_classifier_engine_neutral_score(spark):
+    import duckdb
+
+    rows = [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s_spark = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            F.expr(retrieval.classifier_score_expr("text", 64, "spark")).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expr = retrieval.classifier_score_expr("text", 64, "duckdb")
+    s_duck = dict(con.sql(f"SELECT doc_id, {expr} FROM t").fetchall())
+    for k in s_spark:
+        assert s_spark[k] == pytest.approx(s_duck[k], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# random projection
+# ---------------------------------------------------------------------------
+
+
+def test_projection_linear_and_norm_preserving(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = retrieval.random_projection(df, in_dim=64, out_dim=8).collect()
+    proj = {r.vec_id: [r[f"p{j}"] for j in range(8)] for r in out}
+    # linearity: doubling the vector doubles the projection
+    df2 = spark.createDataFrame(
+        [(i, [2 * x for x in v]) for i, v in vecs], ["vec_id", "embedding"]
+    )
+    out2 = retrieval.random_projection(df2, in_dim=64, out_dim=8).collect()
+    for r in out2:
+        for j in range(8):
+            assert r[f"p{j}"] == pytest.approx(2 * proj[r.vec_id][j], rel=1e-9)
+    # JL: mean squared norm is preserved within 15% across the sample
+    in_sq = sum(sum(x * x for x in v) for _, v in vecs) / len(vecs)
+    out_sq = sum(sum(x * x for x in p) for p in proj.values()) / len(proj)
+    assert out_sq == pytest.approx(in_sq, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+_CASES = [
+    # mixed-case authority lowers; path case kept
+    ("HTTP://WWW.Foo.COM/Bar", "http://www.foo.com/Bar"),
+    # default ports stripped, non-default kept
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:8443/x", "https://a.com:8443/x"),
+    # tracking params dropped wherever they sit; real params survive
+    ("https://a.com/p?utm_source=x&id=1", "https://a.com/p?id=1"),
+    ("https://a.com/p?id=1&utm_campaign=y", "https://a.com/p?id=1"),
+    ("https://a.com/p?utm_a=1&id=2&gclid=z", "https://a.com/p?id=2"),
+    ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+    # fragments and trailing slashes gone; root normalizes bare
+    ("https://a.com/p/#sec", "https://a.com/p"),
+    ("https://a.com/", "https://a.com"),
+    ("https://a.com/a/b///", "https://a.com/a/b"),
+]
+
+
+def test_url_canonical_cases(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_CASES)], ["i", "url"]
+    )
+    got = {r.i: r.canon_url for r in scrub.canonicalize_urls(df).collect()}
+    for i, (u, want) in enumerate(_CASES):
+        assert got[i] == want, f"{u!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_url_canonical_idempotent(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_CASES)], ["i", "url"]
+    )
+    once = scrub.canonicalize_urls(df, out_col="c1")
+    twice = scrub.canonicalize_urls(once, url_col="c1", out_col="c2")
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# plan shape: inference and projection must be map-only
+# ---------------------------------------------------------------------------
+
+
+def test_inference_and_projection_zero_shuffle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert audit_plan(retrieval.classify_documents(docs)).exchanges == 0
+    assert (
+        audit_plan(retrieval.random_projection(embs, in_dim=64)).exchanges == 0
+    )
+    assert (
+        audit_plan(
+            scrub.canonicalize_urls(docs.selectExpr("doc_id", "text AS url"))
+        ).exchanges
+        == 0
+    )
