@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bq_duckdb_spark.ext import retrieval, scrub
+from bq_duckdb_spark.ext import graph, retrieval, scrub, text
 from bq_duckdb_spark.testdata import load_table as _t
 
 _BM25_TERMS = ["join", "window", "customer"]
@@ -164,6 +164,103 @@ FROM planted GROUP BY canon_url
 
 
 # ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # n-gram order: long enough to be specific, short enough
+# that the planted near-duplicates in the synthetic corpus collide
+
+
+def text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the held-out
+    eval set; corpus documents sharing any word 5-gram with it are
+    flagged with their distinct-hit counts."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.decontaminate(corpus, ev, n=_DECON_N)
+
+
+_TEXT_DECONTAM_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id,
+           concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+    FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), unnest(range(1, greatest(1, len(t) - {_DECON_N - 1}) + 1)) AS r(i)
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+body AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+SELECT doc_id, count(*) AS n_hits
+FROM body JOIN ev USING (gram)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group balanced sampling
+# ---------------------------------------------------------------------------
+
+_BALANCE_PER_GROUP = 50
+
+
+def corpus_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most 50 documents per language, selected by a stable
+    multiplicative hash (deterministic across runs and engines)."""
+    out = text.balance_corpus(
+        _t(spark, sf_dir, "documents"), per_group=_BALANCE_PER_GROUP
+    )
+    return out.select("doc_id", "lang")
+
+
+_CORPUS_BALANCE_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+) <= {_BALANCE_PER_GROUP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+
+def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: one row per term with document
+    frequency and the sorted posting list."""
+    return text.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_POSTINGS_ORACLE = """
+WITH exploded AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+)
+SELECT term, count(*) AS df_t,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM exploded GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-iteration PageRank over the per-user event-type transition
+    graph (damping 0.85, dangling mass redistributed uniformly)."""
+    edges = graph.transition_edges(_t(spark, sf_dir, "events"))
+    out = graph.pagerank(edges, iters=8)
+    return out.select("node", F.round("rank", 6).alias("rank_r"))
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -174,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classify": text_classify,
         "emb_random_proj": emb_random_proj,
         "url_canonical": url_canonical,
+        "text_decontam": text_decontam,
+        "corpus_balance": corpus_balance,
+        "text_postings": text_postings,
+        "graph_pagerank": graph_pagerank,
     }
 
 
@@ -183,4 +284,8 @@ def oracle_sql() -> dict[str, str]:
         "text_classify": _text_classify_oracle(),
         "emb_random_proj": _emb_random_proj_oracle(),
         "url_canonical": _url_canonical_oracle(),
+        "text_decontam": _TEXT_DECONTAM_ORACLE,
+        "corpus_balance": _CORPUS_BALANCE_ORACLE,
+        "text_postings": _TEXT_POSTINGS_ORACLE,
+        "graph_pagerank": graph.pagerank_oracle_sql(iters=8),
     }

@@ -7,7 +7,7 @@ higher-order folds) so the hot path codegens; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _STOPWORDS = {
@@ -318,4 +318,106 @@ def ngram_lm_score(
                 )
             ).alias("avg_logprob"),
         )
+    )
+
+
+def _ngrams(text_col: str, n: int) -> str:
+    """Word n-grams as strings: sliding windows joined by single spaces
+    (so differing whitespace runs canonicalize to the same n-gram)."""
+    toks = _tokens(text_col)
+    return (
+        f"transform(sequence(1, greatest(1, size({toks}) - {n - 1})), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with the evaluation set — the standard guard against
+    test-set leakage into training data. Returns
+    ``(id_col, n_hits)`` for contaminated documents only
+    (``n_hits`` = number of DISTINCT shared n-grams).
+
+    Scale: the eval side is benchmark-sized (thousands of documents),
+    so its distinct n-gram set is broadcast — the corpus-side explode
+    then joins map-side with ZERO corpus shuffles; the per-doc count is
+    a partial-agg groupBy on ``id_col``. A corpus-scale eval set would
+    flip the broadcast hint to a plain shuffle join; nothing else
+    changes.
+    """
+    grams = _ngrams(text_col, n)
+    ev = (
+        eval_set.select(F.explode_outer(F.expr(grams)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    body = (
+        corpus.select(F.col(id_col), F.explode_outer(F.expr(grams)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()  # count each shared gram once per doc
+    )
+    return (
+        body.join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def balance_corpus(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    per_group: int = 100,
+) -> DataFrame:
+    """Deterministic per-group downsampling: keep at most ``per_group``
+    rows per group, chosen by a multiplicative hash of the id (a stable
+    pseudo-random order — re-running on a grown corpus keeps a
+    consistent sample, unlike ``ORDER BY rand()``). The language-
+    balancing step of corpus assembly.
+
+    One shuffle (the per-group window); the hash sort key is computed
+    map-side. Skewed groups are exactly the case AQE's skew-join can't
+    help a window with, so at 100 TB you'd pre-filter obviously-over-
+    quota groups with a cheap count first; the operator itself stays
+    correct either way.
+    """
+    h = f"({id_col} * 2654435761) % 4294967296"
+    w = Window.partitionBy(group_col).orderBy(F.expr(h), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_group)
+        .drop("__rn")
+    )
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting lists: ``(term, df_t, postings)`` where postings is the
+    comma-joined sorted list of doc ids containing the term. The
+    retrieval-side inverse of tf_idf's doc-term table.
+
+    Scale: one explode + one groupBy(term) shuffle; the posting list is
+    built by array_sort(collect_list(...)) per term, bounded by document
+    frequency — a web-scale index would cap/page the hottest terms
+    (stopword df ~ N), which is a straight ``slice`` after the sort.
+    """
+    toks = _tokens(text_col)
+    exploded = (
+        df.select(F.col(id_col), F.explode_outer(F.expr(toks)).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .distinct()
+    )
+    return exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t"),
+        F.expr(
+            f"concat_ws(',', transform(array_sort(collect_list({id_col})), "
+            f"x -> CAST(x AS STRING)))"
+        ).alias("postings"),
     )

@@ -177,3 +177,96 @@ def test_inference_and_projection_zero_shuffle(spark):
         ).exchanges
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination / balancing / inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_only_overlaps(spark):
+    from bq_duckdb_spark.ext.text import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx the quick brown fox jumps yy"),   # shares 5-grams
+            (2, "totally different words here now"),  # clean
+            (3, "quick brown fox jumps over filler"), # shares 5-grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_hits for r in decontaminate(corpus, ev, n=5).collect()}
+    assert set(got) == {1, 3}
+    # doc 1 shares exactly "the quick brown fox jumps";
+    # doc 3 shares exactly "quick brown fox jumps over"
+    assert got[1] == 1
+    assert got[3] == 1
+
+
+def test_balance_corpus_caps_and_deterministic(spark):
+    from bq_duckdb_spark.ext.text import balance_corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(90)], ["doc_id", "lang"]
+    )
+    a = balance_corpus(df, per_group=10)
+    counts = {r.lang: r.c for r in a.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"en": 10, "de": 10}
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in balance_corpus(df, per_group=10).collect())
+    assert ids_a == ids_b
+    # growing the corpus keeps the hash-order prefix property: the kept
+    # set changes only where new ids hash earlier, never randomly
+    small = balance_corpus(df.filter(F.col("doc_id") < 45), per_group=10)
+    assert sorted(r.doc_id for r in small.collect()) != ids_a  # different pool
+
+
+def test_inverted_index_postings(spark):
+    from bq_duckdb_spark.ext.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "b a"), (1, "a b a"), (2, "b c")], ["doc_id", "text"]
+    )
+    got = {r.term: (r.df_t, r.postings) for r in inverted_index(df).collect()}
+    assert got == {
+        "a": (2, "1,3"),
+        "b": (3, "1,2,3"),
+        "c": (1, "2"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    from bq_duckdb_spark.ext.graph import pagerank
+
+    # star: everything links to 'hub', hub links to 'a' only
+    edges = spark.createDataFrame(
+        [("a", "hub", 1.0), ("b", "hub", 1.0), ("c", "hub", 1.0), ("hub", "a", 1.0)],
+        ["src", "dst", "w"],
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=20).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert got["hub"] == pytest.approx(max(got.values()))
+    assert got["b"] == pytest.approx(got["c"])
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from bq_duckdb_spark.ext.graph import pagerank
+
+    # 'sink' has no out-edges: its mass must be redistributed, keeping
+    # the distribution normalized
+    edges = spark.createDataFrame(
+        [("a", "sink", 1.0), ("b", "sink", 1.0), ("a", "b", 1.0)],
+        ["src", "dst", "w"],
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=25).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert got["sink"] == max(got.values())
