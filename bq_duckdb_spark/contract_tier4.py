@@ -260,6 +260,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank_r"))
 
 
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+
+
+def corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for target-distribution data selection:
+    every 50th document is the target sample; the rest of the corpus is
+    scored by hashed-n-gram log-likelihood ratio. Rounded 4dp (per-doc
+    ln-sum order differs across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 50 == 0)
+    bg = docs.filter(F.col("doc_id") % 50 != 0)
+    out = retrieval.dsir_weights(bg, tgt, n_buckets=_DSIR_BUCKETS)
+    return out.select("doc_id", F.round("dsir", 4).alias("dsir_r"))
+
+
+def _corpus_dsir_oracle() -> str:
+    feats = retrieval.feature_buckets_expr("text", _DSIR_BUCKETS, "duckdb")
+    b = float(_DSIR_BUCKETS)
+    return f"""
+WITH tfeat AS (
+    SELECT unnest({feats}) AS bucket FROM documents WHERE doc_id % 50 = 0
+),
+bfeat AS (
+    SELECT doc_id, unnest({feats}) AS bucket
+    FROM documents WHERE doc_id % 50 <> 0
+),
+tc AS (SELECT bucket, count(*) AS n_t FROM tfeat GROUP BY bucket),
+bc AS (SELECT bucket, count(*) AS n_b FROM bfeat GROUP BY bucket),
+tot AS (
+    SELECT (SELECT CAST(sum(n_t) AS DOUBLE) FROM tc) AS tot_t,
+           (SELECT CAST(sum(n_b) AS DOUBLE) FROM bc) AS tot_b
+),
+w AS (
+    SELECT COALESCE(tc.bucket, bc.bucket) AS bucket,
+           ln((COALESCE(n_t, 0) + 1.0) / (tot_t + 1.0 * {b!r}))
+           - ln((COALESCE(n_b, 0) + 1.0) / (tot_b + 1.0 * {b!r})) AS w
+    FROM tc FULL OUTER JOIN bc ON tc.bucket = bc.bucket CROSS JOIN tot
+)
+SELECT doc_id, round(sum(w), 4) AS dsir_r
+FROM bfeat JOIN w USING (bucket)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -275,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_balance": corpus_balance,
         "text_postings": text_postings,
         "graph_pagerank": graph_pagerank,
+        "corpus_dsir": corpus_dsir,
     }
 
 
@@ -288,4 +338,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_balance": _CORPUS_BALANCE_ORACLE,
         "text_postings": _TEXT_POSTINGS_ORACLE,
         "graph_pagerank": graph.pagerank_oracle_sql(iters=8),
+        "corpus_dsir": _corpus_dsir_oracle(),
     }

@@ -213,3 +213,101 @@ def random_projection(
         F.col(id_col),
         *[F.expr(e).alias(f"p{j}") for j, e in enumerate(exprs)],
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def feature_buckets_expr(text_col: str, n_buckets: int, engine: str) -> str:
+    """Hashed unigram+bigram feature buckets of a document as ONE
+    array expression for the target engine (the DSIR feature map:
+    Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public). Occurrences, not distinct: the weight of a
+    repeated n-gram counts every time."""
+    if engine == "spark":
+        toks = f"split(trim({text_col}), '\\\\s+')"
+        uni = f"transform(__t, t -> ({char_poly_expr('t', 'spark')}) % {n_buckets})"
+        big = (
+            f"CASE WHEN size(__t) < 2 THEN CAST(array() AS ARRAY<BIGINT>) "
+            f"ELSE transform(sequence(1, size(__t) - 1), i -> "
+            f"({char_poly_expr('concat(element_at(__t, i), chr(32), element_at(__t, i + 1))', 'spark')})"
+            f" % {n_buckets}) END"
+        )
+        # one-shot: bind the token array once via a lambda-let (transform
+        # over a single-element array), avoiding three re-splits
+        return (
+            f"flatten(transform(array({toks}), "
+            f"__t -> concat({uni}, {big})))"
+        )
+    toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    uni = f"list_transform(__t, t -> ({char_poly_expr('t', 'duckdb')}) % {n_buckets})"
+    # the bigram loop variable must NOT be named ``i``: char_poly_expr's
+    # DuckDB form internally binds a lambda ``i``, which would capture
+    # the outer index inside substr() and hash the wrong characters
+    # (silent wrong buckets, found by oracle mismatch)
+    big = (
+        f"CASE WHEN len(__t) < 2 THEN []::BIGINT[] "
+        f"ELSE list_transform(range(1, len(__t)), __bi -> "
+        f"({char_poly_expr('concat(__t[__bi], chr(32), __t[__bi + 1])', 'duckdb')})"
+        f" % {n_buckets}) END"
+    )
+    return (
+        f"flatten(list_transform([{toks}], "
+        f"__t -> list_concat({uni}, {big})))"
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document importance weight for target-distribution selection:
+    ``weight(d) = Σ_{f ∈ features(d)} ln p̂_target(f) − ln p̂_bg(f)``
+    with Laplace-smoothed hashed-n-gram bucket probabilities. Returns
+    ``(id_col, dsir)``; resampling keeps the top-weight (or
+    Gumbel-top-k) slice.
+
+    Scale: the weight table has at most ``n_buckets`` rows — broadcast
+    — so the corpus side is explode → map-side join → one groupBy
+    shuffle on ``id_col``. Bucket counts are one aggregation per corpus;
+    totals are 1-row aggregates folded in via crossJoin broadcast (no
+    driver jobs)."""
+    feats = feature_buckets_expr(text_col, n_buckets, "spark")
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        ex = df.select(F.explode_outer(F.expr(feats)).alias("bucket")).filter(
+            F.col("bucket").isNotNull()
+        )
+        return ex.groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
+
+    tc = bucket_counts(target, "n_t")
+    bc = bucket_counts(corpus, "n_b")
+    totals = (
+        tc.agg(F.sum("n_t").cast("double").alias("tot_t"))
+        .crossJoin(bc.agg(F.sum("n_b").cast("double").alias("tot_b")))
+    )
+    s, bb = float(smoothing), float(n_buckets)
+    weights = (
+        tc.join(bc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"ln((coalesce(n_t, 0) + {s}) / (tot_t + {s} * {bb}))"
+                f" - ln((coalesce(n_b, 0) + {s}) / (tot_b + {s} * {bb}))"
+            ).alias("w"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col), F.explode_outer(F.expr(feats)).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("dsir"))
+    )

@@ -270,3 +270,38 @@ def test_pagerank_dangling_mass_redistributed(spark):
     got = {r.node: r.rank for r in pagerank(edges, iters=25).collect()}
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
     assert got["sink"] == max(got.values())
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "physics quantum field theory lecture") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "physics quantum field notes"),      # target-like
+            (2, "celebrity gossip fashion news"),    # off-target
+            (3, "quantum theory lecture summary"),   # target-like
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.dsir
+        for r in retrieval.dsir_weights(corpus, target, n_buckets=256).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] > got[2]
+    assert got[3] > got[2]
+
+
+def test_dsir_weight_table_is_broadcast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 50 == 0)
+    bg = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = retrieval.dsir_weights(bg, tgt)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
