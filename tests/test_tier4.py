@@ -305,3 +305,81 @@ def test_dsir_weight_table_is_broadcast(spark):
     bg = docs.filter(F.col("doc_id") % 50 != 0)
     plan = retrieval.dsir_weights(bg, tgt)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+
+
+# ---------------------------------------------------------------------------
+# engine parity on randomized inputs (the "one definition" claim)
+# ---------------------------------------------------------------------------
+
+
+def _random_texts(n, seed):
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "Gamma", "x1", "йё", "a-b", "42", "q.w"]
+    return [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+        for i in range(n)
+    ]
+
+
+def test_feature_buckets_engine_parity_random(spark):
+    import duckdb
+
+    rows = _random_texts(60, seed=17)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {
+        r.doc_id: list(r.f)
+        for r in df.select(
+            "doc_id",
+            F.expr(retrieval.feature_buckets_expr("text", 512, "spark")).alias("f"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expr = retrieval.feature_buckets_expr("text", 512, "duckdb")
+    d = dict(con.sql(f"SELECT doc_id, {expr} FROM t").fetchall())
+    for k in s:
+        assert s[k] == list(d[k]), f"doc {k}: {rows[k][1]!r}"
+
+
+def test_url_canonical_engine_parity_random(spark):
+    import duckdb
+    import random
+
+    rng = random.Random(23)
+    hosts = ["A.com", "www.B.org:443", "c.net:80", "D.io:8080"]
+    paths = ["", "/", "/P/q", "/x/"]
+    qs = ["", "?utm_source=a", "?id=1&utm_b=2", "?utm_a=1&utm_b=2&z=3"]
+    frags = ["", "#f"]
+    rows = [
+        (
+            i,
+            f"http{'s' if rng.random() < 0.5 else ''}://"
+            + rng.choice(hosts) + rng.choice(paths) + rng.choice(qs)
+            + rng.choice(frags),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["i", "url"])
+    s = {r.i: r.canon_url for r in scrub.canonicalize_urls(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    canon = scrub.canonical_url_expr("url", "duckdb")
+    d = dict(con.sql(f"SELECT i, {canon} FROM t").fetchall())
+    for k in s:
+        assert s[k] == d[k], f"url {rows[k][1]!r}: {s[k]!r} vs {d[k]!r}"
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from bq_duckdb_spark.ext.text import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = (
+        decontaminate(corpus, ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
