@@ -255,6 +255,44 @@ _PIPE_MIXTURE_ORACLE = _mixture_oracle()
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# end-to-end corpus assembly
+# ---------------------------------------------------------------------------
+
+
+def pipe_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card stats for the assembled corpus: exact dedup ->
+    min-10-token gate -> deterministic 100-per-language balance ->
+    per-language doc/token/chunk accounting."""
+    out = pipeline.corpus_assembly_stats(_t(spark, sf_dir, "documents"))
+    return out.orderBy("lang")
+
+
+_PIPE_CORPUS_ASSEMBLY_ORACLE = """
+WITH t AS (
+    SELECT doc_id, lang, md5(text) AS h,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+    FROM documents
+),
+d1 AS (
+    SELECT * FROM t
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)
+),
+d2 AS (SELECT * FROM d1 WHERE nt >= 10),
+d3 AS (
+    SELECT * FROM d2
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+    ) <= 100
+)
+SELECT lang, count(*) AS n_docs, sum(nt) AS total_tokens,
+       sum(greatest(1, CAST(ceil((CAST(nt AS DOUBLE) - 32) / 24) AS BIGINT) + 1))
+           AS n_chunks
+FROM d3 GROUP BY lang ORDER BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipe_decontaminate": pipe_decontaminate,
@@ -266,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_vocab_topk": pipe_vocab_topk,
         "pipe_span_dedup": pipe_span_dedup,
         "pipe_mixture": pipe_mixture,
+        "pipe_corpus_assembly": pipe_corpus_assembly,
     }
 
 
@@ -280,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_vocab_topk": _PIPE_VOCAB_TOPK_ORACLE,
         "pipe_span_dedup": _PIPE_SPAN_DEDUP_ORACLE,
         "pipe_mixture": _PIPE_MIXTURE_ORACLE,
+        "pipe_corpus_assembly": _PIPE_CORPUS_ASSEMBLY_ORACLE,
     }
 
 

@@ -534,3 +534,49 @@ def temperature_weights(
     return {
         s: (powed[s] / z) * budget / float(token_counts[s]) for s in token_counts
     }
+
+
+def corpus_assembly_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    min_tokens: int = 10,
+    per_group: int = 100,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """End-to-end corpus assembly, accounted per language: exact dedup
+    (content-hash, keep lowest id) → minimum-length quality gate →
+    deterministic per-language balancing → chunk/token accounting.
+    Returns ``(group_col, n_docs, total_tokens, n_chunks)`` — the
+    numbers a dataset card reports for the assembled corpus.
+
+    One composition, three shuffles total: the dedup groupBy(content
+    hash), the balancing window on ``group_col``, and the final
+    per-group aggregate (the quality gate and chunk arithmetic are
+    row-local). Chunk counts use the SAME expression chunk_documents
+    explodes with (text.chunk_count_expr), so the accounting can never
+    drift from the actual splitter.
+    """
+    from bq_duckdb_spark.ext.dedup import exact_dedup
+    from bq_duckdb_spark.ext.text import _tokens, balance_corpus, chunk_count_expr
+
+    toks = _tokens(text_col)
+    deduped = exact_dedup(
+        df.withColumn("__h", F.md5(F.col(text_col))), ["__h"], id_col
+    ).drop("__h")
+    gated = deduped.withColumn(
+        "__nt", F.expr(f"CAST(size({toks}) AS BIGINT)")
+    ).filter(F.col("__nt") >= min_tokens)
+    balanced = balance_corpus(gated, group_col, id_col, per_group)
+    return (
+        balanced.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.sum(F.expr(chunk_count_expr("__nt", chunk_tokens, stride))).alias(
+                "n_chunks"
+            ),
+        )
+    )

@@ -151,6 +151,17 @@ def tf_idf(
     )
 
 
+def chunk_count_expr(n_tokens: str, chunk_tokens: int = 32, stride: int = 24) -> str:
+    """Number of overlapping token-window chunks for a document with
+    ``n_tokens`` tokens (engine-neutral arithmetic — used by
+    chunk_documents and by accounting queries that must agree with it
+    without exploding)."""
+    return (
+        f"greatest(1, CAST(ceil((CAST({n_tokens} AS DOUBLE) - {chunk_tokens}) "
+        f"/ {stride}) AS BIGINT) + 1)"
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -168,11 +179,7 @@ def chunk_documents(
     the ideal 100 TB shape (map-only, scales with input splits).
     """
     toks = _tokens(text_col)
-    n = f"size({toks})"
-    n_chunks = (
-        f"greatest(1, CAST(ceil((CAST({n} AS DOUBLE) - {chunk_tokens}) "
-        f"/ {stride}) AS INT) + 1)"
-    )
+    n_chunks = chunk_count_expr(f"size({toks})", chunk_tokens, stride)
     chunks = (
         f"transform(sequence(0, {n_chunks} - 1), "
         f"i -> concat_ws(' ', slice({toks}, i * {stride} + 1, {chunk_tokens})))"

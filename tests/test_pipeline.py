@@ -261,3 +261,40 @@ def test_temperature_weights_feed_mixture(spark):
     # uniform sampling: each source contributes ~half the output docs
     assert per["src_small"] > 90 * 0.3  # small source heavily upsampled
     assert abs(per["src_big"] - 50) < 25
+
+
+def test_corpus_assembly_stats(spark):
+    from bq_duckdb_spark.ext.pipeline import corpus_assembly_stats
+
+    rows = [
+        # two exact dups (keep id 1), one short doc (gated), rest pass
+        (1, "en", "one two three four five six seven eight nine ten"),
+        (2, "en", "one two three four five six seven eight nine ten"),
+        (3, "en", "too short"),
+        (4, "de", "eins zwei drei vier funf sechs sieben acht neun zehn elf"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r.lang: (r.n_docs, r.total_tokens, r.n_chunks)
+        for r in corpus_assembly_stats(df, per_group=10).collect()
+    }
+    # en: doc 1 only (dup dropped, short gated): 10 tokens -> 1 chunk
+    # de: doc 4: 11 tokens -> 1 chunk
+    assert got == {"en": (1, 10, 1), "de": (1, 11, 1)}
+
+
+def test_corpus_assembly_chunk_accounting_matches_splitter(spark):
+    from bq_duckdb_spark.ext.pipeline import corpus_assembly_stats
+    from bq_duckdb_spark.ext.text import balance_corpus, chunk_documents
+    from bq_duckdb_spark.ext.dedup import exact_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = corpus_assembly_stats(docs)
+    total_chunks = stats.agg(F.sum("n_chunks")).collect()[0][0]
+    # rebuild the same survivor set and actually explode it
+    surv = exact_dedup(docs.withColumn("__h", F.md5(F.col("text"))), ["__h"], "doc_id")
+    surv = surv.filter(F.expr("size(split(trim(text), '\\\\s+'))") >= 10)
+    surv = balance_corpus(surv, "lang", "doc_id", 100)
+    exploded = chunk_documents(surv).count()
+    assert total_chunks == exploded
