@@ -309,6 +309,35 @@ GROUP BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis of the events table's user_id — the
+    pre-flight check before joining events against a user dimension."""
+    from bq_duckdb_spark.operators.skew import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "events"), "user_id", top_k=10)
+
+
+_Q_KEY_SKEW_ORACLE = """
+WITH counts AS (
+    SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+           CAST(count(*) AS DOUBLE) AS n_keys
+    FROM counts
+)
+SELECT key, cnt, cnt / total AS pct, cnt / (total / n_keys) AS x_over_avg
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, key LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -325,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_postings": text_postings,
         "graph_pagerank": graph_pagerank,
         "corpus_dsir": corpus_dsir,
+        "q_key_skew": q_key_skew,
     }
 
 
@@ -339,4 +369,5 @@ def oracle_sql() -> dict[str, str]:
         "text_postings": _TEXT_POSTINGS_ORACLE,
         "graph_pagerank": graph.pagerank_oracle_sql(iters=8),
         "corpus_dsir": _corpus_dsir_oracle(),
+        "q_key_skew": _Q_KEY_SKEW_ORACLE,
     }

@@ -96,3 +96,38 @@ def bucketed_join_ready(spark, table_a: str, table_b: str, on: str | list[str]) 
     both exchanges when bucket specs line up."""
     keys = [on] if isinstance(on, str) else list(on)
     return spark.table(table_a).join(spark.table(table_b), on=keys)
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnosis: the ``top_k`` heaviest keys with their
+    share of the table and their multiple of the mean key frequency —
+    the numbers that decide between a plain shuffle join, AQE skew
+    handling, and explicit salting (salted_join above).
+
+    ``(key, cnt, pct, x_over_avg)``, heaviest first, ties broken by key
+    so the output is deterministic. One groupBy(key) shuffle (map-side
+    partial), then a TakeOrderedAndProject for the top-k and a 1-row
+    broadcast for the corpus totals — nothing driver-side, so it is
+    cheap to run as a pre-flight check before a big join.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") / F.col("total")).alias("pct"),
+            (F.col("cnt") / (F.col("total") / F.col("n_keys"))).alias("x_over_avg"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+    )

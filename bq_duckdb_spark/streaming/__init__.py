@@ -8,6 +8,7 @@ and a custom stateful operator via ``applyInPandasWithState``.
 
 from bq_duckdb_spark.streaming.streams import (
     click_attribution,
+    read_document_stream,
     read_event_stream,
     run_available_now,
     session_windows,
@@ -17,6 +18,7 @@ from bq_duckdb_spark.streaming.streams import (
 )
 
 __all__ = [
+    "read_document_stream",
     "read_event_stream",
     "windowed_counts",
     "session_windows",

@@ -182,3 +182,18 @@ def test_pq_index_at_rest_codes_only_scan(spark):
         ]
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_pq_idx")
+
+
+def test_key_skew_stats_identifies_heavy_hitter(spark):
+    from bq_duckdb_spark.operators.skew import key_skew_stats
+    from pyspark.sql import functions as F
+
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["i", "key"])
+    got = key_skew_stats(df, "key", top_k=3).collect()
+    assert got[0].key == "hot" and got[0].cnt == 50
+    assert got[0].pct == 0.5
+    # 51 distinct keys, mean freq 100/51; hot is 50/(100/51) = 25.5x
+    assert got[0].x_over_avg == 50 / (100 / 51)
+    # remaining rows are singletons, tie-broken by key
+    assert [r.key for r in got[1:]] == ["k1", "k11"]

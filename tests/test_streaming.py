@@ -365,3 +365,45 @@ def test_click_attribution_stream_matches_batch(spark, stream_dir, batch_events)
     }
     assert got == want
     assert len(want) > 0
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", str(d / "part-000.parquet")
+    )
+    return str(d)
+
+
+def test_streaming_classifier_matches_batch(spark, doc_stream_dir):
+    """Map-only tier-4 operators are streaming-safe as-is: the same
+    classify_documents call works on a readStream frame and emits
+    exactly the batch result (no state, no watermark needed)."""
+    from bq_duckdb_spark.ext.retrieval import classify_documents
+
+    stream = streaming.read_document_stream(spark, doc_stream_dir)
+    q = streaming.run_available_now(
+        classify_documents(stream), "cls_stream"
+    )
+    got = {r.doc_id: (r.prob, r.label) for r in spark.table("cls_stream").collect()}
+    batch = spark.read.parquet(doc_stream_dir)
+    want = {
+        r.doc_id: (r.prob, r.label) for r in classify_documents(batch).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_url_canonical_matches_batch(spark, doc_stream_dir):
+    from bq_duckdb_spark.ext.scrub import canonicalize_urls
+
+    stream = streaming.read_document_stream(spark, doc_stream_dir).selectExpr(
+        "doc_id", "concat('HTTPS://Ex.COM:443/p/', doc_id, '/?utm_a=1&k=', doc_id % 3) AS url"
+    )
+    q = streaming.run_available_now(canonicalize_urls(stream), "url_stream")
+    got = {r.doc_id: r.canon_url for r in spark.table("url_stream").collect()}
+    assert len(got) > 0
+    for doc_id, canon in got.items():
+        # the slash before '?' is path content, not a trailing slash —
+        # only end-of-string slashes are stripped
+        assert canon == f"https://ex.com/p/{doc_id}/?k={doc_id % 3}"
