@@ -1,0 +1,91 @@
+"""Sweep every driver-contract entry and audit its physical plan for
+scale anti-patterns. Run:
+
+    python tools/audit_plans.py [sf_dir] [name_prefix]
+
+Flags, per entry:
+- SinglePartition exchanges (a global funnel — the one shape that
+  cannot scale; documented exceptions are listed in _ALLOWED_GLOBAL)
+- CartesianProduct (never acceptable outside the intentional BNLJ
+  theta-join entries)
+- exchange / broadcast / sort-merge counts and codegen span count
+
+Exit code 1 if any UNEXPECTED anti-pattern is found, so this can run
+as a gate. This sweeps the LOGICAL contract surface only (plans are
+built, never executed — it finishes in seconds per entry).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# global-funnel exceptions: entries whose spec genuinely requires a
+# total order or global quantile, each documented + twinned with a
+# distributed variant in the contract (see COVERAGE.md)
+_ALLOWED_GLOBAL = {
+    "q03_shipping_priority",   # top-10 TakeOrderedAndProject output
+    "q_ntile",                 # BQ-semantics global NTILE; q_ntile_scalable is the scale twin
+    "q_percentiles",           # exact PERCENTILE_CONT; q_percentiles_approx is the twin
+    "q_running_total",         # global running sum per contract; windowed twin exists
+    "q_sample_split",          # global deterministic split boundary
+    "q_seeded_shuffle",        # global shuffle order by definition
+    # BOUNDED funnels — single partition receives O(#partitions) rows,
+    # never the data (inspected plans, see COVERAGE.md):
+    "q_cte_chain",             # WindowGroupLimit Partial prunes to top-100 per partition first
+    "q_ntile_scalable",        # funnels the per-partition COUNT table (1 row/partition)
+    "pipe_seeded_shuffle",     # same per-partition count-table offsets
+}
+
+# intentional nested-loop / cartesian entries (BNLJ theta joins)
+_ALLOWED_CARTESIAN = {"q_theta_join", "q_cross_join"}
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from bq_duckdb_spark import get_spark
+    from bq_duckdb_spark.plans import audit_plan
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark(app_name="plan-audit", cpus=8)
+    bad = 0
+    for name, fn in sorted(entry.queries().items()):
+        if not name.startswith(prefix):
+            continue
+        try:
+            a = audit_plan(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        single = len(re.findall(r"SinglePartition", a.formatted))
+        cartesian = len(re.findall(r"CartesianProduct", a.formatted))
+        # a global SCALAR aggregate legitimately funnels through a
+        # SinglePartition exchange — but it carries one pre-aggregated
+        # row per upstream partition, not the data (partial aggregation
+        # runs map-side). Each such aggregate prints "Keys: []" twice
+        # (partial + final); only funnels beyond that allowance are
+        # data-sized and flagged.
+        scalar_aggs = len(re.findall(r"Keys: \[\]", a.formatted)) // 2
+        flags = []
+        if single > scalar_aggs and name not in _ALLOWED_GLOBAL:
+            flags.append(f"SINGLE_PARTITION x{single - scalar_aggs}")
+        if cartesian and name not in _ALLOWED_CARTESIAN:
+            flags.append(f"CARTESIAN x{cartesian}")
+        status = "FLAG" if flags else "ok"
+        bad += bool(flags)
+        print(
+            f"{status:4} {name:28} exch={a.exchanges:2} bcast={a.broadcast_joins}"
+            f" smj={a.sortmerge_joins} bnlj={a.nested_loop_joins}"
+            f" codegen={a.codegen_spans:2}"
+            + ("  " + ", ".join(flags) if flags else "")
+        )
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
