@@ -102,3 +102,40 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into right-sized files — the
+    small-files compaction every long-lived table needs (a 100 TB table
+    accumulated from streaming micro-batches or per-task writes can hold
+    millions of KB-sized files; metadata handling alone then dominates
+    query planning).
+
+    File count is computed driver-side from the source's on-disk bytes
+    (stat only, no Spark job), then one round-robin repartition writes
+    ``ceil(bytes / target_file_bytes)`` files. ``sort_within_by``
+    optionally sorts WITHIN each output file (sortWithinPartitions — no
+    extra shuffle) so min/max row-group stats stay selective for the
+    given columns after compaction. Returns the output file count.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -85,3 +85,41 @@ def test_avro_gated(spark, tmp_path):
     from bq_duckdb_spark.sources import read_avro
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "nope.avro"))
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    from bq_duckdb_spark.sources.readers import compact_parquet
+
+    src = str(tmp_path / "small")
+    # 40 tiny files
+    spark.range(0, 4000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k"
+    ).repartition(40).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 40
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    files = glob.glob(dst + "/part-*")
+    assert n == 1 and len(files) == 1
+    # content preserved exactly
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def test_compact_parquet_sort_within_keeps_stats_selective(spark, tmp_path):
+    from bq_duckdb_spark.sources.readers import compact_parquet
+
+    src = str(tmp_path / "unsorted")
+    spark.range(0, 5000).selectExpr("id", "id % 100 AS k").repartition(
+        10
+    ).write.parquet(src)
+    dst = str(tmp_path / "sorted")
+    compact_parquet(
+        spark, src, dst, target_file_bytes=1 << 30, sort_within_by=["id"]
+    )
+    # sorted within the single output file: first rows ascend
+    got = [r.id for r in spark.read.parquet(dst).limit(50).collect()]
+    assert got == sorted(got)
