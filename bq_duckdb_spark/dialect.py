@@ -450,6 +450,10 @@ _SIMPLE_FUNC_RENAMES = {
     "COUNTIF": "count_if",
     "LOGICAL_AND": "bool_and",
     "LOGICAL_OR": "bool_or",
+    # NET.* URL functions (functions/bigquery.py supplies the bodies;
+    # the dot cannot appear in a Spark function name)
+    "NET.HOST": "NET_HOST",
+    "NET.REG_DOMAIN": "NET_REG_DOMAIN",
     # BigQuery FORMAT is C-style %-formatting — exactly format_string
     "FORMAT": "format_string",
     # SAFE_ arithmetic returns NULL instead of erroring on overflow —
@@ -675,7 +679,10 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
         # outside string literals only: common-word names (SPLIT, FORMAT,
         # ARRAY_CONCAT, ...) must never corrupt literal data like "SPLIT("
         for src, dst in _SIMPLE_FUNC_RENAMES.items():
-            segment = re.sub(rf"\b{src}\s*\(", f"{dst}(", segment, flags=re.IGNORECASE)
+            # re.escape: dotted names like NET.HOST must not wildcard
+            segment = re.sub(
+                rf"\b{re.escape(src)}\s*\(", f"{dst}(", segment, flags=re.IGNORECASE
+            )
         # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE (n PERCENT)
         return re.sub(
             r"\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", segment, flags=re.IGNORECASE

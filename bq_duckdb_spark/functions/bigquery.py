@@ -44,6 +44,28 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # semantics — registering over them is rejected and unnecessary.
     # PARSE_/FORMAT_ bodies are filled in below: BigQuery takes %-style
     # format elements, Spark takes Java patterns, so the body translates.
+    # NET.HOST: hostname of a URL (scheme optional), lowercased (the
+    # authority is case-insensitive per RFC 3986), userinfo/port/path
+    # stripped
+    "NET_HOST": (
+        "url STRING",
+        "STRING",
+        "lower(nullif(regexp_extract(url, "
+        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@ ]*@)?([^/?#: ]+)', 1), ''))",
+    ),
+    # NET.REG_DOMAIN approximation: last two host labels, or three when
+    # the two-label tail is a common multi-part suffix. BigQuery
+    # resolves against the full Public Suffix List; this covers the
+    # frequent cases and documents the divergence.
+    "NET_REG_DOMAIN": (
+        "url STRING",
+        "STRING",
+        "CASE WHEN regexp_extract(NET_HOST(url), '([^.]+[.][^.]+)$', 1) IN "
+        "('co.uk', 'org.uk', 'gov.uk', 'ac.uk', 'co.jp', 'co.in', 'co.kr', "
+        "'com.au', 'com.br', 'com.cn', 'com.mx', 'com.tr') "
+        "THEN nullif(regexp_extract(NET_HOST(url), '([^.]+[.][^.]+[.][^.]+)$', 1), '') "
+        "ELSE nullif(regexp_extract(NET_HOST(url), '([^.]+[.][^.]+)$', 1), '') END",
+    ),
     "DATE_TRUNC_MONTH": ("d DATE", "DATE", "CAST(date_trunc('MONTH', d) AS DATE)"),
     "LAST_DAY_OF_MONTH": ("d DATE", "DATE", "last_day(d)"),
     # BigQuery INSTR / STRPOS

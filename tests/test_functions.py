@@ -140,3 +140,18 @@ def test_bq_split_literal_delimiter(spark):
     assert r.dots == ["a", "b", "c"]
     assert r.pipe == ["x", "y"]
     assert r.comma == ["a", "b"]
+
+
+def test_net_host_and_reg_domain(session):
+    rows = session.query(
+        "SELECT NET.HOST('https://User@WWW.Example.co.uk:8443/p?q=1') AS h, "
+        "NET.REG_DOMAIN('https://www.example.co.uk/x') AS rd, "
+        "NET.REG_DOMAIN('sub.foo.com/path') AS rd2, "
+        "NET.HOST('no-scheme.example.com/x') AS h2, "
+        "NET.HOST('not a url') AS h3"
+    ).collect()[0]
+    assert rows.h == "www.example.co.uk"   # userinfo/port stripped, lowered
+    assert rows.rd == "example.co.uk"      # multi-part public suffix
+    assert rows.rd2 == "foo.com"
+    assert rows.h2 == "no-scheme.example.com"
+    assert rows.h3 == "not"  # BigQuery-ish best effort on non-URLs
