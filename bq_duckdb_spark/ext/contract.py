@@ -137,6 +137,73 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN join: every 100th embedding is a query; top-3 cosine
+    matches from the remaining index via 4-centroid IVF cells, 2 probes
+    per query. The table-to-table retrieval join (vs the single-vector
+    sim_ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [_query_vec(spark, sf_dir, i) for i in range(4)]
+    return similarity.ann_join(
+        emb.filter(F.col("vec_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 != 0),
+        cents,
+        k=3,
+        nprobe=2,
+    )
+
+
+_SIM_ANN_JOIN_ORACLE = """
+WITH cents AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id < 4
+),
+qs AS (
+    SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+probed AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid
+               ) AS rn
+        FROM qs q CROSS JOIN cents c
+    ) WHERE rn <= 2
+),
+assigned AS (
+    SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+               c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cv) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id % 100 <> 0
+    ) WHERE rn = 1
+)
+SELECT query_id, index_id, cosine FROM (
+    SELECT p.qid AS query_id, a.vec_id AS index_id,
+           list_dot_product(q.qv, a.ev)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.ev, a.ev)))
+               AS cosine,
+           row_number() OVER (
+               PARTITION BY p.qid
+               ORDER BY list_dot_product(q.qv, a.ev)
+                        / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.ev, a.ev))) DESC,
+                        a.vec_id
+           ) AS rn
+    FROM probed p
+    JOIN qs q ON q.qid = p.qid
+    JOIN assigned a ON a.cid = p.cid
+) WHERE rn <= 3
+"""
+
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS resolved into duplicate CLUSTERS + canonical-doc
     pick: LSH-gated embedding pairs -> hash-min connected components ->
@@ -938,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_ann_join": sim_ann_join,
         "sim_pq_topk": sim_pq_topk,
         "emb_quantized": emb_quantized,
         "sim_quantized_topk": sim_quantized_topk,
@@ -966,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "sim_cosine_topk": _SIM_COSINE_TOPK_ORACLE,
         "sim_ivf_topk": _SIM_IVF_TOPK_ORACLE,
+        "sim_ann_join": _SIM_ANN_JOIN_ORACLE,
         "sim_pq_topk": _pq_oracle(),
         "emb_quantized": _EMB_QUANTIZED_ORACLE,
         "sim_quantized_topk": _SIM_QUANTIZED_TOPK_ORACLE,

@@ -636,3 +636,84 @@ def pq_topk_indexed(
         .orderBy(F.col("pq_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def nprobe_cells_expr(
+    vec_col: str, centroids: list[list[float]], nprobe: int
+) -> str:
+    """The ``nprobe`` nearest centroid ids of a vector as a row-local
+    array expression (no shuffle, no window): cell c is kept when fewer
+    than ``nprobe`` cells beat it (score desc, index-asc tiebreak)."""
+    n = len(centroids)
+    scores = ", ".join(
+        dot_expr(
+            vec_col, "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        )
+        for c in centroids
+    )
+    return (
+        f"flatten(transform(array(array({scores})), __s -> "
+        f"filter(sequence(0, {n - 1}), c -> size(filter(sequence(0, {n - 1}), "
+        f"j -> j != c AND (element_at(__s, j + 1) > element_at(__s, c + 1) "
+        f"OR (element_at(__s, j + 1) = element_at(__s, c + 1) AND j < c)))) "
+        f"< {nprobe})))"
+    )
+
+
+def ann_join(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    index_id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN: cosine top-``k`` index matches for EVERY query row —
+    the table-to-table version of ivf_topk (dedup-against-reference,
+    retrieval-augmentation joins). Returns
+    ``(query_id, index_id, cosine)``, top-k per query.
+
+    Scale shape: the index side is assigned to ONE cell each (map-only),
+    the query side explodes to its ``nprobe`` cells (map-only), and the
+    match is an EQUI-join on cell — never an all-pairs product; the only
+    shuffles are the cell join and the per-query top-k window. A (query,
+    index) pair can meet in at most one cell (the index row has exactly
+    one), so no dedup pass is needed. Popular cells skew the join — AQE
+    skew handling splits them; at rest, write_ivf_index partitions the
+    index by cell so probes prune to matching directories.
+    """
+    from pyspark.sql import Window
+
+    idx = ivf_assign(index, centroids, vec_col).select(
+        F.col(index_id_col).alias("__iid"),
+        F.col(vec_col).alias("__ivec"),
+        "ivf_cell",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "ivf_cell",
+        # never-empty computed array (nprobe >= 1): explode_outer keeps
+        # the probe expression out of an inferred pre-Generate filter
+        F.explode_outer(F.expr(nprobe_cells_expr("__qvec", centroids, nprobe))),
+    )
+    cos = F.expr(
+        f"{dot_expr('__qvec', '__ivec')} / "
+        f"(sqrt({dot_expr('__qvec', '__qvec')}) * sqrt({dot_expr('__ivec', '__ivec')}))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("index_id")
+    )
+    return (
+        q.join(idx, "ivf_cell")
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__iid").alias("index_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

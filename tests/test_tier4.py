@@ -383,3 +383,35 @@ def test_decontaminate_broadcasts_eval_side(spark):
         decontaminate(corpus, ev)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+
+
+# ---------------------------------------------------------------------------
+# batch ANN join
+# ---------------------------------------------------------------------------
+
+
+def test_ann_join_topk_per_query_and_equi_join(spark):
+    import random
+
+    from bq_duckdb_spark.ext.similarity import ann_join
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 5)
+    index = df.filter(F.col("vec_id") >= 5)
+    cents = [v for _, v in vecs[:3]]
+    out = ann_join(queries, index, cents, k=4, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        assert len(rows) == 4
+        scores = [r.cosine for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.index_id >= 5 for r in rows)
+    # the plan must be an equi-join on the cell, never a cartesian
+    plan = ann_join(queries, index, cents, k=4, nprobe=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
