@@ -298,3 +298,15 @@ def test_corpus_assembly_chunk_accounting_matches_splitter(spark):
     surv = balance_corpus(surv, "lang", "doc_id", 100)
     exploded = chunk_documents(surv).count()
     assert total_chunks == exploded
+
+
+def test_example_pipeline_runs(spark):
+    """The examples/ walkthrough must keep working end to end."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline_example", "/root/repo/examples/corpus_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
