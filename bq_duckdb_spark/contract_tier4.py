@@ -338,6 +338,66 @@ ORDER BY cnt DESC, key LIMIT 10
 """
 
 
+
+# ---------------------------------------------------------------------------
+# batch click attribution + corpus length histogram
+# ---------------------------------------------------------------------------
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-view attribution as a batch interval join — the
+    oracle-checked twin of the streaming operator (same function, same
+    join predicate; streamed == batch is pinned in test_streaming)."""
+    from bq_duckdb_spark.streaming.streams import click_attribution
+
+    return click_attribution(_t(spark, sf_dir, "events"))
+
+
+_Q_ATTRIBUTION_ORACLE = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, v.user_id,
+       v.ts AS view_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 10 MINUTE
+"""
+
+
+def corpus_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram over fixed bucket edges — the length
+    distribution every dataset card reports. Map-side bucket expression
+    + one tiny groupBy shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        "CASE WHEN __nt < 8 THEN '0-7' WHEN __nt < 16 THEN '8-15' "
+        "WHEN __nt < 32 THEN '16-31' WHEN __nt < 64 THEN '32-63' "
+        "ELSE '64+' END"
+    )
+    from bq_duckdb_spark.ext.text import _tokens
+
+    return (
+        docs.selectExpr(f"CAST(size({_tokens('text')}) AS BIGINT) AS __nt")
+        .selectExpr(f"{bucket} AS len_bucket", "__nt")
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__nt").alias("total_tokens"))
+        .orderBy("len_bucket")
+    )
+
+
+_CORPUS_LENGTH_HIST_ORACLE = """
+WITH t AS (
+    SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+    FROM documents
+)
+SELECT CASE WHEN nt < 8 THEN '0-7' WHEN nt < 16 THEN '8-15'
+            WHEN nt < 32 THEN '16-31' WHEN nt < 64 THEN '32-63'
+            ELSE '64+' END AS len_bucket,
+       count(*) AS n_docs, sum(nt) AS total_tokens
+FROM t GROUP BY len_bucket ORDER BY len_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -355,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "corpus_dsir": corpus_dsir,
         "q_key_skew": q_key_skew,
+        "q_attribution": q_attribution,
+        "corpus_length_hist": corpus_length_hist,
     }
 
 
@@ -370,4 +432,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": graph.pagerank_oracle_sql(iters=8),
         "corpus_dsir": _corpus_dsir_oracle(),
         "q_key_skew": _Q_KEY_SKEW_ORACLE,
+        "q_attribution": _Q_ATTRIBUTION_ORACLE,
+        "corpus_length_hist": _CORPUS_LENGTH_HIST_ORACLE,
     }
