@@ -407,3 +407,25 @@ def test_streaming_url_canonical_matches_batch(spark, doc_stream_dir):
         # the slash before '?' is path content, not a trailing slash —
         # only end-of-string slashes are stripped
         assert canon == f"https://ex.com/p/{doc_id}/?k={doc_id % 3}"
+
+
+def test_stream_static_score_join_matches_batch(spark, doc_stream_dir):
+    """Stream-static join: arriving document shards scored against a
+    PRECOMPUTED (static) weight table — the production shape for
+    incremental corpus scoring. The static side is re-read per
+    micro-batch by Spark; no state, no watermark."""
+    from bq_duckdb_spark.ext.retrieval import dsir_weights
+
+    batch = spark.read.parquet(doc_stream_dir)
+    target = batch.filter(F.col("doc_id") % 50 == 0)
+    weights = dsir_weights(batch, target).withColumnRenamed("dsir", "w")
+
+    stream = streaming.read_document_stream(spark, doc_stream_dir).select(
+        "doc_id", "lang"
+    )
+    q = streaming.run_available_now(
+        stream.join(weights, "doc_id"), "scored_stream"
+    )
+    got = {r.doc_id: r.w for r in spark.table("scored_stream").collect()}
+    want = {r.doc_id: r.w for r in batch.select("doc_id").join(weights, "doc_id").collect()}
+    assert got == want and len(got) > 0
