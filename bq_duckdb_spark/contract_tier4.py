@@ -398,6 +398,36 @@ FROM t GROUP BY len_bucket ORDER BY len_bucket
 """
 
 
+
+# ---------------------------------------------------------------------------
+# text normalization
+# ---------------------------------------------------------------------------
+
+_PLANT_MESSY = (
+    "concat('<div class=\"x\">', text, '</div>',"
+    " CASE WHEN doc_id % 3 = 0 THEN ' R&amp;D   Caf\u00e9' ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN '<br/>&nbsp;\u00c0 BIENT\u00d4T' ELSE '' END)"
+)
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup canonicalization over planted messy text: markup
+    stripped, entities decoded, Latin-1 accents folded, lowercased,
+    whitespace collapsed."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _PLANT_MESSY + " AS text"
+    )
+    return scrub.normalize_text(docs).select("doc_id", "norm_text")
+
+
+def _text_normalize_oracle() -> str:
+    return f"""
+WITH planted AS (SELECT doc_id, {_PLANT_MESSY} AS text FROM documents)
+SELECT doc_id, {scrub.normalize_text_expr("text", "duckdb")} AS norm_text
+FROM planted
+"""
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -417,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": q_key_skew,
         "q_attribution": q_attribution,
         "corpus_length_hist": corpus_length_hist,
+        "text_normalize": text_normalize,
     }
 
 
@@ -434,4 +465,5 @@ def oracle_sql() -> dict[str, str]:
         "q_key_skew": _Q_KEY_SKEW_ORACLE,
         "q_attribution": _Q_ATTRIBUTION_ORACLE,
         "corpus_length_hist": _CORPUS_LENGTH_HIST_ORACLE,
+        "text_normalize": _text_normalize_oracle(),
     }

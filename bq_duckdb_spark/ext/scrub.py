@@ -167,3 +167,50 @@ def canonicalize_urls(
     """Add the canonical form of ``url_col`` (see canonical_url_expr).
     Map-only; zero shuffle."""
     return df.withColumn(out_col, F.expr(canonical_url_expr(url_col)))
+
+
+# ---------------------------------------------------------------------------
+# markup stripping + text normalization
+# ---------------------------------------------------------------------------
+
+# the accent fold covers Latin-1's letter block — the dominant case in
+# web text; full Unicode NFKC needs ICU, which neither engine exposes
+# as a builtin (documented divergence)
+_ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+
+_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
+
+
+def strip_markup_expr(col: str, engine: str = "spark") -> str:
+    """Drop HTML/XML tags and decode the common entities — built for the
+    target engine (DuckDB needs the 'g' flag for replace-all; plain
+    replace() is all-occurrences in both)."""
+    g = ", 'g'" if engine != "spark" else ""
+    u = f"regexp_replace({col}, '<[^>]*>', ' '{g})"
+    for src, dst in _ENTITIES:
+        dst_sql = dst.replace("'", "''")
+        u = f"replace({u}, '{src}', '{dst_sql}')"
+    return u
+
+
+def normalize_text_expr(col: str, engine: str = "spark") -> str:
+    """Dedup-canonical text: markup stripped, entities decoded, accents
+    folded (Latin-1 block), lowercased, whitespace collapsed+trimmed.
+    One definition, rendered per engine; map-only. The whitespace class
+    spells \\t-style escapes, which BOTH literal parsers resolve to the
+    same characters (unlike \\s, which Spark's parser would strip)."""
+    g = ", 'g'" if engine != "spark" else ""
+    u = strip_markup_expr(col, engine)
+    u = f"translate({u}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+    u = f"lower({u})"
+    return f"trim(regexp_replace({u}, '[ \\t\\r\\n]+', ' '{g}))"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Add the canonical form of ``text_col`` (see normalize_text_expr).
+    The standard pre-dedup normalization pass; zero shuffle."""
+    return df.withColumn(out_col, F.expr(normalize_text_expr(text_col)))

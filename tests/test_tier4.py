@@ -415,3 +415,28 @@ def test_ann_join_topk_per_query_and_equi_join(spark):
     plan = ann_join(queries, index, cents, k=4, nprobe=2)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# text normalization
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_cases(spark):
+    cases = [
+        ("<p>Hello &amp; <b>World</b></p>", "hello & world"),
+        ("Café  À   BIENTÔT", "cafe a bientot"),
+        ("a\tb\r\nc", "a b c"),
+        ("&lt;tag&gt; &quot;q&quot; &#39;s&#39;", '<tag> "q" \'s\''),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+    )
+    got = {r.i: r.norm_text for r in scrub.normalize_text(df).collect()}
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, f"{t!r} -> {got[i]!r}"
+
+
+def test_normalize_text_zero_shuffle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert audit_plan(scrub.normalize_text(docs)).exchanges == 0
