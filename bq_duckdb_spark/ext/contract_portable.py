@@ -126,11 +126,55 @@ def _simhash_oracle() -> str:
     )
 
 
+def dedup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pairs resolved into duplicate CLUSTERS with a
+    canonical-keeper pick per cluster — the complete text-dedup loop
+    (portable-jaccard pairs -> hash-min connected components -> every
+    document labelled). The embedding twin is dedup_clusters."""
+    from bq_duckdb_spark.ext.dedup import assign_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dp.portable_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3,
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_K,
+    )
+    out = assign_dup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return out.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
+def _text_clusters_oracle() -> str:
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    )
+    return (
+        f"WITH RECURSIVE {_sh_cte()}, {_banded_cte()}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM banded a JOIN banded b2 USING (band, bucket) "
+        "WHERE a.doc_id < b2.doc_id), "
+        "pairs AS (SELECT p.id_a, p.id_b FROM cand p "
+        "JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b "
+        f"WHERE {jac} >= 0.3), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(node, lbl) AS (SELECT src, src FROM edges "
+        "UNION SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.node), "
+        "lab AS (SELECT node, min(lbl) AS cl FROM reach GROUP BY node) "
+        "SELECT d.doc_id, CAST(coalesce(l.cl, d.doc_id) AS BIGINT) AS cluster_id, "
+        "d.doc_id = coalesce(l.cl, d.doc_id) AS is_canonical "
+        "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_minhash_portable": dedup_minhash_portable,
         "dedup_simhash_portable": dedup_simhash_portable,
         "dedup_jaccard_portable": dedup_jaccard_portable,
+        "dedup_text_clusters": dedup_text_clusters,
         "dedup_incremental": dedup_incremental,
     }
 
@@ -140,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_portable": _minhash_oracle(),
         "dedup_simhash_portable": _simhash_oracle(),
         "dedup_jaccard_portable": _jaccard_oracle(),
+        "dedup_text_clusters": _text_clusters_oracle(),
         "dedup_incremental": _incremental_oracle(),
     }
 
