@@ -385,7 +385,7 @@ def corpus_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CORPUS_LENGTH_HIST_ORACLE = """
+_CORPUS_LENGTH_HIST_ORACLE = r"""
 WITH t AS (
     SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
     FROM documents

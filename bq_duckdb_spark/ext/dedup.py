@@ -601,6 +601,12 @@ def simhash_near_dup_pairs(
     bit_count(xor). No all-pairs comparison, no self-join (the simhash
     UDF would run once per join side), no persist (leaks storage in a
     long-lived session). ``max_bucket`` caps pathological buckets.
+
+    A pair agreeing on several chunks would surface once per chunk; it
+    is emitted ONLY from its lowest agreeing chunk (first-matching-band
+    rule, decided in-bucket from the xor) — exact dedup with NO distinct
+    shuffle over the candidate-pair set, which at corpus scale is the
+    difference between one exchange and two.
     """
     sh = with_simhash64(widen_small_scan(df), text_col).select(F.col(id_col), "simhash")
     chunked = sh.select(
@@ -631,15 +637,24 @@ def simhash_near_dup_pairs(
         "flatten(transform(sequence(1, size(xs) - 1), "
         "i -> transform(slice(xs, i + 1, size(xs) - i), "
         "y -> named_struct('id_a', element_at(xs, i).id, 'id_b', y.id, "
-        "'hamming', bit_count(element_at(xs, i).simhash ^ y.simhash)))))"
+        "'x', element_at(xs, i).simhash ^ y.simhash))))"
+    )
+    # first-matching-band rule: the pair's lowest agreeing 16-bit chunk,
+    # computed from the xor we already have in-bucket. Both the hamming
+    # threshold and the emit-once decision resolve BEFORE any further
+    # exchange — the former .distinct() over the pair set is gone.
+    first_agreeing = (
+        "CASE WHEN (p.x & 65535) = 0 THEN 0 "
+        "WHEN (shiftright(p.x, 16) & 65535) = 0 THEN 1 "
+        "WHEN (shiftright(p.x, 32) & 65535) = 0 THEN 2 ELSE 3 END"
     )
     return (
-        bucketed.select(F.explode_outer(F.expr(pair)).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
-        # filter BEFORE the dedup shuffle: hamming is already computed
-        # in-bucket, so only qualifying pairs cross the exchange
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        bucketed.select(F.col("chunk"), F.explode_outer(F.expr(pair)).alias("p"))
+        .filter(
+            (F.expr("bit_count(p.x)") <= max_hamming)
+            & (F.col("chunk") == F.expr(first_agreeing))
+        )
+        .select("p.id_a", "p.id_b", F.expr("bit_count(p.x)").alias("hamming"))
     )
 
 
