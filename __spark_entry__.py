@@ -803,6 +803,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(contract_tier4.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier5
+
+        q.update(contract_tier5.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -871,6 +877,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tier4
 
         o.update(contract_tier4.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier5
+
+        o.update(contract_tier5.oracle_sql())
     except ImportError:
         pass
     return o

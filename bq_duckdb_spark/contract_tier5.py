@@ -1,0 +1,344 @@
+"""Tier-5 driver-contract entries: embedding clustering (k-means),
+ANN quality evaluation (recall@k), weighted corpus sampling,
+best-of-cluster dedup survivor selection, and four SQL-surface
+wideners (COUNTIF-style conditional aggregation, CUBE + GROUPING,
+correlated LATERAL top-k, windowed running distinct count).
+
+Every entry carries a full DuckDB oracle. Scale notes live on the
+underlying operators (ext/cluster.py, ext/similarity.py); the
+conditional-agg / cube / lateral / window entries are pure Catalyst
+plans with no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bq_duckdb_spark.ext import cluster, similarity
+from bq_duckdb_spark.ext.contract import (
+    _SIM_COSINE_TOPK_ORACLE,
+    _lsh_ann_oracle,
+    _query_vec,
+)
+from bq_duckdb_spark.testdata import load_table as _t
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# k-means embedding clustering
+# ---------------------------------------------------------------------------
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means assignment of every embedding to one of k=4
+    clusters after 2 rounds (deterministic lowest-id init, quantized
+    centroid updates — see ext/cluster.py for why a full oracle is
+    possible at all). Output is pure integers: (vec_id, cell)."""
+    return cluster.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucketed ANN against the brute-force cosine
+    top-10 for the vec_id=0 query — the evaluation loop every ANN
+    deployment runs before trusting an index. Both sides are
+    deterministic (fixed hyperplanes / exact scan), so the overlap
+    count itself is oracle-checkable. One number out: no per-row
+    floats, no ordering hazards."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = similarity.lsh_ann_topk(
+        emb, qv, dim=len(qv), k=10, nbits=8, max_hamming=1
+    ).select("vec_id")
+    bf = similarity.cosine_topk(emb, qv, k=10).select("vec_id")
+    return ann.join(bf, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall"),
+    )
+
+
+def _sim_recall_oracle() -> str:
+    return f"""
+SELECT count(*) AS n_hits, count(*) / 10.0 AS recall
+FROM ({_lsh_ann_oracle()}) a
+JOIN ({_SIM_COSINE_TOPK_ORACLE}) b USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spaggiari A-Res, deterministic)
+# ---------------------------------------------------------------------------
+
+_WS_N = 100
+# deterministic uniform in (0, 1] from the doc id — a Knuth-style LCG
+# step kept inside BIGINT range in both engines (doc_id * 2654435761 ≪
+# 2^63 at any realistic corpus size; at true 100 TB id scale swap in a
+# 128-bit-safe mixer)
+_WS_U = "((doc_id * 2654435761 + 12345) % 2147483647 + 1) / 2147483648.0"
+
+
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement of 100 documents, weight =
+    token count: Efraimidis–Spaggiari A-Res (key = ln(u)/w, keep the
+    top-n keys) with a seeded hash-uniform u so the draw is
+    reproducible across engines and retries.
+
+    Scale: key assignment is map-only; the top-n is
+    TakeOrderedAndProject (per-partition n-heaps, no global sort) —
+    the same one-pass shape a 100 TB weighted draw needs. ln() is the
+    only libm call; it affects selection only within ~1 ulp of the
+    rank-n boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    w = r"CAST(size(split(trim(text), '\\s+')) AS DOUBLE)"
+    return (
+        docs.withColumn("w", F.expr(w))
+        .withColumn("es_key", F.expr(f"ln({_WS_U}) / w"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(_WS_N)
+        .select("doc_id", F.col("w").cast("bigint").alias("n_tokens"))
+    )
+
+
+_PIPE_WEIGHTED_SAMPLE_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS w
+    FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_tokens
+FROM t
+ORDER BY ln({_WS_U}) / w DESC, doc_id
+LIMIT {_WS_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# best-of-group dedup survivor selection
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups (normalized text) keeping the BEST member —
+    longest, then lowest id — instead of exact_dedup's arbitrary-min
+    policy: the survivor-selection step of a production dedup loop,
+    where you keep the highest-quality copy. One window shuffle on the
+    group key; emits every survivor with its group size."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.lower(F.trim(F.col("text")))
+    w = Window.partitionBy(grp).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_sz", F.count(F.lit(1)).over(Window.partitionBy(grp)))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars", "group_sz")
+    )
+
+
+_DEDUP_KEEP_BEST_ORACLE = """
+SELECT doc_id, n_chars, group_sz FROM (
+    SELECT doc_id, n_chars,
+           row_number() OVER (PARTITION BY lower(trim(text))
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lower(trim(text))) AS group_sz
+    FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# conditional aggregation (BigQuery COUNTIF)
+# ---------------------------------------------------------------------------
+
+
+def q_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTIF-style conditional aggregation (BigQuery COUNTIF ==
+    Spark count_if == ANSI FILTER clause) — one hash-agg, partial
+    map-side combine, no second scan per condition."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("count_if(o_totalprice > 150000)").alias("n_big"),
+            F.expr("count_if(o_orderstatus = 'F')").alias("n_finished"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_Q_COUNTIF_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) AS n_total,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE + GROUPING
+# ---------------------------------------------------------------------------
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with GROUPING flags — the
+    full 2^2 grouping-set lattice in ONE pass (Expand + single
+    hash-agg), where the naive formulation scans once per grouping
+    set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n_rows",
+            "g_rf",
+            "g_ls",
+        )
+    )
+
+
+_Q_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows,
+       grouping(l_returnflag) AS g_rf,
+       grouping(l_linestatus) AS g_ls
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# correlated LATERAL top-k
+# ---------------------------------------------------------------------------
+
+# one SQL text, two engines: Spark 4 and DuckDB both run the ANSI
+# correlated-LATERAL form, so the entry pins identical semantics by
+# construction. Spark plans it as a rewritten window/limit per group —
+# no driver loop, no per-nation query.
+_Q_LATERAL_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) c
+"""
+
+
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-3 customers by balance per
+    nation, the per-group-top-k idiom as a lateral join."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_Q_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# windowed running distinct count
+# ---------------------------------------------------------------------------
+
+
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT supplier) per part, ordered by ship date
+    — neither engine supports DISTINCT window aggregates natively, so
+    both use the canonical rewrite: mark each (part, supplier)'s first
+    occurrence with row_number, then running-sum the markers.
+
+    ONE exchange for both window specs: an explicit repartition on
+    l_partkey produces HashPartitioning(l_partkey), which satisfies
+    the (l_partkey, l_suppkey) window's ClusteredDistribution too
+    (subset rule), so Spark inserts no second shuffle — only an
+    in-partition re-sort between the windows. Left to its own
+    devices Spark exchanges twice (exact-key partitioning per spec);
+    at 100 TB that is a whole extra pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem").repartition(F.col("l_partkey"))
+    first_w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    run_w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(first_w) == 1, 1).otherwise(0),
+        )
+        .withColumn("n_supps", F.sum("first_seen").over(run_w))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "n_supps")
+    )
+
+
+_Q_WINDOW_DISTINCT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       sum(first_seen) OVER (PARTITION BY l_partkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS n_supps
+FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate,
+           CASE WHEN row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                        ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+                THEN 1 ELSE 0 END AS first_seen
+    FROM lineitem
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "emb_kmeans": emb_kmeans,
+        "sim_recall_eval": sim_recall_eval,
+        "pipe_weighted_sample": pipe_weighted_sample,
+        "dedup_keep_best": dedup_keep_best,
+        "q_countif": q_countif,
+        "q_cube": q_cube,
+        "q_lateral": q_lateral,
+        "q_window_distinct": q_window_distinct,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "emb_kmeans": cluster.kmeans_oracle_sql(k=4, iters=2, dim=64),
+        "sim_recall_eval": _sim_recall_oracle(),
+        "pipe_weighted_sample": _PIPE_WEIGHTED_SAMPLE_ORACLE,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_ORACLE,
+        "q_countif": _Q_COUNTIF_ORACLE,
+        "q_cube": _Q_CUBE_ORACLE,
+        "q_lateral": _Q_LATERAL_SQL,
+        "q_window_distinct": _Q_WINDOW_DISTINCT_ORACLE,
+    }

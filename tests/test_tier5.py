@@ -1,0 +1,237 @@
+"""Unit + plan-shape tests for the tier-5 operators: k-means embedding
+clustering, ANN recall evaluation, weighted sampling, best-of-group
+dedup, and the SQL-surface wideners (COUNTIF, CUBE, LATERAL, windowed
+distinct count)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark import contract_tier5
+from bq_duckdb_spark.ext.cluster import kmeans_assign
+from bq_duckdb_spark.plans import audit_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def _blobs(spark):
+    # three tight, well-separated 4-d blobs of 10 points each
+    rows = []
+    for b, center in enumerate([10.0, -10.0, 30.0]):
+        for i in range(10):
+            rows.append(
+                (b * 10 + i, [center + 0.01 * i, center, -center, 1.0])
+            )
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    df = _blobs(spark)
+    got = {r.vec_id: r.cell for r in kmeans_assign(df, k=3, iters=4).collect()}
+    # every blob lands in exactly one cell, and distinct blobs in
+    # distinct cells
+    blobs = [{got[b * 10 + i] for i in range(10)} for b in range(3)]
+    assert all(len(s) == 1 for s in blobs)
+    assert len({next(iter(s)) for s in blobs}) == 3
+
+
+def test_kmeans_deterministic(spark):
+    df = _blobs(spark)
+    a = sorted((r.vec_id, r.cell) for r in kmeans_assign(df, k=3, iters=3).collect())
+    b = sorted((r.vec_id, r.cell) for r in kmeans_assign(df, k=3, iters=3).collect())
+    assert a == b
+
+
+def test_kmeans_final_assignment_map_only(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # the returned frame (the closing assignment under literal trained
+    # centroids) must be map-only: assignment never shuffles
+    assert audit_plan(kmeans_assign(emb, k=4, iters=1)).exchanges == 0
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    # k=3 over 2 distinct points: one cell can never win a point; the
+    # run must not crash and must still assign every vector
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])],
+        ["vec_id", "embedding"],
+    )
+    got = kmeans_assign(df, k=3, iters=3).collect()
+    assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# recall eval
+# ---------------------------------------------------------------------------
+
+
+def test_recall_eval_bounds_and_shape(spark):
+    row = contract_tier5.sim_recall_eval(spark, SF).collect()[0]
+    assert 0 <= row.n_hits <= 10
+    assert row.recall == pytest.approx(row.n_hits / 10.0)
+
+
+# ---------------------------------------------------------------------------
+# weighted sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    a = contract_tier5.pipe_weighted_sample(spark, SF)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(
+        r.doc_id for r in contract_tier5.pipe_weighted_sample(spark, SF).collect()
+    )
+    assert ids_a == ids_b and len(ids_a) == 100
+    # ES keys favor heavier (longer) docs: the sample's mean token
+    # count must exceed the corpus mean
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_mean = docs.select(
+        F.avg(F.expr(r"size(split(trim(text), '\\s+'))"))
+    ).collect()[0][0]
+    sample_mean = a.select(F.avg("n_tokens")).collect()[0][0]
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = (
+        contract_tier5.pipe_weighted_sample(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# best-of-group dedup
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_prefers_longest_then_lowest_id(spark, tmp_path):
+    import os
+
+    rows = [
+        (1, "Same Text", "en", "s", 9),
+        (2, "same text  ", "en", "s", 11),   # normalizes same, longer
+        (3, "same text", "en", "s", 9),
+        (4, "unique", "en", "s", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    # keep_best loads via sf_dir; exercise the windowed logic directly
+    from pyspark.sql.window import Window
+
+    grp = F.lower(F.trim(F.col("text")))
+    w = Window.partitionBy(grp).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    out = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface wideners
+# ---------------------------------------------------------------------------
+
+
+def test_countif_matches_filtered_counts(spark):
+    out = {
+        r.o_orderpriority: (r.n_big, r.n_finished, r.n_total)
+        for r in contract_tier5.q_countif(spark, SF).collect()
+    }
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    want_big = {
+        r.o_orderpriority: r.c
+        for r in orders.filter("o_totalprice > 150000")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for pri, (n_big, _, _) in out.items():
+        assert n_big == want_big.get(pri, 0)
+
+
+def test_cube_lattice_consistency(spark):
+    rows = contract_tier5.q_cube(spark, SF).collect()
+    # 2^2 grouping sets present; the grand total row sums everything
+    flags = {(r.g_rf, r.g_ls) for r in rows}
+    assert flags == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    total = [r for r in rows if (r.g_rf, r.g_ls) == (1, 1)]
+    assert len(total) == 1
+    detail_n = sum(r.n_rows for r in rows if (r.g_rf, r.g_ls) == (0, 0))
+    assert total[0].n_rows == detail_n
+
+
+def test_lateral_matches_window_topk(spark):
+    got = {
+        (r.n_name, r.c_custkey)
+        for r in contract_tier5.q_lateral(spark, SF).collect()
+    }
+    from pyspark.sql.window import Window
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    want = {
+        (r.n_name, r.c_custkey)
+        for r in cust.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_window_distinct_running_counts(spark):
+    import datetime
+
+    d = datetime.date
+    rows = [
+        # (orderkey, linenumber, partkey, suppkey, shipdate)
+        (1, 1, 10, 100, d(2020, 1, 1)),
+        (2, 1, 10, 100, d(2020, 1, 2)),  # same supp: still 1
+        (3, 1, 10, 200, d(2020, 1, 3)),  # new supp: 2
+        (4, 1, 20, 100, d(2020, 1, 1)),  # other part: restarts at 1
+    ]
+    df = spark.createDataFrame(
+        rows, ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate"]
+    )
+    from pyspark.sql.window import Window
+
+    first_w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    run_w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = {
+        r.l_orderkey: r.n_supps
+        for r in df.withColumn(
+            "first_seen", F.when(F.row_number().over(first_w) == 1, 1).otherwise(0)
+        )
+        .withColumn("n_supps", F.sum("first_seen").over(run_w))
+        .collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_window_distinct_single_exchange(spark):
+    # the explicit l_partkey repartition satisfies BOTH window specs
+    # (subset rule), so exactly one exchange of lineitem in the plan
+    # (audit_plan counts each physical Exchange twice in an
+    # AdaptiveSparkPlan: header + detail)
+    df = contract_tier5.q_window_distinct(spark, SF)
+    audit = audit_plan(df)
+    assert audit.exchanges <= 2, audit.formatted
