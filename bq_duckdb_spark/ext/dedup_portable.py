@@ -253,6 +253,36 @@ def portable_simhash_pairs(
     )
 
 
+def banded_with_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_id: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Long-format LSH banding that carries the shingle set alongside:
+    ``(out_id, __sh_<out_id>, band, bucket)`` — one row per (doc, band).
+    Entirely map-side (shingle hash, permutations, band buckets,
+    explode), so it applies unchanged to a STREAMING frame — the
+    building block both cross_corpus_near_dups and
+    streaming.stream_near_dup_probe share."""
+    a, b = poly_hash_coeffs(num_hashes)
+    rows = num_hashes // bands
+    buckets = ", ".join(
+        f"named_struct('band', {i}, 'bucket', "
+        f"{band_bucket_expr('__sh', a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], 'spark')})"
+        for i in range(bands)
+    )
+    sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "__sh")
+    return sh.select(
+        F.col(id_col).alias(out_id),
+        F.col("__sh").alias(f"__sh_{out_id}"),
+        F.explode_outer(F.expr(f"array({buckets})")).alias("bb"),
+    ).select(out_id, f"__sh_{out_id}", "bb.band", "bb.bucket")
+
+
 def cross_corpus_near_dups(
     corpus: DataFrame,
     batch: DataFrame,
@@ -278,29 +308,18 @@ def cross_corpus_near_dups(
 
     Output: (corpus_id, batch_id, jaccard >= threshold).
     """
-    a, b = poly_hash_coeffs(num_hashes)
-    rows = num_hashes // bands
-    buckets = ", ".join(
-        f"named_struct('band', {i}, 'bucket', "
-        f"{band_bucket_expr('__sh', a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], 'spark')})"
-        for i in range(bands)
-    )
-
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "__sh")
-        return sh.select(
-            F.col(id_col).alias(out_id),
-            F.col("__sh").alias(f"__sh_{out_id}"),
-            F.explode_outer(F.expr(f"array({buckets})")).alias("bb"),
-        ).select(out_id, f"__sh_{out_id}", "bb.band", "bb.bucket")
-
     # widen is metadata-only and a no-op at scale, so "the corpus never
     # shuffles" still holds where it matters; at tiny SF the round-robin
     # exchange restores parallelism for the poly-hash stage
-    cb = banded(widen_small_scan(corpus), "corpus_id")
+    cb = banded_with_shingles(
+        widen_small_scan(corpus), text_col, id_col, "corpus_id",
+        num_hashes, bands, shingle_k,
+    )
     # batch side carries its shingle set through the broadcast so the
     # verify needs no second pass over anything corpus-sized
-    bb = banded(batch, "batch_id")
+    bb = banded_with_shingles(
+        batch, text_col, id_col, "batch_id", num_hashes, bands, shingle_k
+    )
     cands = cb.join(F.broadcast(bb), ["band", "bucket"]).select(
         "corpus_id", "batch_id", "__sh_corpus_id", "__sh_batch_id"
     )

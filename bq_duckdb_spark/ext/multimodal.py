@@ -186,6 +186,78 @@ def _audio_features(x: np.ndarray, rate: int) -> list[float]:
     ]
 
 
+def _spectral_features(x: np.ndarray, rate: int) -> list[float]:
+    """Frequency-domain descriptors of a decoded PCM signal — REAL DSP,
+    pure ``numpy.fft`` (no librosa/scipy needed): the audio analogue of
+    the image channel stats, the per-clip signal a curation pipeline
+    filters on (silence/tone detection, bandwidth gating, speech-band
+    energy).
+
+    8-dim: [centroid_hz, bandwidth_hz, rolloff85_hz, flatness,
+    dominant_hz, low<300Hz, speech 300-3400Hz, high>3400Hz band-energy
+    ratios]. Flatness (geometric/arithmetic spectral mean) separates
+    tones (→0) from noise (→1).
+    """
+    mono = x.mean(axis=1)
+    n = len(mono)
+    if n < 2:
+        return [0.0] * 8
+    spec = np.abs(np.fft.rfft(mono * np.hanning(n))) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = spec.sum()
+    if total <= 0.0:
+        return [0.0] * 8
+    p = spec / total
+    centroid = float((freqs * p).sum())
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * p).sum()))
+    rolloff = float(freqs[np.searchsorted(np.cumsum(p), 0.85)])
+    flatness = float(
+        np.exp(np.mean(np.log(spec + 1e-12))) / (spec.mean() + 1e-12)
+    )
+    dominant = float(freqs[int(spec.argmax())])
+    low = float(p[freqs < 300.0].sum())
+    mid = float(p[(freqs >= 300.0) & (freqs <= 3400.0)].sum())
+    high = float(p[freqs > 3400.0].sum())
+    return [centroid, bandwidth, rolloff, flatness, dominant, low, mid, high]
+
+
+def extract_spectral_features(blobs: DataFrame) -> DataFrame:
+    """WAV blob table → spectral feature table (FEATURE_SCHEMA shape).
+
+    Always a REAL decode (PCM WAV parses with stdlib+numpy; no stub
+    path exists because none is needed); non-WAV payloads raise the
+    same loud NotImplementedError as _decode_one's real path. Same
+    mapInPandas batch shape as extract_features: bounded memory per
+    task, decode parallelism = scan partitions, zero shuffles.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+
+            def feat(b: bytes) -> list[float]:
+                b = bytes(b)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        "spectral features are defined for PCM WAV payloads"
+                    )
+                return _spectral_features(*_parse_wav(b))
+
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda b: sum(b[:256]) % (2**31)
+                    ).astype("int64"),
+                    "feature": payloads.map(feat),
+                }
+            )
+
+    return blobs.mapInPandas(run, FEATURE_SCHEMA)
+
+
 def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
     """Decode a media payload into an 8-dim feature vector.
 

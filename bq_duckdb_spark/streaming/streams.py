@@ -294,6 +294,60 @@ def decontaminate_each_batch(
     return _write
 
 
+def stream_near_dup_probe(
+    doc_stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Ingestion-time near-dup detection: probe each arriving document
+    against a STATIC corpus via MinHash-LSH banding — the streaming
+    twin of ext.dedup_portable.cross_corpus_near_dups.
+
+    Shape: the stream side's banding (shingle hash, permutations, band
+    buckets, explode) is entirely map-side, so it streams statelessly;
+    the banded corpus is a static frame joined per micro-batch on
+    (band, bucket) — a stream-static equi-join, never a nested loop.
+    The exact-Jaccard verify runs inline on the joined row (both
+    shingle sets are present), so the operator needs NO streaming
+    state at all: no watermark, no aggregation buffers, append mode.
+
+    A pair co-bucketed in several bands is emitted once per band (the
+    ``band`` column is kept so consumers see why); collapsing those
+    duplicates inside the stream would cost a stateful aggregation —
+    the batch consumer's own groupBy gets it for free instead. At
+    100 TB the static side should be the banded corpus written
+    partitioned by (band, bucket) at rest (operators/skew.py), making
+    each micro-batch probe a pruned read.
+
+    Output: (corpus_id, stream_id, band, jaccard >= threshold).
+    """
+    from bq_duckdb_spark.ext.dedup_portable import banded_with_shingles
+
+    cb = banded_with_shingles(
+        corpus, text_col, id_col, "corpus_id", num_hashes, bands, shingle_k
+    )
+    sb = banded_with_shingles(
+        doc_stream, text_col, id_col, "stream_id", num_hashes, bands, shingle_k
+    )
+    return (
+        sb.join(cb, ["band", "bucket"])
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "size(array_intersect(__sh_corpus_id, __sh_stream_id)) "
+                "/ size(array_union(__sh_corpus_id, __sh_stream_id))"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "stream_id", "band", "jaccard")
+    )
+
+
 def stream_mixture(
     docs: DataFrame,
     source_col: str = "source",

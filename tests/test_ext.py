@@ -432,6 +432,66 @@ def test_wav_real_decode_features(spark):
     assert feats.feature[6] == 8000.0 and feats.feature[7] == 1.0
 
 
+def _make_wav_samples(samples, rate=8000):
+    """16-bit PCM mono WAV from an int16 numpy array."""
+    import struct
+
+    raw = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_spectral_features_tone_vs_noise(spark):
+    """REAL FFT features: a 440 Hz sine's dominant/centroid frequencies
+    land on 440 with near-zero flatness; deterministic noise has much
+    higher flatness and bandwidth."""
+    import numpy as np
+
+    rate, n = 8000, 2048
+    t = np.arange(n) / rate
+    tone = _make_wav_samples((12000 * np.sin(2 * np.pi * 440.0 * t)).astype(np.int16), rate)
+    rng = np.random.RandomState(7)
+    noise = _make_wav_samples(rng.randint(-12000, 12000, n).astype(np.int16), rate)
+    df = spark.createDataFrame(
+        [
+            (1, tone, "audio/wav", (len(tone), "s")),
+            (2, noise, "audio/wav", (len(noise), "s")),
+        ],
+        multimodal.BLOB_SCHEMA,
+    )
+    got = {
+        r.blob_id: r.feature
+        for r in multimodal.extract_spectral_features(df).collect()
+    }
+    cent_t, bw_t, _, flat_t, dom_t, low_t, mid_t, _ = got[1]
+    _, bw_n, _, flat_n, _, _, _, _ = got[2]
+    assert dom_t == pytest.approx(440.0, abs=8000 / 2048 + 0.1)
+    assert cent_t == pytest.approx(440.0, abs=15.0)
+    assert mid_t > 0.99 and low_t < 0.01  # 440 Hz sits in the speech band
+    assert flat_t < 0.01 < flat_n
+    assert bw_n > bw_t
+
+
+def test_spectral_features_rejects_non_wav(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG...", "image/png", (8, "s"))], multimodal.BLOB_SCHEMA
+    )
+    with pytest.raises(Exception, match="PCM WAV"):
+        multimodal.extract_spectral_features(df).collect()
+
+
+def test_spectral_features_zero_shuffle(spark):
+    from bq_duckdb_spark.plans import audit_plan
+
+    blob = _make_wav(rate=8000, n=64)
+    df = spark.createDataFrame(
+        [(1, blob, "audio/wav", (len(blob), "s"))], multimodal.BLOB_SCHEMA
+    )
+    assert audit_plan(multimodal.extract_spectral_features(df)).exchanges == 0
+
+
 def test_non_netpbm_real_decode_still_gated(spark):
     """Unsupported payloads under decode_stub=False raise (no PIL here),
     including compressed-BMP and float-WAV variants."""

@@ -429,3 +429,69 @@ def test_stream_static_score_join_matches_batch(spark, doc_stream_dir):
     got = {r.doc_id: r.w for r in spark.table("scored_stream").collect()}
     want = {r.doc_id: r.w for r in batch.select("doc_id").join(weights, "doc_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_near_dup_probe_matches_batch(spark, tmp_path):
+    """Streamed LSH probe against a static corpus == batch
+    cross_corpus_near_dups (after collapsing per-band duplicates),
+    across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from bq_duckdb_spark.ext.dedup_portable import cross_corpus_near_dups
+    from bq_duckdb_spark.streaming import streams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    incoming = docs.filter(F.col("doc_id") % 11 == 0)
+
+    src = str(tmp_path / "arriving")
+    # two shard files -> two micro-batches
+    incoming.filter(F.col("doc_id") < 250).write.parquet(src)
+    incoming.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+
+    stream = streams.read_document_stream(spark, src, max_files_per_trigger=1)
+    q = streams.run_available_now(
+        streams.stream_near_dup_probe(stream, corpus, threshold=0.3),
+        "near_dup_probe",
+    )
+    got = {
+        (r.corpus_id, r.stream_id)
+        for r in spark.sql(
+            "SELECT DISTINCT corpus_id, stream_id FROM near_dup_probe"
+        ).collect()
+    }
+    q.stop()
+    want = {
+        (r.corpus_id, r.batch_id)
+        for r in cross_corpus_near_dups(
+            corpus, incoming, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_near_dup_probe_is_stateless(spark, tmp_path):
+    """The probe plan must need no streaming state: no watermark, no
+    stateful operator in the progress metrics."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from bq_duckdb_spark.streaming import streams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "arriving2")
+    docs.filter(F.col("doc_id") % 17 == 0).write.parquet(src)
+    stream = streams.read_document_stream(spark, src)
+    q = streams.run_available_now(
+        streams.stream_near_dup_probe(
+            stream, docs.filter(F.col("doc_id") % 17 != 0), threshold=0.3
+        ),
+        "near_dup_stateless",
+    )
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    assert progress, "stream produced no progress"
+    for p in progress:
+        for op in p.get("stateOperators", []):
+            assert op.get("numRowsTotal", 0) == 0
