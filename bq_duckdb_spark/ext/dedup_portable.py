@@ -57,10 +57,19 @@ def char_poly_expr(s: str, engine: str) -> str:
     )
 
 
-def grams_expr(text_col: str, k: int, engine: str) -> str:
-    """Token k-gram strings (whole doc if shorter than k tokens)."""
+def grams_expr(
+    text_col: str, k: int, engine: str, tokens: str | None = None
+) -> str:
+    """Token k-gram strings (whole doc if shorter than k tokens).
+
+    ``tokens`` (Spark only): a MATERIALIZED token-array column to build
+    from instead of splitting ``text_col`` inline. Inlining the split
+    means every `slice(split(..))` inside the transform lambda re-runs
+    the tokenizer once per k-gram — O(tokens²) per document (measured
+    10x on the bigram builder); callers on the hot path materialize the
+    array once and pass its name here."""
     if engine == "spark":
-        toks = f"split(trim({text_col}), '\\\\s+')"
+        toks = tokens or f"split(trim({text_col}), '\\\\s+')"
         return (
             f"CASE WHEN size({toks}) < {k} THEN array(concat_ws(' ', {toks})) "
             f"ELSE transform(sequence(0, size({toks}) - {k}), "
@@ -111,9 +120,18 @@ def simhash_expr(th: str, nbits: int, engine: str) -> str:
 def _with_poly_shingle_hashes(
     df: DataFrame, text_col: str, k: int, out: str
 ) -> DataFrame:
-    g = grams_expr(text_col, k, "spark")
-    return df.withColumn(
-        out, F.expr(f"array_distinct(transform({g}, s -> {char_poly_expr('s', 'spark')}))")
+    # tokenize ONCE into a named column: grams_expr's lambda then
+    # slices an attribute, not a re-inlined split (see grams_expr)
+    g = grams_expr(text_col, k, "spark", tokens="__ptoks")
+    return (
+        df.withColumn("__ptoks", F.expr(f"split(trim({text_col}), '\\\\s+')"))
+        .withColumn(
+            out,
+            F.expr(
+                f"array_distinct(transform({g}, s -> {char_poly_expr('s', 'spark')}))"
+            ),
+        )
+        .drop("__ptoks")
     )
 
 

@@ -258,10 +258,13 @@ def with_repetition_stats(
     fine for web-scale docs, and zero shuffles at any corpus size.
     """
     toks = f"split(trim({text_col}), '\\\\s+')"
+    # build grams from the MATERIALIZED __t attribute, not the inline
+    # split — an inlined tokenizer inside the lambda re-runs per n-gram
+    # (O(tokens²) per doc; see text.py _ngrams)
     grams = (
-        f"CASE WHEN size({toks}) < {ngram} THEN array(concat_ws(' ', {toks})) "
-        f"ELSE transform(sequence(1, size({toks}) - {ngram - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {ngram}))) END"
+        f"CASE WHEN size(__t) < {ngram} THEN array(concat_ws(' ', __t)) "
+        f"ELSE transform(sequence(1, size(__t) - {ngram - 1}), "
+        f"i -> concat_ws(' ', slice(__t, i, {ngram}))) END"
     )
     gcounts = (
         f"transform(array_distinct(__g), d -> size(filter(__g, x -> x = d)))"
@@ -403,17 +406,21 @@ def span_dedup(
     exactly.
     """
     toks = f"split(trim({text_col}), '\\\\s+')"
-    nsp = f"CAST(ceil(size({toks}) / {n}.0) AS INT)"
+    nsp = f"CAST(ceil(size(__toks) / {n}.0) AS INT)"
     spans = (
         f"transform(sequence(0, {nsp} - 1), "
-        f"i -> array_join(slice({toks}, i * {n} + 1, {n}), ' '))"
+        f"i -> array_join(slice(__toks, i * {n} + 1, {n}), ' '))"
     )
     # split('') yields [''] (size 1), so nsp >= 1 and sequence() never
     # sees start > stop (Spark would count DOWN, not return empty).
-    # Two-step projection: n_spans and the span array are computed once
-    # per document below the Generate; exploding the array by attribute
-    # keeps the tokenizing split out of the per-span Project.
+    # Three-step projection: the token array is materialized FIRST (the
+    # slice inside the span lambda then reads an attribute — an inlined
+    # split would re-tokenize per span), then n_spans and the span array
+    # are computed once per document below the Generate; exploding by
+    # attribute keeps everything out of the per-span Project.
     base = df.select(
+        F.col(id_col), F.expr(toks).alias("__toks")
+    ).select(
         F.col(id_col), F.expr(nsp).alias("n_spans"), F.expr(spans).alias("__spans")
     )
     exploded = base.select(

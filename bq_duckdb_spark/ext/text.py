@@ -117,28 +117,32 @@ def tf_idf(
     # would run the tokenizing split twice more per row (see
     # ext/dedup.py banding comment); the whitespace split of a non-null
     # string is never empty, and null text reduces to the same drop.
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(F.expr(toks)).alias("term")
+    # doc_len = size(tokens), computed ROW-LOCAL before the explode and
+    # carried through the (id, term) shuffle as one extra int — the
+    # earlier formulation re-aggregated doc_terms by id and joined the
+    # lengths back on, a whole corpus-scale shuffle just to recover a
+    # number the scan already knew. The token ARRAY must be a named
+    # column before size()/explode() touch it: inlining the split into
+    # both consumers makes Catalyst hoist size(split(text)) ABOVE the
+    # Generate, re-running the tokenizer once per OUTPUT token
+    # (O(tokens²) per doc — measured 6x slower); referencing one
+    # attribute keeps the split at once per document and size() at O(1).
+    base = df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    exploded = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("doc_len"),
+        F.explode_outer("__toks").alias("term"),
     ).filter(F.col("term").isNotNull())
     doc_terms = exploded.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("term_count")
-    )
-    # doc_len = sum of the doc's term counts — derived from doc_terms,
-    # NOT from a second explode of the corpus: the raw-token groupBy(id)
-    # would re-explode and shuffle every token occurrence, while this
-    # re-aggregates the (id, term) table (vocabulary-sized) and lets
-    # ReuseExchange share doc_terms' one shuffle across all three
-    # aggregates below.
-    doc_lens = doc_terms.groupBy(id_col).agg(
-        F.sum("term_count").alias("doc_len")
+        F.count(F.lit(1)).alias("term_count"),
+        F.first("doc_len").alias("doc_len"),
     )
     n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
     term_df = doc_terms.groupBy("term").agg(
         F.countDistinct(id_col).alias("df_t")
     )
     return (
-        doc_terms.join(doc_lens, id_col)
-        .join(term_df, "term")
+        doc_terms.join(term_df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -178,11 +182,14 @@ def chunk_documents(
     slice + posexplode): the fan-out is row-local, no shuffle at all —
     the ideal 100 TB shape (map-only, scales with input splits).
     """
-    toks = _tokens(text_col)
-    n_chunks = chunk_count_expr(f"size({toks})", chunk_tokens, stride)
+    # token array materialized as a named column: the slice inside the
+    # per-chunk lambda then reads an attribute — an inlined split would
+    # re-tokenize once per chunk (see ngram_lm_score's pair builder,
+    # measured 10x on the bigram case)
+    n_chunks = chunk_count_expr("size(__toks)", chunk_tokens, stride)
     chunks = (
         f"transform(sequence(0, {n_chunks} - 1), "
-        f"i -> concat_ws(' ', slice({toks}, i * {stride} + 1, {chunk_tokens})))"
+        f"i -> concat_ws(' ', slice(__toks, i * {stride} + 1, {chunk_tokens})))"
     )
     # posexplode_outer + null filter: keeps the chunking expression out
     # of an inferred pre-Generate filter (it would be evaluated 3x per
@@ -190,7 +197,8 @@ def chunk_documents(
     # yields >= 1 chunk for non-null text, so only null-text rows (which
     # plain posexplode also drops) are filtered.
     return (
-        df.select(
+        df.select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
+        .select(
             F.col(id_col),
             F.posexplode_outer(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
         )
@@ -250,11 +258,12 @@ def with_fingerprint(
       DuckDB oracle. Weaker (31-bit) but collision quality is irrelevant
       for a min-of-window content id.
     """
-    toks = _tokens(text_col)
+    # named token-array column so the shingle lambda slices an attribute
+    # instead of re-running the split per k-gram (O(tokens²) otherwise)
     shingles = (
-        f"CASE WHEN size({toks}) < {shingle_k} THEN array(concat_ws(' ', {toks})) "
-        f"ELSE transform(sequence(0, size({toks}) - {shingle_k}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {shingle_k}))) END"
+        f"CASE WHEN size(__toks) < {shingle_k} THEN array(concat_ws(' ', __toks)) "
+        f"ELSE transform(sequence(0, size(__toks) - {shingle_k}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {shingle_k}))) END"
     )
     if hash == "poly":
         gram_hash = (
@@ -263,8 +272,13 @@ def with_fingerprint(
         )
     else:
         gram_hash = "xxhash64(s)"
-    return df.withColumn(
-        "fingerprint", F.expr(f"array_min(transform({shingles}, s -> {gram_hash}))")
+    return (
+        df.withColumn("__toks", F.expr(_tokens(text_col)))
+        .withColumn(
+            "fingerprint",
+            F.expr(f"array_min(transform({shingles}, s -> {gram_hash}))"),
+        )
+        .drop("__toks")
     )
 
 
@@ -295,17 +309,21 @@ def ngram_lm_score(
     genuinely does.  V is a lazy 1-row aggregate cross-joined in
     (scalar broadcast), never a driver job.
     """
-    toks = _tokens(text_col)
     # guarded pair build: sequence(0, size-2) would generate a DESCENDING
     # sequence for 1-token docs, so gate on size >= 2; explode_outer +
-    # null post-filter per the InferFiltersFromGenerate pitfall
+    # null post-filter per the InferFiltersFromGenerate pitfall. The
+    # token array is materialized as a named column FIRST: `__toks[i]`
+    # inside the lambda then indexes an attribute — inlining the split
+    # re-runs the tokenizer once per bigram, O(tokens²) per document
+    # (measured 10x slower at sf0.1).
     pairs = (
-        f"CASE WHEN size({toks}) < 2 THEN array() "
-        f"ELSE transform(sequence(0, size({toks}) - 2), "
-        f"i -> struct({toks}[i] AS w1, {toks}[i + 1] AS w2)) END"
+        "CASE WHEN size(__toks) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(__toks) - 2), "
+        "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2)) END"
     )
     bg = (
-        df.select(F.col(id_col), F.explode_outer(F.expr(pairs)).alias("p"))
+        df.select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode_outer(F.expr(pairs)).alias("p"))
         .filter(F.col("p").isNotNull())
         .select(id_col, "p.w1", "p.w2")
     )
@@ -336,10 +354,13 @@ def ngram_lm_score(
     )
 
 
-def _ngrams(text_col: str, n: int) -> str:
+def _ngrams(text_col: str, n: int, tokens: str | None = None) -> str:
     """Word n-grams as strings: sliding windows joined by single spaces
-    (so differing whitespace runs canonicalize to the same n-gram)."""
-    toks = _tokens(text_col)
+    (so differing whitespace runs canonicalize to the same n-gram).
+    ``tokens`` names a MATERIALIZED token-array column; without it the
+    split is inlined into the lambda and re-runs per n-gram (O(tokens²)
+    per doc — hot-path callers must materialize first)."""
+    toks = tokens or _tokens(text_col)
     return (
         f"transform(sequence(1, greatest(1, size({toks}) - {n - 1})), "
         f"i -> concat_ws(' ', slice({toks}, i, {n})))"
@@ -366,14 +387,17 @@ def decontaminate(
     flip the broadcast hint to a plain shuffle join; nothing else
     changes.
     """
-    grams = _ngrams(text_col, n)
+    grams = _ngrams(text_col, n, tokens="__toks")
+    tok_expr = F.expr(_tokens(text_col)).alias("__toks")
     ev = (
-        eval_set.select(F.explode_outer(F.expr(grams)).alias("gram"))
+        eval_set.select(tok_expr)
+        .select(F.explode_outer(F.expr(grams)).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
     )
     body = (
-        corpus.select(F.col(id_col), F.explode_outer(F.expr(grams)).alias("gram"))
+        corpus.select(F.col(id_col), tok_expr)
+        .select(F.col(id_col), F.explode_outer(F.expr(grams)).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()  # count each shared gram once per doc
     )
