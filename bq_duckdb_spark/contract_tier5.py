@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bq_duckdb_spark.ext import cluster, similarity
+from bq_duckdb_spark.ext import cluster, retrieval, similarity
 from bq_duckdb_spark.ext.contract import (
     _SIM_COSINE_TOPK_ORACLE,
     _lsh_ann_oracle,
@@ -159,6 +159,33 @@ SELECT doc_id, n_chars, group_sz FROM (
     FROM documents
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed classifier training
+# ---------------------------------------------------------------------------
+
+_LR_BUCKETS, _LR_ITERS = 64, 3
+_LR_LABEL_SPARK = "CAST(lang = 'en' AS INT)"
+_LR_LABEL_DUCK = "(lang = 'en')"
+
+
+def text_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING (full-batch GD over
+    hashed bag-of-words, label = is-English) — the fit side of
+    text_classify's inference. Deterministic zero-init + quantized
+    updates make even SGD oracle-checkable (ext/retrieval.py
+    train_logreg); output is the trained weight table, exact-equal in
+    both engines because every weight is quantized identically."""
+    w = retrieval.train_logreg(
+        _t(spark, sf_dir, "documents"),
+        _LR_LABEL_SPARK,
+        n_buckets=_LR_BUCKETS,
+        iters=_LR_ITERS,
+    )
+    return spark.createDataFrame(
+        [(b, x) for b, x in enumerate(w)], "bucket: bigint, weight: double"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -324,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_recall_eval": sim_recall_eval,
         "pipe_weighted_sample": pipe_weighted_sample,
         "dedup_keep_best": dedup_keep_best,
+        "text_train_classifier": text_train_classifier,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -337,6 +365,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_recall_eval": _sim_recall_oracle(),
         "pipe_weighted_sample": _PIPE_WEIGHTED_SAMPLE_ORACLE,
         "dedup_keep_best": _DEDUP_KEEP_BEST_ORACLE,
+        "text_train_classifier": retrieval.logreg_oracle_sql(
+            _LR_LABEL_DUCK, n_buckets=_LR_BUCKETS, iters=_LR_ITERS
+        ),
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

@@ -311,3 +311,141 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(F.sum("w").alias("dsir"))
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic-regression training (full-batch gradient descent)
+# ---------------------------------------------------------------------------
+
+
+def _half_up(x: float, q: int) -> float:
+    import math as _m
+
+    return _m.floor(x * 10**q + 0.5) / 10**q
+
+
+def train_logreg(
+    df: DataFrame,
+    label_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: float = 1.0,
+    quantize: int = 6,
+) -> list[float]:
+    """Train a logistic-regression quality classifier over hashed
+    bag-of-words features with full-batch gradient descent — the
+    TRAINING side of classify_documents' inference shape (fastText-like
+    linear model; how production quality filters are actually fit on
+    the corpus they will filter).
+
+    Model: x_{d,b} = (occurrences of bucket b in doc d) / n_tokens_d,
+    score_d = Σ_b x_{d,b}·w_b, and per iteration
+    ``w ← w − lr · (1/N) Σ_d (σ(score_d) − y_d) · x_d``.
+
+    Scale shape (the pagerank/kmeans pattern): the weight vector is
+    driver-sized BY DEFINITION (the model), so each iteration inlines
+    it as a literal array — scoring is MAP-ONLY (a fold over the doc's
+    bucket array, whole-stage codegen) — and the gradient is ONE
+    groupBy(bucket) shuffle over the exploded occurrences whose
+    map-side partial aggregation caps every partition's exchange
+    contribution at n_buckets rows. The tokenized/bucketed corpus is
+    prepared once and eagerly localCheckpoint'ed so iterations rescan a
+    materialized node-local table instead of re-running the tokenizer.
+
+    Determinism (what makes the DuckDB oracle possible — unusual for
+    SGD, standard here: fixed full-batch iteration order-free math):
+    w0 = 0, and every update is quantized half-up to ``quantize``
+    decimals, so cross-engine summation-order ulps in the gradient
+    cannot compound across iterations. Returns the trained weights as
+    a plain list (bucket b's weight at index b).
+    """
+    poly = char_poly_expr("t", "spark")
+    prep = (
+        df.select(
+            F.col(id_col),
+            F.expr(label_expr).cast("double").alias("y"),
+            F.expr(_tokens(text_col)).alias("__toks"),
+        )
+        .select(
+            id_col,
+            "y",
+            F.expr(f"transform(__toks, t -> ({poly}) % {n_buckets})").alias(
+                "buckets"
+            ),
+            F.expr("CAST(size(__toks) AS DOUBLE)").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = float(prep.count())
+    w = [0.0] * n_buckets
+    for _ in range(iters):
+        w_lit = "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+        grads = (
+            prep.withColumn(
+                "score",
+                F.expr(
+                    f"aggregate(buckets, 0D, "
+                    f"(s, b) -> s + element_at({w_lit}, CAST(b AS INT) + 1)) / n"
+                ),
+            )
+            .withColumn("r", F.expr("1.0 / (1.0 + exp(-score)) - y"))
+            .select(F.explode("buckets").alias("b"), (F.col("r") / F.col("n")).alias("g"))
+            .groupBy("b")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        for row in grads:
+            w[row.b] = _half_up(w[row.b] - lr * float(row.g) / n_docs, quantize)
+    return w
+
+
+def logreg_oracle_sql(
+    label_sql: str,
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: float = 1.0,
+    quantize: int = 6,
+) -> str:
+    """The SAME init/score/gradient/update recurrence unrolled as
+    chained MATERIALIZED DuckDB CTEs (generated by one loop, pagerank
+    pattern): the oracle pins the recurrence, not a copy of it."""
+    poly = char_poly_expr("t", "duckdb")
+    q = 10**quantize
+    parts = [
+        "WITH feat AS MATERIALIZED (",
+        "    SELECT doc_id, y, n,",
+        f"           ({poly}) % {n_buckets} AS b",
+        "    FROM (",
+        "        SELECT doc_id,",
+        f"               CAST({label_sql} AS DOUBLE) AS y,",
+        r"               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n,",
+        r"               unnest(regexp_split_to_array(trim(text), '\s+')) AS t",
+        "        FROM documents",
+        "    )",
+        "),",
+        "nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM feat),",
+        f"w0 AS MATERIALIZED (SELECT CAST(r.range AS BIGINT) AS b, 0.0 AS w FROM range(0, {n_buckets}) r),",
+    ]
+    d_lr = repr(float(lr))
+    for i in range(1, iters + 1):
+        prev = f"w{i - 1}"
+        parts += [
+            f"s{i} AS MATERIALIZED (",
+            "    SELECT f.doc_id, any_value(f.y) AS y, any_value(f.n) AS n,",
+            "           sum(w.w) / any_value(f.n) AS score",
+            f"    FROM feat f JOIN {prev} w USING (b) GROUP BY f.doc_id",
+            "),",
+            f"g{i} AS MATERIALIZED (",
+            "    SELECT f.b, sum((1.0 / (1.0 + exp(-s.score)) - s.y) / f.n) AS g",
+            f"    FROM feat f JOIN s{i} s USING (doc_id) GROUP BY f.b",
+            "),",
+            f"w{i} AS MATERIALIZED (",
+            f"    SELECT p.b, floor((p.w - {d_lr} * COALESCE(g.g, 0.0) / nn.n_docs) * {q} + 0.5) / {q} AS w",
+            f"    FROM {prev} p LEFT JOIN g{i} g USING (b) CROSS JOIN nn",
+            "),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT b AS bucket, w AS weight FROM w{iters}")
+    return "\n".join(parts)

@@ -235,3 +235,53 @@ def test_window_distinct_single_exchange(spark):
     df = contract_tier5.q_window_distinct(spark, SF)
     audit = audit_plan(df)
     assert audit.exchanges <= 2, audit.formatted
+
+
+# ---------------------------------------------------------------------------
+# logistic-regression training
+# ---------------------------------------------------------------------------
+
+
+def test_train_logreg_separates_labels(spark):
+    from bq_duckdb_spark.ext.dedup_portable import P, char_poly_expr
+    from bq_duckdb_spark.ext.retrieval import train_logreg
+
+    rows = []
+    for i in range(40):
+        # class-1 docs speak one vocabulary, class-0 another
+        text = "alpha beta gamma delta" if i % 2 else "omega psi chi phi"
+        rows.append((i, text, "en" if i % 2 else "de"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    w = train_logreg(
+        df, "CAST(lang = 'en' AS INT)", n_buckets=32, iters=10, lr=4.0
+    )
+    # score both vocabularies under the trained model: the positive
+    # class's mean feature weight must dominate
+    poly = char_poly_expr("t", "spark")
+    from pyspark.sql import functions as F
+
+    w_lit = "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+    scores = {
+        r.lang: r.s
+        for r in df.select(
+            "lang",
+            F.expr(
+                f"aggregate(transform(split(trim(text), '\\\\s+'), "
+                f"t -> element_at({w_lit}, CAST(({poly}) % 32 AS INT) + 1)), "
+                f"0D, (a, x) -> a + x)"
+            ).alias("s"),
+        )
+        .groupBy("lang")
+        .agg(F.avg("s").alias("s"))
+        .collect()
+    }
+    assert scores["en"] > 0 > scores["de"]
+
+
+def test_train_logreg_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from bq_duckdb_spark.ext.retrieval import train_logreg
+
+    a = train_logreg(docs, "CAST(lang = 'en' AS INT)", n_buckets=16, iters=2)
+    b = train_logreg(docs, "CAST(lang = 'en' AS INT)", n_buckets=16, iters=2)
+    assert a == b and any(x != 0 for x in a)
