@@ -162,6 +162,55 @@ SELECT doc_id, n_chars, group_sz FROM (
 
 
 # ---------------------------------------------------------------------------
+# global token-budget selection
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET = 20_000
+
+
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a global token budget with the highest-quality documents
+    first (quality = distinct-token ratio, ties by doc_id): the
+    terminal corpus-assembly step. The running total is the
+    distributed exact prefix sum of operators/budget.py — range
+    partition + local cumsums + broadcast offsets — never a
+    SinglePartition window; the oracle is the equivalent naive global
+    window, which DuckDB runs happily single-node."""
+    from bq_duckdb_spark.ext.text import with_quality_scores, with_token_count
+    from bq_duckdb_spark.operators.budget import take_until_budget
+
+    docs = with_quality_scores(
+        with_token_count(_t(spark, sf_dir, "documents"))
+    ).select("doc_id", "n_tokens", "distinct_ratio")
+    return take_until_budget(
+        docs,
+        [F.col("distinct_ratio").desc(), F.col("doc_id")],
+        "n_tokens",
+        _TB_BUDGET,
+        out_col="cum_tokens",
+    ).select("doc_id", "n_tokens", "cum_tokens")
+
+
+_PIPE_TOKEN_BUDGET_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY distinct_ratio DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {_TB_BUDGET}
+"""
+
+
+# ---------------------------------------------------------------------------
 # distributed classifier training
 # ---------------------------------------------------------------------------
 
@@ -352,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_weighted_sample": pipe_weighted_sample,
         "dedup_keep_best": dedup_keep_best,
         "text_train_classifier": text_train_classifier,
+        "pipe_token_budget": pipe_token_budget,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -368,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "text_train_classifier": retrieval.logreg_oracle_sql(
             _LR_LABEL_DUCK, n_buckets=_LR_BUCKETS, iters=_LR_ITERS
         ),
+        "pipe_token_budget": _PIPE_TOKEN_BUDGET_ORACLE,
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

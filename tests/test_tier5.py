@@ -285,3 +285,49 @@ def test_train_logreg_deterministic(spark):
     a = train_logreg(docs, "CAST(lang = 'en' AS INT)", n_buckets=16, iters=2)
     b = train_logreg(docs, "CAST(lang = 'en' AS INT)", n_buckets=16, iters=2)
     assert a == b and any(x != 0 for x in a)
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def test_take_until_budget_matches_naive_window(spark):
+    from pyspark.sql.window import Window
+
+    from bq_duckdb_spark.operators.budget import take_until_budget
+
+    rows = [(i, (i * 37) % 23 + 1, float((i * 13) % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "w", "q"])
+    got = sorted(
+        (r.id, r.cum)
+        for r in take_until_budget(
+            df, [F.col("q").desc(), F.col("id")], "w", 2000, out_col="cum"
+        ).collect()
+    )
+    w_naive = Window.orderBy(F.col("q").desc(), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = sorted(
+        (r.id, r.cum)
+        for r in df.withColumn("cum", F.sum("w").over(w_naive))
+        .filter(F.col("cum") <= 2000)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_take_until_budget_no_single_partition_funnel(spark):
+    from bq_duckdb_spark.operators.budget import take_until_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "n_chars AS w", "CAST(doc_id % 7 AS DOUBLE) AS q"
+    )
+    out = take_until_budget(docs, [F.col("q").desc(), F.col("doc_id")], "w", 10_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data path is range-partitioned; the only SinglePartition work
+    # is the #partitions-row offsets window
+    import re
+
+    funnels = re.findall(r"Exchange SinglePartition[^\n]*", plan)
+    assert len(funnels) <= 1, plan
