@@ -162,6 +162,98 @@ SELECT doc_id, n_chars, group_sz FROM (
 
 
 # ---------------------------------------------------------------------------
+# time-series linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor values per user timeline
+    (a deterministic 1-in-5 subset plays the missing values): the gap-
+    repair twin of q_gapfill. Neighbors come from IGNORE NULLS window
+    lookups — last non-null before, first non-null after — and the fill
+    is ``prev + (next − prev)·(ts − ts_prev)/(ts_next − ts_prev)`` on
+    exact epoch-microsecond integers, so the arithmetic is bitwise-
+    reproducible in any engine (no rounding needed). Boundary gaps
+    carry the single available neighbor. Both window specs partition by
+    user_id: ONE exchange of events, two in-partition sorts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("IF(event_id % 5 = 0, NULL, value)").alias("v"),
+    )
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    marked = (
+        ev.withColumn("prev_v", F.last("v", ignorenulls=True).over(before))
+        .withColumn(
+            "prev_ts",
+            F.last(F.when(F.col("v").isNotNull(), F.unix_micros("ts")), ignorenulls=True).over(before),
+        )
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(after))
+        .withColumn(
+            "next_ts",
+            F.first(F.when(F.col("v").isNotNull(), F.unix_micros("ts")), ignorenulls=True).over(after),
+        )
+    )
+    fill = (
+        "CASE WHEN v IS NOT NULL THEN v "
+        "WHEN prev_v IS NULL THEN next_v "
+        "WHEN next_v IS NULL THEN prev_v "
+        "ELSE prev_v + (next_v - prev_v) "
+        "* (CAST(unix_micros(ts) - prev_ts AS DOUBLE) "
+        "/ CAST(next_ts - prev_ts AS DOUBLE)) END"
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_missing"),
+        F.expr(fill).alias("value_filled"),
+    )
+
+
+_Q_INTERPOLATE_ORACLE = """
+WITH ev AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+    FROM events
+),
+marked AS (
+    SELECT event_id, user_id, ts, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+           last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+           first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+    FROM ev
+)
+SELECT event_id, user_id, v IS NULL AS was_missing,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(epoch_us(ts) - prev_ts AS DOUBLE)
+                    / CAST(next_ts - prev_ts AS DOUBLE)) END AS value_filled
+FROM marked
+"""
+
+
+# ---------------------------------------------------------------------------
 # global token-budget selection
 # ---------------------------------------------------------------------------
 
@@ -402,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "text_train_classifier": text_train_classifier,
         "pipe_token_budget": pipe_token_budget,
+        "q_interpolate": q_interpolate,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -419,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
             _LR_LABEL_DUCK, n_buckets=_LR_BUCKETS, iters=_LR_ITERS
         ),
         "pipe_token_budget": _PIPE_TOKEN_BUDGET_ORACLE,
+        "q_interpolate": _Q_INTERPOLATE_ORACLE,
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

@@ -331,3 +331,49 @@ def test_take_until_budget_no_single_partition_funnel(spark):
 
     funnels = re.findall(r"Exchange SinglePartition[^\n]*", plan)
     assert len(funnels) <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_interpolate_hand_case(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # user 1: values 10 at t=0, missing at t=30 (event 5), 20 at t=40:
+    # interpolated = 10 + (20-10) * 30/40 = 17.5
+    rows = [
+        (1, at(0), 1, "view", 10.0, "{}"),
+        (5, at(30), 1, "view", 99.0, "{}"),   # id % 5 == 0 -> nulled
+        (2, at(40), 1, "view", 20.0, "{}"),
+        (10, at(0), 2, "view", 7.0, "{}"),    # boundary gap: only next
+        (3, at(10), 2, "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r.event_id: (r.was_missing, r.value_filled)
+            for r in contract_tier5.q_interpolate(spark, d).collect()
+        }
+    assert out[5] == (True, pytest.approx(17.5))
+    assert out[10] == (True, pytest.approx(4.0))  # carries the only neighbor
+    assert out[1] == (False, 10.0)
+
+
+def test_interpolate_single_exchange(spark):
+    df = contract_tier5.q_interpolate(spark, SF)
+    audit = audit_plan(df)
+    # both window specs share the user_id partitioning: one exchange
+    # (audit counts each physical Exchange twice under AQE)
+    assert audit.exchanges <= 2, audit.formatted
