@@ -348,6 +348,36 @@ def stream_near_dup_probe(
     )
 
 
+def merge_each_batch(session, merge_sql: str, source_name: str = "stream_src"):
+    """foreachBatch writer: streaming CDC upsert into an engine table.
+
+    Each arriving micro-batch is registered as the session table
+    ``source_name`` and ``merge_sql`` (a BigQuery-dialect MERGE naming
+    that source) runs through the engine — the same MERGE surface, the
+    same multi-match cardinality check, the same wire-visible result a
+    batch client sees. foreachBatch is the idiomatic Structured
+    Streaming shape for sink-side upserts: the sink (here the session
+    catalog) applies each batch transactionally in trigger order, and a
+    replayed batch re-registers the identical source frame, so an
+    idempotent MERGE (deterministic SET from the source row) converges
+    to the same table state on retry.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands the batch to a CLONED SparkSession whose
+        # local temp views the engine session cannot see; a GLOBAL temp
+        # view bridges the two, and the engine re-resolves it in its
+        # own session before registering the MERGE source.
+        gname = f"__merge_batch_{source_name}"
+        batch_df.createOrReplaceGlobalTempView(gname)
+        session.register_dataframe(
+            source_name, session.spark.table(f"global_temp.{gname}")
+        )
+        session.query(merge_sql)
+
+    return _write
+
+
 def stream_mixture(
     docs: DataFrame,
     source_col: str = "source",

@@ -495,3 +495,59 @@ def test_stream_near_dup_probe_is_stateless(spark, tmp_path):
     for p in progress:
         for op in p.get("stateOperators", []):
             assert op.get("numRowsTotal", 0) == 0
+
+
+def test_streaming_merge_upsert_matches_batch(spark, tmp_path):
+    """CDC upsert: micro-batches MERGEd into an engine table through
+    foreachBatch end in the same state as one batch MERGE of all the
+    changes (updates are idempotent functions of the key, so trigger
+    order cannot matter)."""
+    from bq_duckdb_spark.engine import Session
+    from bq_duckdb_spark.streaming import streams
+
+    merge_sql = (
+        "MERGE INTO tgt USING stream_src ON tgt.k = stream_src.k "
+        "WHEN MATCHED THEN UPDATE SET v = stream_src.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (stream_src.k, stream_src.v)"
+    )
+
+    def fresh_target(sess):
+        sess.query("CREATE TABLE tgt (k INT64, v STRING)")
+        sess.query(
+            "INSERT INTO tgt VALUES (1, 'old1'), (2, 'old2'), (3, 'old3')"
+        )
+
+    # the change stream: two shard files with overlapping keys; v is a
+    # pure function of k so replay/order is immaterial
+    changes = spark.createDataFrame(
+        [(2, "new2"), (4, "new4"), (3, "new3"), (5, "new5")], "k: long, v: string"
+    )
+    src = str(tmp_path / "changes")
+    changes.filter("k <= 3").write.parquet(src)
+    changes.filter("k > 3").write.mode("append").parquet(src)
+
+    sess = Session(spark)
+    fresh_target(sess)
+    stream = spark.readStream.schema("k long, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(streams.merge_each_batch(sess, merge_sql))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in sess.query("SELECT k, v FROM tgt").collect()
+    )
+
+    batch_sess = Session(spark)
+    fresh_target(batch_sess)
+    batch_sess.register_dataframe("stream_src", changes)
+    batch_sess.query(merge_sql)
+    want = sorted(
+        tuple(r) for r in batch_sess.query("SELECT k, v FROM tgt").collect()
+    )
+    assert got == want
+    assert dict(got)[2] == "new2" and dict(got)[5] == "new5"
