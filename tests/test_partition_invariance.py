@@ -23,6 +23,13 @@ ENTRIES = [
     "sim_ann_join",
     "pipe_corpus_assembly",
     "text_bm25",
+    # tier-5: iterative quantized training, driver-literal clustering,
+    # distributed prefix sum, seeded weighted draw, windowed dedup
+    "text_train_classifier",
+    "emb_kmeans",
+    "pipe_token_budget",
+    "pipe_weighted_sample",
+    "dedup_keep_best",
 ]
 
 
@@ -38,4 +45,39 @@ def test_result_invariant_to_shuffle_partitions(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert len(a) > 0
+    assert a == b
+
+
+def test_take_until_budget_invariant_to_partition_count(spark):
+    """The distributed prefix sum must agree with itself across
+    explicit range-partition counts, not just shuffle.partitions."""
+    from pyspark.sql import functions as F
+
+    from bq_duckdb_spark.operators.budget import take_until_budget
+
+    rows = [(i, (i * 37) % 23 + 1, float((i * 13) % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "w", "q"])
+    order = [F.col("q").desc(), F.col("id")]
+    a = sorted(
+        tuple(r)
+        for r in take_until_budget(df, order, "w", 1500, num_partitions=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in take_until_budget(df, order, "w", 1500, num_partitions=19).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_kmeans_invariant_to_input_layout(spark):
+    from bq_duckdb_spark.ext.cluster import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(
+        (r.vec_id, r.cell) for r in kmeans_assign(emb, k=4, iters=2).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cell)
+        for r in kmeans_assign(emb.repartition(13), k=4, iters=2).collect()
+    )
     assert a == b
