@@ -37,6 +37,7 @@ _ALLOWED_GLOBAL = {
     "q_cte_chain",             # WindowGroupLimit Partial prunes to top-100 per partition first
     "q_ntile_scalable",        # funnels the per-partition COUNT table (1 row/partition)
     "pipe_seeded_shuffle",     # same per-partition count-table offsets
+    "pipe_token_budget",       # same: offsets window over per-partition TOTALS (1 row/partition)
 }
 
 # intentional nested-loop / cartesian entries (BNLJ theta joins)

@@ -1,0 +1,167 @@
+"""Scaling probe: wall-time curves for the flagship operators across
+data sizes (sf0.01 → sf0.1 → a synthesized 5× corpus), recording how
+runtime grows relative to input growth.
+
+The synthesized tier replicates sf0.1 documents 5× with REWRITTEN
+content per replica (tokens rotated by a replica-dependent offset, a
+replica-tagged lead token, and shifted ids) so the corpus grows without
+planting exact/near duplicates — replicating verbatim would mass-create
+identical docs, whose quadratic in-bucket pair expansion is the
+documented pathological input for near-dup banding (run exact dedup
+first, per ext/dedup.py), and would measure that pathology rather than
+scaling. Embeddings replicate with a per-replica deterministic value
+tweak for the same reason.
+
+Usage: python tools/scaling_probe.py [out_path]
+Writes one line per (operator, tier): name, rows, seconds; then a
+summary of time-growth vs data-growth per operator.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark import get_spark
+
+
+def synth_docs(spark, base_dir: str, copies: int):
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = []
+    for i in range(copies):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        if i:
+            # rotate the token stream and tag the head so replicas do
+            # not shingle-match each other or the originals
+            d = d.withColumn(
+                "text",
+                F.expr(
+                    f"concat_ws(' ', concat('rep{i}x', ''), "
+                    f"concat_ws(' ', slice(split(trim(text), '\\\\s+'), {i + 1}, 100000)), "
+                    f"concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, {i})))"
+                ),
+            )
+        reps.append(d)
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def synth_embeddings(spark, base_dir: str, copies: int):
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    reps = []
+    for i in range(copies):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+        if i:
+            e = e.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, j) -> "
+                    f"CAST(x + 0.01 * {i} * (1 + j % 3) AS FLOAT))"
+                ),
+            )
+        reps.append(e)
+    out = reps[0]
+    for e in reps[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r3.txt"
+    spark = get_spark(app_name="scaling-probe", cpus="32")
+
+    from bq_duckdb_spark.ext import dedup, text
+    from bq_duckdb_spark.ext.cluster import kmeans_assign
+    from bq_duckdb_spark.ext.retrieval import train_logreg
+    from bq_duckdb_spark.operators.budget import take_until_budget
+
+    def doc_ops(docs):
+        return {
+            "dedup_exact": lambda: dedup.exact_dup_stats(docs, "text", "doc_id"),
+            "minhash_pairs": lambda: dedup.minhash_candidate_pairs(
+                docs, "text", "doc_id"
+            ),
+            "simhash_pairs": lambda: dedup.simhash_near_dup_pairs(
+                docs, "text", "doc_id"
+            ),
+            "tfidf": lambda: text.tf_idf(docs),
+            "bigram_lm": lambda: text.ngram_lm_score(docs),
+            "quality": lambda: text.with_quality_scores(docs),
+            "token_budget": lambda: take_until_budget(
+                text.with_token_count(docs).select("doc_id", "n_tokens"),
+                [F.col("n_tokens").desc(), F.col("doc_id")],
+                "n_tokens",
+                10**9,
+                out_col="cum",
+            ),
+        }
+
+    tiers = []
+    docs_001 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs_01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs_05 = synth_docs(spark, "/root/testdata/sf0.1", 5).localCheckpoint(
+        eager=True
+    )
+    emb_01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb_05 = synth_embeddings(spark, "/root/testdata/sf0.1", 5).localCheckpoint(
+        eager=True
+    )
+    tiers = [
+        ("sf0.01", docs_001, None),
+        ("sf0.1", docs_01, emb_01),
+        ("synth5x", docs_05, emb_05),
+    ]
+
+    lines = []
+    results: dict[str, dict[str, float]] = {}
+    for tier, docs, emb in tiers:
+        n_docs = docs.count()
+        ops = doc_ops(docs)
+        for name, mk in ops.items():
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                mk().write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[tier] = best
+            lines.append(f"{tier:8s} {name:16s} rows={n_docs:7d} {best:6.2f}s")
+            print(lines[-1], flush=True)
+        if emb is not None:
+            t0 = time.time()
+            kmeans_assign(emb, k=4, iters=2).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            results.setdefault("kmeans", {})[tier] = dt
+            lines.append(f"{tier:8s} {'kmeans':16s} rows={emb.count():7d} {dt:6.2f}s")
+            print(lines[-1], flush=True)
+        t0 = time.time()
+        train_logreg(docs, "CAST(lang = 'en' AS INT)", n_buckets=64, iters=2)
+        dt = time.time() - t0
+        results.setdefault("logreg_train", {})[tier] = dt
+        lines.append(f"{tier:8s} {'logreg_train':16s} rows={n_docs:7d} {dt:6.2f}s")
+        print(lines[-1], flush=True)
+
+    lines.append("")
+    lines.append("growth (synth5x time / sf0.1 time; data grew 5.0x):")
+    for name, by_tier in sorted(results.items()):
+        if "sf0.1" in by_tier and "synth5x" in by_tier and by_tier["sf0.1"] > 0:
+            r = by_tier["synth5x"] / by_tier["sf0.1"]
+            lines.append(f"  {name:16s} {r:5.2f}x")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nwrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
