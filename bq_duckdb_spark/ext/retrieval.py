@@ -449,3 +449,30 @@ def logreg_oracle_sql(
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT b AS bucket, w AS weight FROM w{iters}")
     return "\n".join(parts)
+
+
+def apply_logreg(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a train_logreg model: ``(id, prob, label)``.
+
+    Same map-only shape as classify_documents — the weight vector is a
+    literal array (driver-sized by definition), the score a codegen'd
+    fold over the doc's hashed buckets; at 100 TB the cost is exactly
+    one scan, zero shuffles."""
+    n_buckets = len(weights)
+    poly = char_poly_expr("t", "spark")
+    w_lit = "array(" + ", ".join(f"{x!r}D" for x in weights) + ")"
+    score = (
+        f"aggregate(transform(split(trim({text_col}), '\\\\s+'), "
+        f"t -> element_at({w_lit}, CAST(({poly}) % {n_buckets} AS INT) + 1)), "
+        f"0D, (s, w) -> s + w, "
+        f"s -> s / size(split(trim({text_col}), '\\\\s+')))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"1.0 / (1.0 + exp(-({score})))").alias("prob"),
+    ).withColumn("label", (F.col("prob") >= 0.5).cast("int"))

@@ -377,3 +377,24 @@ def test_interpolate_single_exchange(spark):
     # both window specs share the user_id partitioning: one exchange
     # (audit counts each physical Exchange twice under AQE)
     assert audit.exchanges <= 2, audit.formatted
+
+
+def test_apply_logreg_consistent_with_training_labels(spark):
+    from bq_duckdb_spark.ext.retrieval import apply_logreg, train_logreg
+
+    rows = []
+    for i in range(60):
+        text = "alpha beta gamma delta" if i % 2 else "omega psi chi phi"
+        rows.append((i, text, "en" if i % 2 else "de"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    w = train_logreg(df, "CAST(lang = 'en' AS INT)", n_buckets=32, iters=12, lr=4.0)
+    preds = {r.doc_id: r.label for r in apply_logreg(df, w).collect()}
+    acc = sum(preds[i] == (i % 2) for i in range(60)) / 60
+    assert acc == 1.0
+
+
+def test_apply_logreg_map_only(spark):
+    from bq_duckdb_spark.ext.retrieval import apply_logreg
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert audit_plan(apply_logreg(docs, [0.1] * 16)).exchanges == 0
