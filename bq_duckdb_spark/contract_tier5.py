@@ -162,6 +162,39 @@ SELECT doc_id, n_chars, group_sz FROM (
 
 
 # ---------------------------------------------------------------------------
+# BPE application with a fixed merge table
+# ---------------------------------------------------------------------------
+
+# a literal merge list exercising chained merges (t+a, l+e, then the
+# two-char symbol b+le) — what lets the APPLIER carry a full oracle
+# while learned-merge training (text_bpe) stays rows-only by nature
+_BPE_MERGES = [("t", "a", 0), ("l", "e", 0), ("b", "le", 0)]
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization under a FIXED merge table: the deterministic,
+    map-only half of the BPE pipeline (ext/bpe.py apply_bpe — k stacked
+    JVM folds, zero shuffles), oracle-checked against a DuckDB
+    re-implementation generated from the same merge list. Output is the
+    '|'-joined subword stream per document."""
+    from bq_duckdb_spark.ext.bpe import apply_bpe
+
+    out = apply_bpe(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    return out.select(
+        "doc_id", F.concat_ws("|", F.col("bpe_tokens")).alias("bpe_sig")
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    from bq_duckdb_spark.ext.bpe import apply_bpe_oracle_expr
+
+    return (
+        f"SELECT doc_id, {apply_bpe_oracle_expr(_BPE_MERGES)} AS bpe_sig "
+        "FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
 # time-series linear interpolation
 # ---------------------------------------------------------------------------
 
@@ -495,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_train_classifier": text_train_classifier,
         "pipe_token_budget": pipe_token_budget,
         "q_interpolate": q_interpolate,
+        "text_bpe_apply": text_bpe_apply,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -513,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipe_token_budget": _PIPE_TOKEN_BUDGET_ORACLE,
         "q_interpolate": _Q_INTERPOLATE_ORACLE,
+        "text_bpe_apply": _bpe_apply_oracle(),
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

@@ -130,3 +130,38 @@ def apply_bpe(
     words = F.filter(F.expr(toks), lambda w: w != F.lit(""))
     per_word = F.transform(words, lambda w: segment_word(F.split(w, ""), merges))
     return df.withColumn(out_col, F.flatten(per_word))
+
+
+_SEP = chr(31)  # unit separator: never appears in whitespace-split tokens
+
+
+def apply_bpe_oracle_expr(merges: list[tuple[str, str, int]]) -> str:
+    """DuckDB expression computing ``apply_bpe``'s per-document subword
+    stream as a '|'-joined string, generated from the SAME merge list
+    (one definition; an oracle mismatch means the merge semantics
+    drifted).
+
+    DuckDB's list_reduce constrains the accumulator to the element type
+    (VARCHAR), so the symbol LIST is encoded as a unit-separator-joined
+    string: the fold appends ``SEP||x``, or — when the accumulator ends
+    with symbol ``left`` and ``x = right`` — rewrites the tail to the
+    merged symbol. That is exactly _merge_fold's greedy left-to-right
+    non-overlapping semantics; stacked merges re-split and re-fold, so
+    the expression grows linearly in the merge count like the Spark
+    side."""
+    syms = "string_split(w, '')"
+    for left, right, _ in merges:
+        enc = (
+            f"list_reduce({syms}, (acc, x) -> "
+            f"CASE WHEN x = '{right}' AND (acc = '{left}' "
+            f"OR ends_with(acc, '{_SEP}{left}')) "
+            f"THEN substr(acc, 1, length(acc) - {len(left)}) || '{left}{right}' "
+            f"ELSE acc || '{_SEP}' || x END)"
+        )
+        syms = f"string_split({enc}, '{_SEP}')"
+    word_seg = f"array_to_string({syms}, '|')"
+    return (
+        "array_to_string(list_transform("
+        r"list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != ''), "
+        f"w -> {word_seg}), '|')"
+    )

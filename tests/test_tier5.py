@@ -398,3 +398,17 @@ def test_apply_logreg_map_only(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert audit_plan(apply_logreg(docs, [0.1] * 16)).exchanges == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE apply (fixed merges)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_apply_fixed_merges_hand_case(spark):
+    from bq_duckdb_spark.ext.bpe import apply_bpe
+
+    df = spark.createDataFrame([(1, "table ble tab")], ["doc_id", "text"])
+    out = apply_bpe(df, [("t", "a", 0), ("l", "e", 0), ("b", "le", 0)]).collect()[0]
+    # table -> ta b le -> ta ble; ble -> b le -> ble; tab -> ta b
+    assert out.bpe_tokens == ["ta", "ble", "ble", "ta", "b"]
