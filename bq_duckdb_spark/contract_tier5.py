@@ -162,6 +162,32 @@ SELECT doc_id, n_chars, group_sz FROM (
 
 
 # ---------------------------------------------------------------------------
+# stable ID assignment
+# ---------------------------------------------------------------------------
+
+
+def pipe_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based int64 ids over (source, doc_id) order — the
+    stable-id pass every corpus gets before sharding. Distributed
+    prefix-rank (operators/ids.py): range partition + local row_number
+    + broadcast offsets, never a SinglePartition window; the oracle is
+    the naive global row_number."""
+    from bq_duckdb_spark.operators.ids import assign_stable_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_stable_ids(
+        docs, [F.col("source"), F.col("doc_id")], out_col="stable_id"
+    )
+
+
+_PIPE_ASSIGN_IDS_ORACLE = """
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY source, doc_id) - 1 AS stable_id
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE application with a fixed merge table
 # ---------------------------------------------------------------------------
 
@@ -529,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_token_budget": pipe_token_budget,
         "q_interpolate": q_interpolate,
         "text_bpe_apply": text_bpe_apply,
+        "pipe_assign_ids": pipe_assign_ids,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -548,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_token_budget": _PIPE_TOKEN_BUDGET_ORACLE,
         "q_interpolate": _Q_INTERPOLATE_ORACLE,
         "text_bpe_apply": _bpe_apply_oracle(),
+        "pipe_assign_ids": _PIPE_ASSIGN_IDS_ORACLE,
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

@@ -81,3 +81,23 @@ def test_kmeans_invariant_to_input_layout(spark):
         for r in kmeans_assign(emb.repartition(13), k=4, iters=2).collect()
     )
     assert a == b
+
+
+def test_assign_stable_ids_invariant_and_contiguous(spark):
+    from pyspark.sql import functions as F
+
+    from bq_duckdb_spark.operators.ids import assign_stable_ids
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    order = [F.col("source"), F.col("doc_id")]
+    a = sorted(
+        (r.doc_id, r.stable_id)
+        for r in assign_stable_ids(docs, order, num_partitions=3).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.stable_id)
+        for r in assign_stable_ids(docs, order, num_partitions=17).collect()
+    )
+    assert a == b
+    ids = sorted(x for _, x in a)
+    assert ids == list(range(len(ids)))  # contiguous, 0-based, no gaps

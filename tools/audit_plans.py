@@ -38,6 +38,7 @@ _ALLOWED_GLOBAL = {
     "q_ntile_scalable",        # funnels the per-partition COUNT table (1 row/partition)
     "pipe_seeded_shuffle",     # same per-partition count-table offsets
     "pipe_token_budget",       # same: offsets window over per-partition TOTALS (1 row/partition)
+    "pipe_assign_ids",         # same: offsets window over per-partition COUNTS (1 row/partition)
 }
 
 # intentional nested-loop / cartesian entries (BNLJ theta joins)
