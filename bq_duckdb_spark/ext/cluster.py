@@ -60,18 +60,17 @@ def _half_up(x: float, q: int) -> float:
     return math.floor(x * 10**q + 0.5) / 10**q
 
 
-def kmeans_assign(
+def train_kmeans_centroids(
     df: DataFrame,
     k: int = 4,
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quantize: int = 6,
-) -> DataFrame:
-    """Cluster vectors with ``iters`` Lloyd's rounds; returns
-    ``(id_col, cell)`` — the FINAL assignment under the trained
-    centroids (i.e. iters mean-updates, then one closing assignment,
-    matching :func:`kmeans_oracle_sql` exactly).
+) -> list[list[float]]:
+    """Run ``iters`` Lloyd's rounds and return the trained centroid
+    list — the reusable model artifact (assign a stream with it, build
+    an IVF layout from it, inline it into any engine).
 
     Each round: map-only literal-centroid assignment + one
     (cell, pos) shuffle for the means (posexplode + partial agg); the
@@ -96,9 +95,37 @@ def kmeans_assign(
             [new[c][p] for p in sorted(new[c])] if new[c] else cents[c]
             for c in range(len(cents))
         ]
+    return cents
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only argmin-L2 assignment under literal centroids:
+    ``(id_col, cell)``. Streams unchanged (stateless; parity pinned in
+    tests/test_streaming.py)."""
     return df.select(
-        F.col(id_col), F.expr(_assign_l2_expr(cents, vec_col)).alias("cell")
+        F.col(id_col), F.expr(_assign_l2_expr(centroids, vec_col)).alias("cell")
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: int = 6,
+) -> DataFrame:
+    """Cluster vectors with ``iters`` Lloyd's rounds; returns
+    ``(id_col, cell)`` — the FINAL assignment under the trained
+    centroids (i.e. iters mean-updates, then one closing assignment,
+    matching :func:`kmeans_oracle_sql` exactly)."""
+    cents = train_kmeans_centroids(df, k, iters, vec_col, id_col, quantize)
+    return assign_cells(df, cents, vec_col, id_col)
 
 
 def kmeans_oracle_sql(

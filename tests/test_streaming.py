@@ -551,3 +551,50 @@ def test_streaming_merge_upsert_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert dict(got)[2] == "new2" and dict(got)[5] == "new5"
+
+
+def test_streaming_kmeans_assignment_matches_batch(spark, tmp_path):
+    """Cluster assignment under literal trained centroids is map-only,
+    so it streams unchanged: assignments of a streamed embedding table
+    equal the batch closing assignment."""
+    from bq_duckdb_spark.ext.cluster import (
+        assign_cells,
+        kmeans_assign,
+        train_kmeans_centroids,
+    )
+    from bq_duckdb_spark.streaming import streams
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {
+        r.vec_id: r.cell for r in kmeans_assign(emb, k=4, iters=2).collect()
+    }
+    cents = train_kmeans_centroids(emb, k=4, iters=2)
+    src = str(tmp_path / "emb_stream")
+    emb.write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = streams.run_available_now(assign_cells(stream, cents), "km_stream")
+    got = {
+        r.vec_id: r.cell
+        for r in spark.sql("SELECT * FROM km_stream").collect()
+    }
+    q.stop()
+    assert got == want
+
+
+def test_streaming_logreg_scoring_matches_batch(spark, tmp_path):
+    from bq_duckdb_spark.ext.retrieval import apply_logreg, train_logreg
+    from bq_duckdb_spark.streaming import streams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = train_logreg(docs, "CAST(lang = 'en' AS INT)", n_buckets=32, iters=2)
+    want = {r.doc_id: (r.prob, r.label) for r in apply_logreg(docs, w).collect()}
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = streams.run_available_now(apply_logreg(stream, w), "lr_stream")
+    got = {
+        r.doc_id: (r.prob, r.label)
+        for r in spark.sql("SELECT * FROM lr_stream").collect()
+    }
+    q.stop()
+    assert got == want and len(got) == 500
