@@ -48,13 +48,20 @@ class PipelineResult:
     failed: list[dict] = field(default_factory=list)  # {"table":…, "error":…}
     skipped: list[str] = field(default_factory=list)
 
+    reused: list[str] = field(default_factory=list)  # incremental runs only
+
     def to_dict(self) -> dict:
-        return {
+        d = {
             "success": self.success,
             "succeededTables": self.succeeded,
             "failedTables": self.failed,
             "skippedTables": self.skipped,
         }
+        # extension key, present only on incremental runs — the plain-run
+        # wire shape stays byte-identical to the reference's
+        if self.reused:
+            d["reusedTables"] = self.reused
+        return d
 
 
 class Pipeline:
@@ -63,6 +70,11 @@ class Pipeline:
         self.tables: dict[str, PipelineTable] = {}  # key: name as registered
         self._lock = threading.RLock()
         self.materialize_mode = materialize_mode
+        # incremental-run bookkeeping (beyond the reference): fingerprint
+        # at last successful materialization per derived table, and a
+        # monotone version per source bumped on every append
+        self._last_fp: dict[str, str] = {}
+        self._source_versions: dict[str, int] = {}
 
     # -- registration (G1/G2) ----------------------------------------------
 
@@ -176,6 +188,105 @@ class Pipeline:
                 skipped=retry_res.skipped,
             )
         return result
+
+    def run_incremental(
+        self,
+        targets: list[str] | None = None,
+        parallel: bool = False,
+        max_concurrency: int = DEFAULT_MAX_CONCURRENCY,
+    ) -> PipelineResult:
+        """Incremental DAG run (beyond the reference): recompute ONLY the
+        derived tables whose inputs changed — an unchanged-SQL table all
+        of whose transitive sources are unchanged is REUSED as-is.
+
+        Change tracking is a recursive content fingerprint:
+        ``fp(derived) = sha1(sql, fp(dep)...)`` and ``fp(source) =
+        its append-version`` (bumped every time a source def with rows
+        executes — reference semantics append on every run, so a source
+        registered WITH rows is always "new data" and a source def
+        without rows never dirties its dependents). A changed SQL or a
+        fresh append therefore invalidates exactly the downstream
+        closure, transitively, with no explicit edge walk. Fingerprints
+        commit only on successful materialization, so a failed table
+        stays stale and re-runs next time.
+
+        At 100 TB this is the difference between re-running one branch
+        and re-running the warehouse; the fingerprint map is
+        tables-sized driver state.
+        """
+        with self._lock:
+            subset = self._closure(targets) if targets else set(self.tables.keys())
+            result = PipelineResult(success=True)
+            # 1. sources with pending rows append (reference run semantics)
+            for key in sorted(subset, key=str.lower):
+                t = self.tables[self._canonical(key)]
+                if not t.is_source:
+                    continue
+                if t.rows:
+                    try:
+                        self.execute_table(t)
+                        self._source_versions[self._canonical(key)] = (
+                            self._source_versions.get(self._canonical(key), 0) + 1
+                        )
+                        result.succeeded.append(t.name)
+                    except Exception as e:
+                        result.failed.append({"table": t.name, "error": str(e)})
+                else:
+                    # ensure the (empty) source table exists for dependents
+                    self.session.create_table(
+                        t.name, t.columns or [], if_not_exists=True
+                    )
+            # 2. fingerprint every subset member against the last run
+            memo: dict[str, str] = {}
+            stale = {
+                key
+                for key in subset
+                if not self.tables[self._canonical(key)].is_source
+                and self._fingerprint(key, memo) != self._last_fp.get(self._canonical(key))
+            }
+            result.reused = sorted(
+                (
+                    self.tables[self._canonical(k)].name
+                    for k in subset
+                    if not self.tables[self._canonical(k)].is_source and k not in stale
+                ),
+                key=str.lower,
+            )
+            # 3. recompute only the stale closure, normal skip semantics
+            if stale:
+                sub_res = self._run_subset(stale, parallel, max_concurrency)
+                result.succeeded = sorted(
+                    set(result.succeeded) | set(sub_res.succeeded), key=str.lower
+                )
+                result.failed.extend(sub_res.failed)
+                result.skipped = sub_res.skipped
+                for name in sub_res.succeeded:
+                    key = self._canonical(name)
+                    if not self.tables[key].is_source:
+                        self._last_fp[key] = memo[key] if key in memo else (
+                            self._fingerprint(key, memo)
+                        )
+            result.success = not result.failed and not result.skipped
+            return result
+
+    def _fingerprint(self, name: str, memo: dict[str, str]) -> str:
+        import hashlib
+
+        key = self._canonical(name)
+        if key in memo:
+            return memo[key]
+        t = self.tables[key]
+        if t.is_source:
+            fp = f"src:{self._source_versions.get(key, 0)}"
+        else:
+            dep_fps = ",".join(
+                self._fingerprint(d, memo) for d in sorted(t.dependencies)
+            )
+            fp = hashlib.sha1(
+                (t.sql or "").encode() + b"|" + dep_fps.encode()
+            ).hexdigest()
+        memo[key] = fp
+        return fp
 
     def retry_failed(self, prev: PipelineResult, parallel: bool = False) -> PipelineResult:
         """Standalone ``bq.retryDag`` (pipeline.rs:188-201)."""
@@ -315,3 +426,5 @@ class Pipeline:
                 except Exception:
                     pass
             self.tables.clear()
+            self._last_fp.clear()
+            self._source_versions.clear()

@@ -52,6 +52,9 @@ class RpcServer:
             "bq.insert": self.insert,
             "bq.registerDag": self.register_dag,
             "bq.runDag": self.run_dag,
+            # extension beyond the reference's 22 methods: incremental
+            # DAG execution (see dag.py run_incremental)
+            "bq.runDagIncremental": self.run_dag_incremental,
             "bq.retryDag": self.retry_dag,
             "bq.getDag": self.get_dag,
             "bq.clearDag": self.clear_dag,
@@ -168,6 +171,11 @@ class RpcServer:
             targets=params.get("tableNames"),
             retry_count=params.get("retryCount", 0),
         )
+        return res.to_dict()
+
+    def run_dag_incremental(self, params: dict) -> dict:
+        s = self._session(params)
+        res = s.pipeline.run_incremental(targets=params.get("tableNames"))
         return res.to_dict()
 
     def retry_dag(self, params: dict) -> dict:

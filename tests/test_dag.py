@@ -269,3 +269,91 @@ def test_wide_dag(session):
     assert res.success and len(res.succeeded) == 16
     from tests.conftest import rows as _rows
     assert _rows(session.query("SELECT v FROM w14")) == [(15,)]
+
+
+# ---------------------------------------------------------------------------
+# incremental runs (beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def _register_chain(session, rows_=None):
+    session.pipeline.register(
+        [
+            {"name": "raw_i", "schema": [{"name": "value", "type": "INT64"}],
+             "rows": rows_},
+            {"name": "mid_i", "sql": "SELECT value * 2 AS value FROM raw_i"},
+            {"name": "top_i", "sql": "SELECT SUM(value) AS total FROM mid_i"},
+            {"name": "side_i", "sql": "SELECT COUNT(*) AS n FROM raw_i"},
+        ]
+    )
+
+
+def test_incremental_reuses_unchanged_tables(session):
+    _register_chain(session, rows_=[[1], [2]])
+    first = session.pipeline.run_incremental()
+    assert first.success and not first.reused
+    # consume the pending source rows so the second run sees no new data
+    session.pipeline.tables["raw_i"].rows = None
+    second = session.pipeline.run_incremental()
+    assert second.success
+    assert sorted(second.reused) == ["mid_i", "side_i", "top_i"]
+    assert second.succeeded == []
+
+
+def test_incremental_sql_change_recomputes_only_downstream(session):
+    _register_chain(session, rows_=[[1], [2]])
+    session.pipeline.run_incremental()
+    session.pipeline.tables["raw_i"].rows = None
+    # change mid_i's SQL: mid_i and top_i recompute, side_i is reused
+    session.pipeline.register(
+        [{"name": "mid_i", "sql": "SELECT value * 10 AS value FROM raw_i"}]
+    )
+    res = session.pipeline.run_incremental()
+    assert res.success
+    assert sorted(res.succeeded) == ["mid_i", "top_i"]
+    assert res.reused == ["side_i"]
+    assert rows(session.query("SELECT total FROM top_i")) == [(30,)]
+
+
+def test_incremental_source_append_dirties_dependents(session):
+    _register_chain(session, rows_=[[1], [2]])
+    session.pipeline.run_incremental()
+    # source still has rows registered: the run APPENDS (reference
+    # semantics) and every dependent recomputes from the grown table
+    res = session.pipeline.run_incremental()
+    assert res.success
+    assert sorted(res.succeeded) == ["mid_i", "raw_i", "side_i", "top_i"]
+    assert not res.reused
+    assert rows(session.query("SELECT total FROM top_i")) == [(12,)]  # 2*(1+2)*2
+
+
+def test_incremental_failed_table_stays_stale(session):
+    session.pipeline.register(
+        [
+            {"name": "src_f", "schema": [{"name": "v", "type": "INT64"}],
+             "rows": [[1]]},
+            {"name": "bad_f", "sql": "SELECT no_such_col FROM src_f"},
+        ]
+    )
+    first = session.pipeline.run_incremental()
+    assert not first.success and first.failed
+    session.pipeline.tables["src_f"].rows = None
+    # fix the SQL: the table is stale (never committed) and recomputes
+    session.pipeline.register([{"name": "bad_f", "sql": "SELECT v FROM src_f"}])
+    second = session.pipeline.run_incremental()
+    assert second.success and second.succeeded == ["bad_f"]
+
+
+def test_incremental_result_wire_shape_only_extends(session):
+    _register_chain(session, rows_=[[1]])
+    plain = session.pipeline.run()
+    assert set(plain.to_dict()) == {
+        "success", "succeededTables", "failedTables", "skippedTables"
+    }
+    # fingerprints commit only on incremental runs (a plain run after an
+    # incremental one over-recomputes, never wrongly reuses), so reuse
+    # appears from the second incremental run on
+    session.pipeline.tables["raw_i"].rows = None
+    session.pipeline.run_incremental()
+    inc = session.pipeline.run_incremental()
+    assert "reusedTables" in inc.to_dict()

@@ -372,3 +372,20 @@ def test_load_parquet_cloud_path_is_clean_loader_error(server, sid):
         expect_error=LOADER_ERROR,
     )
     assert "connector" in err["message"]
+
+
+def test_run_dag_incremental_method(server, sid):
+    call(server, "bq.registerDag", {"sessionId": sid, "tables": [
+        {"name": "src_inc", "schema": [{"name": "v", "type": "INT64"}],
+         "rows": [[1], [2]]},
+        {"name": "dbl_inc", "sql": "SELECT v * 2 AS v FROM src_inc"},
+    ]})
+    first = call(server, "bq.runDagIncremental", {"sessionId": sid})
+    assert first["success"] and "dbl_inc" in first["succeededTables"]
+    # drain pending source rows, re-register identical SQL: pure reuse
+    call(server, "bq.registerDag", {"sessionId": sid, "tables": [
+        {"name": "src_inc", "schema": [{"name": "v", "type": "INT64"}]},
+    ]})
+    second = call(server, "bq.runDagIncremental", {"sessionId": sid})
+    assert second["success"] and second.get("reusedTables") == ["dbl_inc"]
+    assert second["succeededTables"] == []
