@@ -48,6 +48,9 @@ class RpcServer:
             "bq.createSession": self.create_session,
             "bq.destroySession": self.destroy_session,
             "bq.query": self.query,
+            # extension beyond the reference's 22 methods: physical-plan
+            # introspection for a submitted query (no execution)
+            "bq.explain": self.explain,
             "bq.createTable": self.create_table,
             "bq.insert": self.insert,
             "bq.registerDag": self.register_dag,
@@ -140,6 +143,19 @@ class RpcServer:
         s = self._session(params)
         df = s.query(params["sql"])
         return to_bq_response(df)
+
+    def explain(self, params: dict) -> dict:
+        """Plan a BigQuery-SQL statement without executing it and return
+        Spark's formatted physical plan — what lets a service client
+        check pushdown/broadcast/exchange shape before paying for the
+        run (the same facts tools/audit_plans.py asserts in tests)."""
+        s = self._session(params)
+        df = s.query(params["sql"])
+        mode = params.get("mode", "formatted")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        return {"plan": plan, "mode": mode}
 
     def create_table(self, params: dict) -> dict:
         s = self._session(params)

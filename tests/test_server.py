@@ -389,3 +389,14 @@ def test_run_dag_incremental_method(server, sid):
     second = call(server, "bq.runDagIncremental", {"sessionId": sid})
     assert second["success"] and second.get("reusedTables") == ["dbl_inc"]
     assert second["succeededTables"] == []
+
+
+def test_explain_method_returns_plan_without_running(server, sid):
+    call(server, "bq.createTable", {"sessionId": sid, "tableName": "ex_t",
+         "schema": [{"name": "v", "type": "INT64"}]})
+    res = call(server, "bq.explain", {
+        "sessionId": sid,
+        "sql": "SELECT v, COUNT(*) AS n FROM ex_t GROUP BY v",
+    })
+    assert res["mode"] == "formatted"
+    assert "HashAggregate" in res["plan"] and "Physical Plan" in res["plan"]
