@@ -162,6 +162,52 @@ SELECT doc_id, n_chars, group_sz FROM (
 
 
 # ---------------------------------------------------------------------------
+# token-balanced shard assignment
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 5_000
+
+
+def pipe_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign curated documents to ~equal-token output shards (the
+    delivery step before writing training files): shard_id =
+    floor(exclusive running token total / budget) in (source, doc_id)
+    order. Distributed exact prefix sum (operators/budget.py), oracle =
+    the naive global window."""
+    from bq_duckdb_spark.ext.text import with_token_count
+    from bq_duckdb_spark.operators.budget import assign_shards
+
+    docs = with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_tokens"
+    )
+    return assign_shards(
+        docs,
+        [F.col("source"), F.col("doc_id")],
+        "n_tokens",
+        _SHARD_BUDGET,
+    ).select("doc_id", "n_tokens", "shard_id")
+
+
+_PIPE_SHARD_ASSIGN_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY source, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # stable ID assignment
 # ---------------------------------------------------------------------------
 
@@ -556,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate": q_interpolate,
         "text_bpe_apply": text_bpe_apply,
         "pipe_assign_ids": pipe_assign_ids,
+        "pipe_shard_assign": pipe_shard_assign,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -576,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interpolate": _Q_INTERPOLATE_ORACLE,
         "text_bpe_apply": _bpe_apply_oracle(),
         "pipe_assign_ids": _PIPE_ASSIGN_IDS_ORACLE,
+        "pipe_shard_assign": _PIPE_SHARD_ASSIGN_ORACLE,
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

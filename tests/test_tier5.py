@@ -412,3 +412,32 @@ def test_bpe_apply_fixed_merges_hand_case(spark):
     out = apply_bpe(df, [("t", "a", 0), ("l", "e", 0), ("b", "le", 0)]).collect()[0]
     # table -> ta b le -> ta ble; ble -> b le -> ble; tab -> ta b
     assert out.bpe_tokens == ["ta", "ble", "ble", "ta", "b"]
+
+
+def test_assign_shards_balanced_and_matches_naive(spark):
+    from pyspark.sql.window import Window
+
+    from bq_duckdb_spark.operators.budget import assign_shards
+
+    rows = [(i, (i * 37) % 23 + 1) for i in range(600)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = assign_shards(
+        df, [F.col("id")], "w", 500, num_partitions=7
+    ).collect()
+    w_naive = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: (r.cum - r.w) // 500
+        for r in df.withColumn("cum", F.sum("w").over(w_naive)).collect()
+    }
+    assert {r.id: r.shard_id for r in got} == want
+    # every full shard's token total stays within budget + one max row
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard_id, 0)
+        by_shard[r.shard_id] += r.w
+    max_w = max(w for _, w in rows)
+    for sid, tot in by_shard.items():
+        assert tot <= 500 + max_w
+    assert len(by_shard) > 1

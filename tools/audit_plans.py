@@ -39,6 +39,7 @@ _ALLOWED_GLOBAL = {
     "pipe_seeded_shuffle",     # same per-partition count-table offsets
     "pipe_token_budget",       # same: offsets window over per-partition TOTALS (1 row/partition)
     "pipe_assign_ids",         # same: offsets window over per-partition COUNTS (1 row/partition)
+    "pipe_shard_assign",       # same: offsets window over per-partition TOTALS (1 row/partition)
 }
 
 # intentional nested-loop / cartesian entries (BNLJ theta joins)
