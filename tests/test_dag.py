@@ -357,3 +357,26 @@ def test_incremental_result_wire_shape_only_extends(session):
     session.pipeline.run_incremental()
     inc = session.pipeline.run_incremental()
     assert "reusedTables" in inc.to_dict()
+
+
+def test_dag_scales_to_wide_and_deep_graphs(session):
+    """Orchestrator stress: a 60-table graph (20-deep chain + 39-wide
+    fan-out over one root) registers, re-infers dependencies, topo-
+    sorts, and runs to success under the worker pool. Guards against
+    quadratic-in-tables registration/analysis regressions."""
+    defs = [
+        {"name": "base_s", "schema": [{"name": "v", "type": "INT64"}],
+         "rows": [[1], [2], [3]]},
+    ]
+    prev = "base_s"
+    for i in range(20):  # deep chain
+        defs.append({"name": f"c{i:02d}", "sql": f"SELECT v + 1 AS v FROM {prev}"})
+        prev = f"c{i:02d}"
+    for i in range(39):  # wide fan-out
+        defs.append({"name": f"w{i:02d}", "sql": f"SELECT SUM(v) AS s FROM base_s"})
+    session.pipeline.register(defs)
+    res = session.pipeline.run(parallel=True, max_concurrency=8)
+    assert res.success and len(res.succeeded) == 60
+    assert rows(session.query("SELECT v FROM c19 ORDER BY v")) == [
+        (21,), (22,), (23,)
+    ]
