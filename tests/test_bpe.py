@@ -115,3 +115,44 @@ def test_merges_compress(spark, docs):
         .first()
     )
     assert stats.b < stats.c
+
+
+def test_apply_bpe_duckdb_oracle_parity_random(spark):
+    """The DuckDB encoded-fold re-implementation of the greedy merge
+    (apply_bpe_oracle_expr) must agree with the Spark applier on random
+    words and random merge chains, including multi-char merged symbols
+    and runs of repeated characters."""
+    import random
+
+    import duckdb
+
+    from bq_duckdb_spark.ext.bpe import apply_bpe, apply_bpe_oracle_expr
+
+    rng = random.Random(41)
+    alphabet = "abc"
+    rows = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(1, 5))
+            ),
+        )
+        for i in range(80)
+    ]
+    merges = [("a", "b", 0), ("b", "b", 0), ("ab", "c", 0), ("c", "abc", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: "|".join(r.bpe_tokens)
+        for r in apply_bpe(df, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(
+        con.sql(
+            f"SELECT doc_id, {apply_bpe_oracle_expr(merges)} FROM documents"
+        ).fetchall()
+    )
+    for k in got:
+        assert got[k] == want[k], f"doc {k}: {rows[k][1]!r}: {got[k]!r} != {want[k]!r}"
