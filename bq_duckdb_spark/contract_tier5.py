@@ -162,6 +162,76 @@ SELECT doc_id, n_chars, group_sz FROM (
 
 
 # ---------------------------------------------------------------------------
+# STRUCT surface
+# ---------------------------------------------------------------------------
+
+
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction, nested field access, and whole-struct
+    equality as a predicate (BigQuery STRUCT<> idioms): rows matching a
+    struct literal, projected through a nested struct. Map-only."""
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.expr(
+            "named_struct('pri', o_orderpriority, "
+            "'money', named_struct('total', o_totalprice, "
+            "'big', o_totalprice > 150000))"
+        ).alias("s"),
+        F.expr(
+            "named_struct('st', o_orderstatus, 'pri', o_orderpriority)"
+        ).alias("key_s"),
+    )
+    return nested.filter(
+        F.expr("key_s = named_struct('st', 'F', 'pri', '1-URGENT')")
+    ).select(
+        "o_orderkey",
+        F.col("s.pri").alias("pri"),
+        F.col("s.money.total").alias("total"),
+        F.col("s.money.big").alias("big"),
+    )
+
+
+_Q_STRUCT_FUNCS_ORACLE = """
+SELECT o_orderkey, s.pri AS pri, s.money.total AS total, s.money.big AS big
+FROM (
+    SELECT o_orderkey,
+           {'pri': o_orderpriority,
+            'money': {'total': o_totalprice, 'big': o_totalprice > 150000}} AS s,
+           {'st': o_orderstatus, 'pri': o_orderpriority} AS key_s
+    FROM orders
+)
+WHERE key_s = {'st': 'F', 'pri': '1-URGENT'}
+"""
+
+
+def q_array_agg_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ARRAY_AGG of structs per group — "top-3 orders by value
+    per priority" as the BigQuery ARRAY_AGG(STRUCT(..) ORDER BY ..
+    LIMIT 3) idiom. Spark has no ordered collect, so the canonical
+    rewrite: collect_list(struct(sort_key, payload)) → array_sort →
+    slice — one hash-agg shuffle, the per-group sort bounded by group
+    size (a production top-k would pre-prune with a window)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "concat_ws(',', transform(slice(array_sort("
+            "collect_list(named_struct('np', -o_totalprice, 'k', o_orderkey))"
+            "), 1, 3), s -> CAST(s.k AS STRING)))"
+        ).alias("top3")
+    )
+
+
+_Q_ARRAY_AGG_STRUCT_ORACLE = """
+SELECT o_orderpriority,
+       array_to_string(
+           list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[:3], ','
+       ) AS top3
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # token-balanced shard assignment
 # ---------------------------------------------------------------------------
 
@@ -603,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_apply": text_bpe_apply,
         "pipe_assign_ids": pipe_assign_ids,
         "pipe_shard_assign": pipe_shard_assign,
+        "q_struct_funcs": q_struct_funcs,
+        "q_array_agg_struct": q_array_agg_struct,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -624,6 +696,8 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_apply": _bpe_apply_oracle(),
         "pipe_assign_ids": _PIPE_ASSIGN_IDS_ORACLE,
         "pipe_shard_assign": _PIPE_SHARD_ASSIGN_ORACLE,
+        "q_struct_funcs": _Q_STRUCT_FUNCS_ORACLE,
+        "q_array_agg_struct": _Q_ARRAY_AGG_STRUCT_ORACLE,
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

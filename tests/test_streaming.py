@@ -598,3 +598,28 @@ def test_streaming_logreg_scoring_matches_batch(spark, tmp_path):
     }
     q.stop()
     assert got == want and len(got) == 500
+
+
+def test_merge_each_batch_replay_is_idempotent(spark):
+    """foreachBatch may redeliver a batch after a restart (the sink saw
+    it, the checkpoint did not commit): applying the same batch twice
+    through merge_each_batch must leave the engine table unchanged —
+    the property that makes the CDC upsert restart-safe."""
+    from bq_duckdb_spark.engine import Session
+    from bq_duckdb_spark.streaming import streams
+
+    sess = Session(spark)
+    sess.query("CREATE TABLE tgt_r (k INT64, v STRING)")
+    sess.query("INSERT INTO tgt_r VALUES (1, 'old1')")
+    merge_sql = (
+        "MERGE INTO tgt_r USING stream_src ON tgt_r.k = stream_src.k "
+        "WHEN MATCHED THEN UPDATE SET v = stream_src.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (stream_src.k, stream_src.v)"
+    )
+    writer = streams.merge_each_batch(sess, merge_sql)
+    batch = spark.createDataFrame([(1, "new1"), (2, "new2")], "k: long, v: string")
+    writer(batch, 0)
+    once = sorted(tuple(r) for r in sess.query("SELECT k, v FROM tgt_r").collect())
+    writer(batch, 0)  # replay of the same batch id
+    twice = sorted(tuple(r) for r in sess.query("SELECT k, v FROM tgt_r").collect())
+    assert once == twice == [(1, "new1"), (2, "new2")]
