@@ -162,6 +162,62 @@ SELECT doc_id, n_chars, group_sz FROM (
 
 
 # ---------------------------------------------------------------------------
+# semantic corners: NOT IN with NULL, exact DECIMAL aggregation
+# ---------------------------------------------------------------------------
+
+_Q_NOT_IN_NULL_SQL = """
+SELECT
+    (SELECT count(*) FROM orders
+     WHERE o_custkey NOT IN (SELECT o_custkey FROM orders
+                             WHERE o_orderkey < 10
+                             UNION ALL SELECT NULL)) AS with_null,
+    (SELECT count(*) FROM orders
+     WHERE o_custkey NOT IN (SELECT o_custkey FROM orders
+                             WHERE o_orderkey < 10)) AS clean
+"""
+
+
+def q_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN + NULL tri-state trap: a NULL in the subquery makes
+    the predicate UNKNOWN for every row (with_null = 0), while the
+    clean arm filters normally — one ANSI SQL text both engines run
+    verbatim, pinning that neither deviates from three-valued logic."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_Q_NOT_IN_NULL_SQL)
+
+
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL(18,2) aggregation (BigQuery NUMERIC semantics):
+    sums and extremes of money amounts with NO float rounding anywhere
+    — the values compare as exact strings. Scale-preserving aggregates
+    only (avg widens scale differently per engine, so the money-safe
+    pattern is sum/count and divide in the consumer)."""
+    orders = _t(spark, sf_dir, "orders")
+    dec = orders.select(
+        "o_orderpriority",
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").alias("d"),
+    )
+    return dec.groupBy("o_orderpriority").agg(
+        F.expr("CAST(sum(d) AS STRING)").alias("total"),
+        F.expr("CAST(min(d) AS STRING)").alias("lo"),
+        F.expr("CAST(max(d) AS STRING)").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q_DECIMAL_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(d) AS STRING) AS total,
+       CAST(min(d) AS STRING) AS lo,
+       CAST(max(d) AS STRING) AS hi,
+       count(*) AS n
+FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS d
+      FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # STRUCT surface
 # ---------------------------------------------------------------------------
 
@@ -675,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_shard_assign": pipe_shard_assign,
         "q_struct_funcs": q_struct_funcs,
         "q_array_agg_struct": q_array_agg_struct,
+        "q_not_in_null": q_not_in_null,
+        "q_decimal_agg": q_decimal_agg,
         "q_countif": q_countif,
         "q_cube": q_cube,
         "q_lateral": q_lateral,
@@ -698,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_shard_assign": _PIPE_SHARD_ASSIGN_ORACLE,
         "q_struct_funcs": _Q_STRUCT_FUNCS_ORACLE,
         "q_array_agg_struct": _Q_ARRAY_AGG_STRUCT_ORACLE,
+        "q_not_in_null": _Q_NOT_IN_NULL_SQL,
+        "q_decimal_agg": _Q_DECIMAL_AGG_ORACLE,
         "q_countif": _Q_COUNTIF_ORACLE,
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,

@@ -441,3 +441,18 @@ def test_assign_shards_balanced_and_matches_naive(spark):
     for sid, tot in by_shard.items():
         assert tot <= 500 + max_w
     assert len(by_shard) > 1
+
+
+def test_not_in_null_is_three_valued(spark):
+    row = contract_tier5.q_not_in_null(spark, SF).collect()[0]
+    assert row.with_null == 0          # NULL in the list -> UNKNOWN everywhere
+    assert row.clean > 0               # the clean arm actually filters
+
+
+def test_decimal_agg_exact_strings(spark):
+    rows_ = contract_tier5.q_decimal_agg(spark, SF).collect()
+    assert len(rows_) == 5
+    for r in rows_:
+        # exact DECIMAL(x,2) rendering: always two fractional digits
+        assert r.total.split(".")[1].__len__() == 2
+        assert r.lo <= r.hi
