@@ -1025,6 +1025,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _xx_minhash_oracle() -> str:
+    from bq_duckdb_spark.ext.xx_oracles import minhash_oracle
+
+    return minhash_oracle()
+
+
+def _xx_simhash_oracle() -> str:
+    from bq_duckdb_spark.ext.xx_oracles import simhash_oracle
+
+    return simhash_oracle()
+
+
+def _xx_jaccard_oracle() -> str:
+    from bq_duckdb_spark.ext.xx_oracles import jaccard_oracle
+
+    return jaccard_oracle()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": _DEDUP_EXACT_ORACLE,
@@ -1039,6 +1057,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantized": _EMB_QUANTIZED_ORACLE,
         "sim_quantized_topk": _SIM_QUANTIZED_TOPK_ORACLE,
         "sim_ann_lsh": _lsh_ann_oracle(),
+        "dedup_minhash": _xx_minhash_oracle(),
+        "dedup_simhash": _xx_simhash_oracle(),
+        "dedup_ngram_jaccard": _xx_jaccard_oracle(),
         "emb_mean_pool": _EMB_MEAN_POOL_ORACLE,
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,

@@ -302,15 +302,22 @@ def minhash_candidate_pairs(
     # slower on the shingle explode at sf0.1). The arrays here are never
     # empty/null (transform over a literal sequence), so _outer is
     # value-identical.
+    # band bucket = chained xxhash64 over the band's SIGNED minima
+    # (element_at refs, no string materialization): one codegen'd hash
+    # per band instead of building+hashing a comma-joined string — and
+    # plain 64-bit arithmetic any engine reproduces, which is what lets
+    # the DuckDB oracle (ext/xx_oracles.py) value-check this entry.
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', xxhash64("
+        + ", ".join(
+            f"element_at(signature, {b * rows + j + 1})" for j in range(rows)
+        )
+        + "))"
+        for b in range(bands)
+    )
     banded = sig.select(
         id_col,
-        F.explode_outer(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> named_struct('band', b, 'bucket', "
-                f"xxhash64(concat_ws(',', slice(signature, b * {rows} + 1, {rows})))))"
-            )
-        ).alias("bb"),
+        F.explode_outer(F.expr(f"array({band_structs})")).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bucketed = (
         banded.groupBy("band", "bucket")
@@ -414,15 +421,20 @@ def _ngram_jaccard_carry(
     rows = num_hashes // bands
     sh = _with_shingle_hashes(widen_small_scan(df), text_col, shingle_k, out="__sh")
     sig = sh.withColumn("signature", _minhash_sig_udf(num_hashes)(F.col("__sh")))
+    # chained-long band hashing, matching minhash_candidate_pairs
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', xxhash64("
+        + ", ".join(
+            f"element_at(signature, {b * rows + j + 1})" for j in range(rows)
+        )
+        + "))"
+        for b in range(bands)
+    )
     banded = sig.select(
         id_col,
         F.col("__sh").alias("sh"),
         F.explode_outer(  # never-empty computed array; see banding comment
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> named_struct('band', b, 'bucket', "
-                f"xxhash64(concat_ws(',', slice(signature, b * {rows} + 1, {rows})))))"
-            )
+            F.expr(f"array({band_structs})")
         ).alias("bb"),
     ).select(id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bucketed = (
