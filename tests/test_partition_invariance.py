@@ -17,6 +17,7 @@ SF = "/root/testdata/sf0.001"
 # representative slice: hash dedup, deterministic sampling, iterative
 # checkpointing, windowed top-k join, multi-stage composition, scoring
 ENTRIES = [
+    "dedup_minhash",           # production xxhash64 path, chained-long banding
     "dedup_minhash_portable",
     "corpus_balance",
     "graph_pagerank",
