@@ -268,7 +268,7 @@ def pipe_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("lang")
 
 
-_PIPE_CORPUS_ASSEMBLY_ORACLE = """
+_PIPE_CORPUS_ASSEMBLY_ORACLE = r"""
 WITH t AS (
     SELECT doc_id, lang, md5(text) AS h,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt

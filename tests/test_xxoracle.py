@@ -92,3 +92,33 @@ def test_long_token_self_flags(spark):
         f"WITH {ch.render_ctes()} SELECT {xo.signed('h_u')} FROM {ch.cur}"
     ).fetchone()[0]
     assert got_spark != got_duck
+
+
+def test_string_hash_duckdb_matches_python_fuzz():
+    """Property fuzz (no Spark needed): the generated DuckDB SQL agrees
+    with the Python mirror on arbitrary ASCII strings < 32 bytes,
+    including every length class (words / 4-block / tail bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tf (s VARCHAR)")
+    ch = xo.StageChain("b", "SELECT s FROM tf", ["s"])
+    xo.add_hash_string_stages(ch, "s", "h_u")
+    q = f"WITH {ch.render_ctes()} SELECT {xo.signed('h_u')} FROM {ch.cur}"
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+            min_size=0,
+            max_size=31,
+        )
+    )
+    def check(s):
+        con.execute("DELETE FROM tf")
+        con.execute("INSERT INTO tf VALUES (?)", [s])
+        got = con.sql(q).fetchone()[0]
+        assert got == xo.to_signed(xo.py_hash_bytes(s.encode()))
+
+    check()
