@@ -297,9 +297,11 @@ def text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an 8-merge BPE vocabulary on the corpus (ext/bpe.py —
     one word-frequency groupBy, then one pair-count shuffle + 1-row
     argmax per merge), apply it map-only, and report per-document
-    subword counts.  Iterative (driver-looped) training is not
-    single-SQL-expressible, so this entry is rows-only; the merge
-    semantics are exact-matched against a reference implementation in
+    subword counts.  FULL oracle: the training loop unrolls into
+    DuckDB CTEs (bpe.train_bpe_oracle_sql — pair counts, argmax with
+    the trainer's exact tie-break, encoded-fold re-segmentation,
+    min_pair_count-guarded rounds = the early stop), so even learned
+    merges are value-checked; semantics additionally pinned in
     tests/test_bpe.py."""
     from bq_duckdb_spark.ext.bpe import apply_bpe, train_bpe_merges
 
@@ -327,7 +329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bq_duckdb_spark.ext.bpe import train_bpe_oracle_sql
+
     return {
+        "text_bpe": train_bpe_oracle_sql(),
         "q_funnel": _Q_FUNNEL_ORACLE,
         "q_retention": _Q_RETENTION_ORACLE,
         "q_gapfill": _Q_GAPFILL_ORACLE,

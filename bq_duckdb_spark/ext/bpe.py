@@ -165,3 +165,74 @@ def apply_bpe_oracle_expr(merges: list[tuple[str, str, int]]) -> str:
         r"list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != ''), "
         f"w -> {word_seg}), '|')"
     )
+
+
+def train_bpe_oracle_sql(n_merges: int = 8, min_pair_count: int = 2) -> str:
+    """The FULL training loop unrolled as DuckDB CTEs (the pagerank /
+    kmeans / logreg pattern) — what upgrades text_bpe from rows-only:
+    each round recomputes weighted pair counts over the word table,
+    picks the argmax pair (count DESC, left, right — the trainer's
+    exact tie-break), and re-segments every word with the same
+    encoded-string greedy fold as apply_bpe_oracle_expr, GUARDED on
+    ``min_pair_count`` (a sub-threshold best pair applies nothing, so
+    later rounds are no-ops — exactly the trainer's early stop).
+    Output: (doc_id, n_bpe_tokens), the tier-3 entry's shape."""
+    S = _SEP
+    parts = [
+        "WITH w0 AS MATERIALIZED (",
+        "    SELECT word, CAST(count(*) AS BIGINT) AS n,",
+        f"           array_to_string(string_split(word, ''), '{S}') AS e",
+        "    FROM (",
+        r"        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word",
+        "        FROM documents",
+        "    ) WHERE word IS NOT NULL AND word != ''",
+        "    GROUP BY word",
+        "),",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        fold = (
+            f"list_reduce(string_split(e, '{S}'), (acc, x) -> "
+            f"CASE WHEN x = m.rhs AND (acc = m.lhs "
+            f"OR ends_with(acc, '{S}' || m.lhs)) "
+            f"THEN substr(acc, 1, length(acc) - length(m.lhs)) || m.lhs || m.rhs "
+            f"ELSE acc || '{S}' || x END)"
+        )
+        parts += [
+            f"p{r} AS MATERIALIZED (",
+            "    SELECT sl[CAST(u.i AS INT)] AS lhs,",
+            "           sl[CAST(u.i AS INT) + 1] AS rhs, sum(n) AS cnt",
+            f"    FROM (SELECT n, string_split(e, '{S}') AS sl FROM {prev}),",
+            "         unnest(range(1, len(sl))) AS u(i)",
+            "    GROUP BY 1, 2",
+            "),",
+            f"m{r} AS MATERIALIZED (",
+            f"    SELECT lhs, rhs, cnt FROM p{r}",
+            "    ORDER BY cnt DESC, lhs, rhs LIMIT 1",
+            "),",
+            f"w{r} AS MATERIALIZED (",
+            "    SELECT w.word, w.n,",
+            f"           CASE WHEN m.cnt >= {min_pair_count} THEN {fold} "
+            "ELSE w.e END AS e",
+            f"    FROM {prev} w CROSS JOIN m{r} m",
+            "),",
+        ]
+    parts += [
+        "subs AS MATERIALIZED (",
+        f"    SELECT word, len(string_split(e, '{_SEP}')) AS n_sub "
+        f"FROM w{n_merges}",
+        "),",
+        "doc_words AS (",
+        "    SELECT doc_id, u.w AS word",
+        r"    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr",
+        "          FROM documents), unnest(arr) AS u(w)",
+        "    WHERE u.w != ''",
+        ")",
+        "SELECT d.doc_id,",
+        "       CAST(coalesce(sum(s.n_sub), 0) AS BIGINT) AS n_bpe_tokens",
+        "FROM documents d",
+        "LEFT JOIN (SELECT dw.doc_id, s.n_sub FROM doc_words dw",
+        "           JOIN subs s USING (word)) s ON s.doc_id = d.doc_id",
+        "GROUP BY d.doc_id",
+    ]
+    return "\n".join(parts)
