@@ -809,6 +809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(contract_tier5.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tpch
+
+        q.update(contract_tpch.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -883,6 +889,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tier5
 
         o.update(contract_tier5.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tpch
+
+        o.update(contract_tpch.oracle_sql())
     except ImportError:
         pass
     return o
