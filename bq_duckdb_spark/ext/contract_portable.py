@@ -145,24 +145,50 @@ def dedup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _text_clusters_oracle() -> str:
+def _text_clusters_oracle(rounds: int = 16) -> str:
+    """Connected components WITHOUT ``WITH RECURSIVE``: the recursive
+    ``reach`` closure enumerates every (node, reachable-label) pair —
+    ~30 s at sf0.1 and superlinear beyond — so the oracle instead unrolls
+    hash-min label propagation with pointer doubling (the pagerank/BPE
+    loop-generated-CTE pattern).  Each round does (a) an edge relax
+    (take the min label over neighbours) and (b) a pointer jump
+    (``lbl := lbl(lbl)``), so label reach doubles per round: 16 rounds
+    covers component diameters up to 2^16 — far above the node count of
+    any test SF.  Both engines converge to the same fixed point (min
+    doc_id per component), so the iteration scheme cannot diverge."""
     jac = (
         "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
         "/ len(list_distinct(list_concat(sa.sh, sb.sh)))"
     )
+    prop = []
+    prev = "lab0"
+    for i in range(1, rounds + 1):
+        prop.append(
+            f"relax{i} AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM ("
+            f"SELECT node, lbl FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.src AS node, l.lbl AS lbl FROM edges e "
+            f"JOIN {prev} l ON l.node = e.dst) GROUP BY node)"
+        )
+        prop.append(
+            f"lab{i} AS MATERIALIZED (SELECT a.node, b.lbl "
+            f"FROM relax{i} a JOIN relax{i} b ON b.node = a.lbl)"
+        )
+        prev = f"lab{i}"
     return (
-        f"WITH RECURSIVE {_sh_cte()}, {_banded_cte()}, "
+        f"WITH {_sh_cte()}, {_banded_cte()}, "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
         "FROM banded a JOIN banded b2 USING (band, bucket) "
         "WHERE a.doc_id < b2.doc_id), "
         "pairs AS (SELECT p.id_a, p.id_b FROM cand p "
         "JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b "
         f"WHERE {jac} >= 0.3), "
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
         "UNION SELECT id_b, id_a FROM pairs), "
-        "reach(node, lbl) AS (SELECT src, src FROM edges "
-        "UNION SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.node), "
-        "lab AS (SELECT node, min(lbl) AS cl FROM reach GROUP BY node) "
+        "lab0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM edges "
+        "UNION SELECT dst, dst FROM edges), "
+        + ", ".join(prop)
+        + f", lab AS (SELECT node, min(lbl) AS cl FROM {prev} GROUP BY node) "
         "SELECT d.doc_id, CAST(coalesce(l.cl, d.doc_id) AS BIGINT) AS cluster_id, "
         "d.doc_id = coalesce(l.cl, d.doc_id) AS is_canonical "
         "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node"
