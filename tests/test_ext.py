@@ -775,3 +775,94 @@ def test_semantic_dedup_with_trained_centroids(vecs):
     # seed mod 19, so vec 19 duplicates vec 0 — it must drop too
     assert 0 in out and 19 not in out
     assert len(out) == vecs.count() - 2  # nothing else is near-identical
+
+
+# ---------------------------------------------------------------------------
+# Y4M video: real frame sampling + features (stdlib/numpy only)
+# ---------------------------------------------------------------------------
+
+
+def _make_y4m(w=4, h=4, n_frames=6, colorspace="420", frame_params=False):
+    """Deterministic YUV4MPEG2 payload: frame i's luma plane is all
+    (i*30), chroma planes all 128 — so every sampled frame identifies
+    itself by its bytes."""
+    if colorspace.startswith("420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith("444"):
+        chroma = 2 * w * h
+    elif colorspace.startswith("mono"):
+        chroma = 0
+    else:
+        raise ValueError(colorspace)
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{colorspace}\n".encode()
+    out = [hdr]
+    for i in range(n_frames):
+        out.append(b"FRAME Xtag\n" if frame_params else b"FRAME\n")
+        out.append(bytes([i * 30]) * (w * h) + bytes([128]) * chroma)
+    return b"".join(out)
+
+
+def test_y4m_parse_shapes_and_params():
+    blob = _make_y4m(w=6, h=4, n_frames=3, frame_params=True)
+    w, h, cs, frames = multimodal._parse_y4m(blob)
+    assert (w, h, cs) == (6, 4, "420")
+    assert len(frames) == 3
+    assert all(len(f) == 6 * 4 + 2 * (3 * 2) for f in frames)
+    assert frames[1][:4] == bytes([30]) * 4  # luma identifies the frame
+    # mono + 444 frame sizes
+    for cs2, expect in (("mono", 24), ("444", 72)):
+        _, _, _, fr = multimodal._parse_y4m(_make_y4m(6, 4, 2, cs2))
+        assert len(fr[0]) == expect
+
+
+def test_y4m_real_frame_sampling(spark):
+    """sample_frames emits the ACTUAL uniformly-spaced raw frames for
+    Y4M payloads — under decode_stub=False too (real beats stub)."""
+    blob = _make_y4m(w=4, h=4, n_frames=9)
+    df = spark.createDataFrame(
+        [(7, blob, "video/y4m", (len(blob), "s"))], multimodal.BLOB_SCHEMA
+    )
+    for stub in (True, False):
+        rows = multimodal.sample_frames(df, num_frames=3, decode_stub=stub).collect()
+        assert [r.frame_idx for r in rows] == [0, 1, 2]
+        # 9 frames sampled at 3 points -> source frames 0, 4, 8
+        lumas = [bytes(r.frame_payload)[0] for r in rows]
+        assert lumas == [0, 4 * 30, 8 * 30]
+        assert all(len(bytes(r.frame_payload)) == 16 + 8 for r in rows)
+
+
+def test_y4m_real_video_features(spark):
+    """extract_features(decode_stub=False) decodes Y4M: luma mean/std
+    over 4 sampled frames, first-vs-last motion proxy, shape stats."""
+    blob = _make_y4m(w=8, h=2, n_frames=5)
+    df = spark.createDataFrame(
+        [(1, blob, "video/y4m", (len(blob), "s"))], multimodal.BLOB_SCHEMA
+    )
+    feats = multimodal.extract_features(df, decode_stub=False).collect()[0].feature
+    # sampled frames 0,1,3,4 (rounded uniform) -> lumas 0,30,90,120
+    import numpy as np
+
+    lu = np.array([0, 30, 90, 120], dtype=np.float64) / 255.0
+    assert feats[0] == pytest.approx(float(lu.mean()), abs=1e-6)
+    assert feats[2] == pytest.approx(120 / 255, abs=1e-6)  # motion |last-first|
+    assert feats[3] == 5.0 and feats[4] == 8.0 and feats[5] == 2.0
+    assert feats[6] == pytest.approx(4.0)  # aspect
+    assert feats[7] == pytest.approx(0.0, abs=1e-9)  # first-frame mean
+
+
+def test_y4m_unknown_colorspace_raises():
+    blob = _make_y4m(4, 4, 1).replace(b"C420", b"C410")
+    with pytest.raises(NotImplementedError, match="C410"):
+        multimodal._parse_y4m(blob)
+
+
+def test_non_y4m_video_still_gated(spark):
+    """decode_stub=False on a non-Y4M payload keeps the loud ffmpeg
+    gate; the stub path still fans out deterministic byte slices."""
+    df = spark.createDataFrame(
+        [(1, b"\x00\x01mp42" * 20, "video/mp4", (120, "s"))],
+        multimodal.BLOB_SCHEMA,
+    )
+    assert len(multimodal.sample_frames(df, num_frames=4).collect()) == 4
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.sample_frames(df, num_frames=4, decode_stub=False).collect()

@@ -75,8 +75,33 @@ def synth_embeddings(spark, base_dir: str, copies: int):
     return out
 
 
+def synth_tpch(spark, base_dir: str, copies: int, out_dir: str) -> str:
+    """Materialize a ``copies``x TPC-H tier: lineitem/orders replicated
+    with shifted order keys (so joins fan out, never self-match), dims
+    copied as-is (dims grow sublinearly in real warehouses; holding them
+    fixed isolates FACT-side scaling, which is what breaks at 100 TB).
+    Written as parquet dirs named ``<table>.parquet`` so the contract
+    functions (load_table) run against the tier unchanged."""
+    orders = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    n = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    li_out, o_out = None, None
+    for i in range(copies):
+        lr = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n))
+        orr = orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n))
+        li_out = lr if li_out is None else li_out.unionByName(lr)
+        o_out = orr if o_out is None else o_out.unionByName(orr)
+    li_out.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    o_out.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(os.path.join(base_dir, f"{dim}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{dim}.parquet"))
+    return out_dir
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r3.txt"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r4.txt"
     spark = get_spark(app_name="scaling-probe", cpus="32")
 
     from bq_duckdb_spark.ext import dedup, text
@@ -152,12 +177,36 @@ def main() -> None:
         lines.append(f"{tier:8s} {'logreg_train':16s} rows={n_docs:7d} {dt:6.2f}s")
         print(lines[-1], flush=True)
 
+    # --- relational (TPC-H) scaling: fact tables 5x, dims fixed ---
+    from bq_duckdb_spark import contract_tpch
+
+    tpch_subset = [
+        "q06_forecast_revenue",    # scan + pushdown
+        "q09_product_profit",      # 4-way fact join
+        "q13_customer_distribution",  # outer join + double aggregate
+        "q18_large_volume",        # semi over groupBy-HAVING + re-agg
+        "q21_waiting_supplier",    # semi + anti double correlation
+    ]
+    synth_dir = synth_tpch(spark, "/root/testdata/sf0.1", 5, "/tmp/tpch_synth5x")
+    tq = contract_tpch.queries()
+    for tier, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("synth5x", synth_dir)):
+        for name in tpch_subset:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                tq[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[tier] = best
+            lines.append(f"{tier:8s} {name:26s} {best:6.2f}s")
+            print(lines[-1], flush=True)
+
     lines.append("")
     lines.append("growth (synth5x time / sf0.1 time; data grew 5.0x):")
     for name, by_tier in sorted(results.items()):
         if "sf0.1" in by_tier and "synth5x" in by_tier and by_tier["sf0.1"] > 0:
             r = by_tier["synth5x"] / by_tier["sf0.1"]
-            lines.append(f"  {name:16s} {r:5.2f}x")
+            lines.append(f"  {name:26s} {r:5.2f}x")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nwrote {out_path}")
