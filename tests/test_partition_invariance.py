@@ -31,6 +31,13 @@ ENTRIES = [
     "pipe_token_budget",
     "pipe_weighted_sample",
     "dedup_keep_best",
+    # TPC-H: tie-broken LIMIT top-k, one-row-broadcast scalar threshold,
+    # count-distinct + anti blacklist, semi over groupBy-HAVING
+    "q02_min_acctbal_supplier",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q18_large_volume",
 ]
 
 
