@@ -815,6 +815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(contract_tpch.queries())
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier6
+
+        q.update(contract_tier6.queries())
+    except ImportError:
+        pass
     return q
 
 
@@ -895,6 +901,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tpch
 
         o.update(contract_tpch.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier6
+
+        o.update(contract_tier6.oracle_sql())
     except ImportError:
         pass
     return o

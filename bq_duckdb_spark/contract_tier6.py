@@ -1,0 +1,94 @@
+"""Tier-6 driver-contract entries: entity-resolution / runtime-filter
+operators added after the TPC-H completion pass.
+
+- ``q_fuzzy_join``: edit-distance-1 similarity self-join over customer
+  names via deletion-neighborhood blocking (ext/fuzzy.py) — the classic
+  entity-resolution primitive the reference has no answer to.
+
+Every entry carries a full DuckDB oracle built from a STRUCTURALLY
+DIFFERENT algorithm than the Spark side (pigeonhole half-blocking vs
+deletion neighborhoods), so a shared-logic bug cannot self-confirm.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bq_duckdb_spark.ext import fuzzy
+from bq_duckdb_spark.testdata import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance-1) similarity join
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pair of customer names within Levenshtein distance 1 —
+    near-identical entities a cleaning pipeline would flag for merge.
+    Candidate generation is one equi-join shuffle on deletion-variant
+    hashes (never all-pairs); exact ``levenshtein`` verifies. Output is
+    the name pair itself (id-ordered), so the hash check pins both the
+    pairing and the survivor strings."""
+    cust = _t(spark, sf_dir, "customer")
+    pairs = fuzzy.fuzzy_pairs_d1(cust, str_col="c_name", id_col="c_custkey")
+    return pairs.select(
+        F.col("s_a").alias("name_a"), F.col("s_b").alias("name_b")
+    )
+
+
+# Oracle: pigeonhole blocking, NOT deletion neighborhoods. Customer
+# names are fixed-width ('Customer#' + 9 digits), so any distance-1 pair
+# is a single substitution (equal-length strings at distance 1 differ in
+# exactly one position). Split each name into three segments — chars
+# 1-12 / 13-15 / 16-18; one substitution leaves two of the three intact,
+# so every qualifying pair matches on at least one PAIR of segments.
+# Three equi-joins (each far more selective than a single-split block)
+# + exact levenshtein verify; UNION (distinct) merges the branches.
+# Only sound for the equal-length corpus at hand (a general oracle would
+# need the insertion case); the Spark operator itself is general.
+_Q_FUZZY_JOIN_ORACLE = """
+WITH c AS (
+    SELECT c_custkey AS id, c_name AS s,
+           substr(c_name, 1, 12) AS seg_a,
+           substr(c_name, 13, 3) AS seg_b,
+           substr(c_name, 16, 3) AS seg_c
+    FROM customer
+),
+cand AS (
+    SELECT a.s AS sa, b.s AS sb
+    FROM c a JOIN c b
+      ON a.seg_a = b.seg_a AND a.seg_b = b.seg_b AND a.id < b.id
+    UNION
+    SELECT a.s, b.s
+    FROM c a JOIN c b
+      ON a.seg_a = b.seg_a AND a.seg_c = b.seg_c AND a.id < b.id
+    UNION
+    SELECT a.s, b.s
+    FROM c a JOIN c b
+      ON a.seg_b = b.seg_b AND a.seg_c = b.seg_c AND a.id < b.id
+)
+SELECT sa AS name_a, sb AS name_b
+FROM cand
+WHERE levenshtein(sa, sb) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q_fuzzy_join": q_fuzzy_join,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q_fuzzy_join": _Q_FUZZY_JOIN_ORACLE,
+    }
