@@ -4,10 +4,14 @@ operators added after the TPC-H completion pass.
 - ``q_fuzzy_join``: edit-distance-1 similarity self-join over customer
   names via deletion-neighborhood blocking (ext/fuzzy.py) — the classic
   entity-resolution primitive the reference has no answer to.
+- ``q_bloom_semi``: split-block Bloom runtime filter
+  (operators/bloom.py) pruning the lineitem fact side before an exact
+  semi join.
 
 Every entry carries a full DuckDB oracle built from a STRUCTURALLY
 DIFFERENT algorithm than the Spark side (pigeonhole half-blocking vs
-deletion neighborhoods), so a shared-logic bug cannot self-confirm.
+deletion neighborhoods; plain IN-subquery vs bloom+semi), so a
+shared-logic bug cannot self-confirm.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bq_duckdb_spark.ext import fuzzy
+from bq_duckdb_spark.operators.bloom import bloom_prefilter
 from bq_duckdb_spark.testdata import load_table as _t
 
 
@@ -78,6 +83,46 @@ WHERE levenshtein(sa, sb) <= 1
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to high-value orders, with the
+    fact side pruned by a split-block Bloom filter (operators/bloom.py)
+    BEFORE the exact semi join — the runtime-filter pattern that turns
+    a shuffle-bound fact join scan-bound at 100 TB. The bloom stage is
+    a strict superset filter, so the oracle is the plain semi join:
+    identical results prove the zero-false-negative contract on real
+    data."""
+    li = _t(spark, sf_dir, "lineitem")
+    hot = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    pre = bloom_prefilter(li, hot, "l_orderkey", "o_orderkey")
+    return (
+        pre.join(hot.select("o_orderkey"), pre.l_orderkey == F.col("o_orderkey"), "semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q_BLOOM_SEMI_ORACLE = """
+SELECT l_returnflag,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+)
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -85,10 +130,12 @@ WHERE levenshtein(sa, sb) <= 1
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_fuzzy_join": q_fuzzy_join,
+        "q_bloom_semi": q_bloom_semi,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "q_fuzzy_join": _Q_FUZZY_JOIN_ORACLE,
+        "q_bloom_semi": _Q_BLOOM_SEMI_ORACLE,
     }
