@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bq_duckdb_spark.ext import fuzzy
+from bq_duckdb_spark.ext import cms, fuzzy
 from bq_duckdb_spark.operators.bloom import bloom_prefilter
 from bq_duckdb_spark.testdata import load_table as _t
 
@@ -123,6 +123,42 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Count-Min Sketch frequency estimates
+# ---------------------------------------------------------------------------
+
+# a deliberately narrow sketch (4 x 64 over a ~50-token vocabulary) so
+# collisions actually occur and the oracle checks REAL CMS behavior
+# (overestimates included), not a trivially exact table; the probe set
+# is data-independent and includes a token absent from the corpus
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+_CMS_PROBES = ["table", "query", "spark", "the", "zzz_absent"]
+
+
+def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch token-frequency estimates next to exact counts.
+    The sketch counters use the portable hash family, so DuckDB rebuilds
+    the IDENTICAL sketch — every counter and estimate value-checks,
+    unlike opaque sketch binaries (ext/cms.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    sketch = cms.cms_build(docs, "text", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms.cms_estimate(
+        spark, sketch, _CMS_PROBES, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    exact = (
+        docs.select(
+            F.explode_outer(F.expr("split(trim(text), '\\\\s+')")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "token", "left").select(
+        "token",
+        F.coalesce(F.col("exact_cnt"), F.lit(0)).alias("exact_cnt"),
+        "cms_est",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -131,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_fuzzy_join": q_fuzzy_join,
         "q_bloom_semi": q_bloom_semi,
+        "sketch_cms_freq": sketch_cms_freq,
     }
 
 
@@ -138,4 +175,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_fuzzy_join": _Q_FUZZY_JOIN_ORACLE,
         "q_bloom_semi": _Q_BLOOM_SEMI_ORACLE,
+        "sketch_cms_freq": cms.cms_oracle_sql(
+            _CMS_PROBES, depth=_CMS_DEPTH, width=_CMS_WIDTH
+        ),
     }
