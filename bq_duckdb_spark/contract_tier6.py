@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bq_duckdb_spark.ext import cms, fuzzy
+from bq_duckdb_spark.ext import cms, fuzzy, graph
 from bq_duckdb_spark.operators.bloom import bloom_prefilter
 from bq_duckdb_spark.testdata import load_table as _t
 
@@ -159,6 +159,39 @@ def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts joined by
+    appearing in the same order) — the clustering-coefficient building
+    block of basket analytics. Edge generation is one grouped pair
+    expansion; counting uses the degree-ordered orientation
+    (ext/graph.py triangle_count), whose wedge fan-out is skew-bounded
+    at any scale. The oracle counts the same triangles with a plain
+    3-way self-join, blind to the orientation trick."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")
+    )
+    edges = graph.cooccurrence_edges(li, "g", "i")
+    return graph.triangle_count(edges)
+
+
+_GRAPH_TRIANGLES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -168,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_bloom_semi": q_bloom_semi,
         "sketch_cms_freq": sketch_cms_freq,
+        "graph_triangles": graph_triangles,
     }
 
 
@@ -178,4 +212,5 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cms_freq": cms.cms_oracle_sql(
             _CMS_PROBES, depth=_CMS_DEPTH, width=_CMS_WIDTH
         ),
+        "graph_triangles": _GRAPH_TRIANGLES_ORACLE,
     }

@@ -164,3 +164,92 @@ def pagerank_oracle_sql(iters: int = 8, damping: float = DAMPING) -> str:
         f"SELECT node, round(rank, 6) AS rank_r FROM r{iters}"
     )
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence edges + triangle counting
+# ---------------------------------------------------------------------------
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group: int = 1000,
+) -> DataFrame:
+    """Undirected co-occurrence edges ``(u, v)``, ``u < v``: items that
+    appear in the same group (parts in the same order, terms in the
+    same doc). ONE shuffle on the group key with in-group pair
+    expansion (the dedup bucket machinery) — never a self-join that
+    shuffles the item table twice. ``max_group`` caps pathological
+    groups the same way the LSH buckets are capped (pairs grow
+    quadratically in group size)."""
+    from bq_duckdb_spark.ext.dedup import _bucket_pairs_expr
+
+    grouped = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i"))
+        .groupBy("g")
+        .agg(F.slice(F.array_sort(F.collect_set("i")), 1, max_group).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    return (
+        grouped.select(
+            F.explode_outer(F.expr(_bucket_pairs_expr("xs", "u", "v"))).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected graph given as distinct
+    ``(u, v)`` edges with ``u < v`` — one row out: ``n_triangles``.
+
+    Scale design — the degree-ordered orientation (node-iterator++,
+    Schank & Wagner 2005): orient every edge from the endpoint of
+    lower ``(degree, id)`` to the higher. The resulting DAG has
+    out-degree O(sqrt(|E|)) REGARDLESS of skew — a celebrity vertex of
+    degree 10^6 contributes wedges only through its (few) higher-degree
+    neighbors, not deg² pairs. Wedge generation is the oriented
+    self-join on the low vertex; closure is one more equi-join against
+    the oriented edge set. Three shuffles total (degrees, wedges,
+    closure), each linear in edges + wedges, wedges already
+    skew-bounded by the orientation."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # attach degrees to both endpoints, orient low -> high
+    e = (
+        edges.join(deg.withColumnRenamed("u", "_du"), F.col("u") == F.col("_du"))
+        .withColumnRenamed("deg", "deg_u")
+        .drop("_du")
+        .join(deg.withColumnRenamed("u", "_dv"), F.col("v") == F.col("_dv"))
+        .withColumnRenamed("deg", "deg_v")
+        .drop("_dv")
+    )
+    fwd = F.expr("deg_u < deg_v OR (deg_u = deg_v AND u < v)")
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.struct(F.col("deg_v").alias("d"), F.col("v").alias("n")))
+        .otherwise(F.struct(F.col("deg_u").alias("d"), F.col("u").alias("n")))
+        .alias("hi"),
+    )
+    a = oriented.select(F.col("lo"), F.col("hi").alias("h1"))
+    b = oriented.select(F.col("lo"), F.col("hi").alias("h2"))
+    wedges = (
+        a.join(b, "lo")
+        .where(
+            F.expr("h1.d < h2.d OR (h1.d = h2.d AND h1.n < h2.n)")
+        )
+        .select(F.col("h1.n").alias("wu"), F.col("h2.n").alias("wv"))
+    )
+    # inner join, not semi: two triangles may share their closing edge
+    # (same (wu, wv), different center) — the oriented edge set is
+    # distinct, so multiplicity comes only from wedges, one per triangle
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("wu"), F.col("hi.n").alias("wv")),
+        ["wu", "wv"],
+        "inner",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
