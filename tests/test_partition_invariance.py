@@ -38,6 +38,12 @@ ENTRIES = [
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q18_large_volume",
+    # tier-6: deletion-variant bucketing, bloom bitmap layout, CMS
+    # counter layout, degree-ordered wedge expansion
+    "q_fuzzy_join",
+    "q_bloom_semi",
+    "sketch_cms_freq",
+    "graph_triangles",
 ]
 
 
