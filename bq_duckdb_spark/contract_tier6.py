@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bq_duckdb_spark.ext import cms, fuzzy, graph
 from bq_duckdb_spark.operators.bloom import bloom_prefilter
@@ -192,6 +193,99 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 
 
 # ---------------------------------------------------------------------------
+# time-interval RANGE window frame
+# ---------------------------------------------------------------------------
+
+
+def q_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: that user's rolling activity over the PRECEDING 10
+    MINUTES — a time-interval RANGE frame (vs the contract's existing
+    numeric RANGE entry). Spark has no INTERVAL frame literal; ordering
+    by epoch-microseconds with an equivalent numeric range is the
+    idiomatic translation and keeps full timestamp precision (ordering
+    by a seconds cast would silently coarsen the boundary). One shuffle
+    on user_id; frames never buffer beyond the 10-minute span."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("value").over(w).alias("sum_10m"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+    )
+
+
+_Q_RANGE_INTERVAL_ORACLE = """
+SELECT event_id, user_id,
+       sum(value) OVER w AS sum_10m,
+       count(*) OVER w AS n_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact median, median absolute deviation, and the
+    count of robust outliers (|value - median| > 3 * MAD) — the
+    data-quality screen that, unlike z-scores, is not dragged by the
+    outliers it hunts. Two aggregate passes with a broadcast join-back
+    of the (tiny) per-group medians between them; the exact medians
+    buffer per group like q_percentiles (documented there; the
+    approx-sketch twin is the 100 TB path)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.median("adev").alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_Q_OUTLIERS_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, med.med, abs(e.value - med.med) AS adev
+    FROM events e JOIN med USING (event_type)
+),
+mad AS (
+    SELECT event_type, min(med) AS med, median(adev) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, min(mad.med) AS med, min(mad.mad) AS mad,
+       sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -202,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_semi": q_bloom_semi,
         "sketch_cms_freq": sketch_cms_freq,
         "graph_triangles": graph_triangles,
+        "q_range_interval": q_range_interval,
+        "q_outliers_mad": q_outliers_mad,
     }
 
 
@@ -213,4 +309,6 @@ def oracle_sql() -> dict[str, str]:
             _CMS_PROBES, depth=_CMS_DEPTH, width=_CMS_WIDTH
         ),
         "graph_triangles": _GRAPH_TRIANGLES_ORACLE,
+        "q_range_interval": _Q_RANGE_INTERVAL_ORACLE,
+        "q_outliers_mad": _Q_OUTLIERS_MAD_ORACLE,
     }

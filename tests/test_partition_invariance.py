@@ -44,6 +44,8 @@ ENTRIES = [
     "q_bloom_semi",
     "sketch_cms_freq",
     "graph_triangles",
+    "q_range_interval",
+    "q_outliers_mad",
 ]
 
 
