@@ -14,6 +14,7 @@ from bq_duckdb_spark.streaming.streams import (
     session_windows,
     stateful_user_stats,
     stream_dedup_exact,
+    view_conversion_outer,
     windowed_counts,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "stateful_user_stats",
     "stream_dedup_exact",
     "click_attribution",
+    "view_conversion_outer",
     "run_available_now",
 ]

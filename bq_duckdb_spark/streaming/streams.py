@@ -221,6 +221,45 @@ def click_attribution(
     )
 
 
+def view_conversion_outer(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "1 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view with the
+    click(s) it converted to within ``horizon`` — or a NULL click if it
+    never converted. The hard part of outer stream joins is the null
+    side: Spark may only emit an unmatched view once the CLICK-side
+    watermark has passed ``view_ts + horizon`` (before that, a matching
+    click could still arrive), so null rows trail the data by the
+    watermark delay and surface in a LATER microbatch. Consumers (and
+    the parity test) must therefore keep the input source open long
+    enough for the watermark to cross the last view's horizon — with
+    file sources, a newer file per trigger advances it batch over
+    batch. State stays bounded exactly as in the inner join
+    (click_attribution); only the emission timing differs. On a batch
+    DataFrame this is the plain left-outer interval join."""
+    is_stream = events.isStreaming
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if is_stream:
+        v = v.withWatermark("view_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    cond = F.expr(
+        f"user_id = click_user_id AND click_ts > view_ts "
+        f"AND click_ts <= view_ts + INTERVAL {horizon}"
+    )
+    return v.join(c, cond, "left_outer").select(
+        "view_id", "user_id", "view_ts", "click_id", "click_ts"
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain all currently-available input into an in-memory sink and
     block until done — deterministic harness for tests/demos."""

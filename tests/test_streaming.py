@@ -623,3 +623,69 @@ def test_merge_each_batch_replay_is_idempotent(spark):
     writer(batch, 0)  # replay of the same batch id
     twice = sorted(tuple(r) for r in sess.query("SELECT k, v FROM tgt_r").collect())
     assert once == twice == [(1, "new1"), (2, "new2")]
+
+
+def test_view_conversion_outer_stream_matches_batch(spark, tmp_path):
+    """LEFT OUTER interval join parity: the null (never-converted) rows
+    only flush once the click-side watermark passes view_ts + horizon,
+    which needs batches AFTER the data — staged here as data file ->
+    sentinel file -> sentinel file with one file per trigger."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "outer_join_src"
+    src.mkdir()
+    base = spark.read.parquet(SRC)
+    from bq_duckdb_spark.testdata import normalize_event_ts
+
+    base = normalize_event_ts(base)
+    # a small slice keeps the join cheap; both event types present.
+    # file-source streams want plain files, not write.parquet dirs —
+    # stage each microbatch's file via pandas
+    data = base.where(F.col("event_id") < 2000)
+    data.toPandas().to_parquet(str(src / "f1.parquet"))
+    # sentinels: far-future view+click for a user id outside the data,
+    # advancing BOTH sides' watermarks past every real view's horizon
+    far = data.agg(F.max("ts")).first()[0]
+    sent = spark.createDataFrame(
+        [
+            (10_000_001, far, 999_999, "view", 0.0, "{}"),
+            (10_000_002, far, 999_999, "click", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    sent.toPandas().to_parquet(str(src / "f2.parquet"))
+    sent.withColumn("event_id", F.col("event_id") + 10).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAYS")
+    ).toPandas().to_parquet(str(src / "f3.parquet"))
+
+    stream = streaming.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out_dir = tmp_path / "outer_out"
+    ckpt = tmp_path / "outer_ckpt"
+    q = (
+        streaming.view_conversion_outer(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    # the sentinels' own rows sit past the final watermark (their null
+    # rows can never flush — that's the semantics being tested), so
+    # compare the REAL users only
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.read.parquet(str(out_dir)).collect()
+        if r.user_id != 999_999
+    }
+    everything = normalize_event_ts(spark.read.parquet(str(src)))
+    expected = {
+        (r.view_id, r.click_id)
+        for r in streaming.view_conversion_outer(everything).collect()
+        if r.user_id != 999_999
+    }
+    # every matched pair AND every never-converted (null-click) view
+    assert got == expected
+    assert any(c is None for _, c in expected)  # the test exercises nulls
