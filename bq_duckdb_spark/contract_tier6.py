@@ -286,6 +286,84 @@ GROUP BY dev.event_type
 
 
 # ---------------------------------------------------------------------------
+# A/B test: deterministic assignment + two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end experiment readout: users split 50/50 by the portable
+    mix hash (deterministic, re-runnable — never rand()), conversion =
+    any high-value purchase (plain "any purchase" converts every user
+    at this event density, degenerating the pooled variance to 0), and
+    the pooled two-proportion z statistic. Two aggregations (per-user,
+    then per-variant) and a one-row pivot; the z arithmetic is
+    identical IEEE ops in both engines, so the entry value-checks the
+    statistic itself."""
+    from bq_duckdb_spark.ext.pipeline import mix_hash_expr
+
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn("variant", F.expr(f"{mix_hash_expr('user_id', 5)} % 2"))
+    )
+    s = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    one = s.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    return one.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr(
+            "(c1 / n1 - c0 / n0) / "
+            "sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1)) "
+            "* (1 / n0 + 1 / n1))"
+        ).alias("z_score"),
+    )
+
+
+def _q_ab_test_oracle() -> str:
+    from bq_duckdb_spark.ext.pipeline import mix_hash_expr
+
+    return f"""
+WITH u AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 200
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+v AS (SELECT {mix_hash_expr('user_id', 5)} % 2 AS variant, conv FROM u),
+s AS (SELECT variant, count(*) AS n, sum(conv) AS c FROM v GROUP BY variant),
+one AS (
+    SELECT sum(CASE WHEN variant = 0 THEN n END) AS n0,
+           sum(CASE WHEN variant = 0 THEN c END) AS c0,
+           sum(CASE WHEN variant = 1 THEN n END) AS n1,
+           sum(CASE WHEN variant = 1 THEN c END) AS c1
+    FROM s
+)
+SELECT n0, c0, n1, c1,
+       (c1 / n1 - c0 / n0) /
+       sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+            * (1 / n0 + 1 / n1)) AS z_score
+FROM one
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -298,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles,
         "q_range_interval": q_range_interval,
         "q_outliers_mad": q_outliers_mad,
+        "q_ab_test": q_ab_test,
     }
 
 
@@ -311,4 +390,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _GRAPH_TRIANGLES_ORACLE,
         "q_range_interval": _Q_RANGE_INTERVAL_ORACLE,
         "q_outliers_mad": _Q_OUTLIERS_MAD_ORACLE,
+        "q_ab_test": _q_ab_test_oracle(),
     }

@@ -46,6 +46,7 @@ ENTRIES = [
     "graph_triangles",
     "q_range_interval",
     "q_outliers_mad",
+    "q_ab_test",
 ]
 
 

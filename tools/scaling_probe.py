@@ -201,6 +201,64 @@ def main() -> None:
             lines.append(f"{tier:8s} {name:26s} {best:6.2f}s")
             print(lines[-1], flush=True)
 
+    # --- tier-6: fuzzy join, bloom prefilter, CMS, triangles ---
+    from bq_duckdb_spark.ext import cms as cms_mod
+    from bq_duckdb_spark.ext import fuzzy, graph
+    from bq_duckdb_spark.operators.bloom import bloom_prefilter
+
+    cust_01 = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    n_cust = cust_01.agg(F.max("c_custkey")).collect()[0][0] + 1
+    cust_05 = None
+    for i in range(5):
+        c = cust_01.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * n_cust))
+        # rebuild the name from the shifted key: replicating names
+        # verbatim would plant mass exact duplicates (the documented
+        # pathological input for variant bucketing)
+        c = c.withColumn(
+            "c_name",
+            F.expr("concat('Customer#', lpad(CAST(c_custkey AS STRING), 9, '0'))"),
+        )
+        cust_05 = c if cust_05 is None else cust_05.unionByName(c)
+    cust_05 = cust_05.localCheckpoint(eager=True)
+
+    def t6_ops(tier, sf_dir, cust, docs):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        hot = orders.where(F.col("o_totalprice") > 450000)
+        return {
+            "fuzzy_join_d1": lambda: fuzzy.fuzzy_pairs_d1(
+                cust, str_col="c_name", id_col="c_custkey"
+            ),
+            "bloom_prefilter": lambda: bloom_prefilter(
+                li, hot, "l_orderkey", "o_orderkey"
+            ),
+            "cms_build": lambda: cms_mod.cms_build(docs, "text", depth=4, width=64),
+            "triangles": lambda: graph.triangle_count(
+                graph.cooccurrence_edges(
+                    li.select(
+                        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")
+                    ),
+                    "g",
+                    "i",
+                )
+            ),
+        }
+
+    for tier, sf_dir, cust, docs in (
+        ("sf0.1", "/root/testdata/sf0.1", cust_01, docs_01),
+        ("synth5x", synth_dir, cust_05, docs_05),
+    ):
+        for name, mk in t6_ops(tier, sf_dir, cust, docs).items():
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                mk().write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[tier] = best
+            lines.append(f"{tier:8s} {name:26s} {best:6.2f}s")
+            print(lines[-1], flush=True)
+
     lines.append("")
     lines.append("growth (synth5x time / sf0.1 time; data grew 5.0x):")
     for name, by_tier in sorted(results.items()):
