@@ -37,14 +37,21 @@ def synth_docs(spark, base_dir: str, copies: int):
     for i in range(copies):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
         if i:
-            # rotate the token stream and tag the head so replicas do
-            # not shingle-match each other or the originals
+            # rotate the token stream (breaks k-gram shingles: minhash/
+            # jaccard see different grams) AND substitute every 7th
+            # token with a replica-tagged one (breaks the token
+            # MULTISET: simhash is bag-of-words, so rotation alone
+            # leaves replicas as planted near-dups and the probe would
+            # measure their quadratic pair expansion, not scaling)
             d = d.withColumn(
                 "text",
                 F.expr(
                     f"concat_ws(' ', concat('rep{i}x', ''), "
-                    f"concat_ws(' ', slice(split(trim(text), '\\\\s+'), {i + 1}, 100000)), "
-                    f"concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, {i})))"
+                    f"concat_ws(' ', transform("
+                    f"  concat(slice(split(trim(text), '\\\\s+'), {i + 1}, 100000), "
+                    f"         slice(split(trim(text), '\\\\s+'), 1, {i})), "
+                    f"  (t, j) -> IF(pmod(j + {i}, 7) = 0, "
+                    f"             concat('rep{i}tk', pmod(j, 5)), t))))"
                 ),
             )
         reps.append(d)
