@@ -12,7 +12,11 @@ Decode support is tiered:
 - YUV4MPEG2 (.y4m) uncompressed video parses FOR REAL (stdlib header +
   frame walk): true frame sampling in sample_frames and luma/motion
   features in extract_features.
-- JPEG/PNG/compressed audio/video need libs absent from this container
+- PNG decodes FOR REAL with stdlib zlib + numpy (public spec): chunk
+  walk, IDAT inflate, all five scanline filters (None/Sub/Up/Average/
+  Paeth) unapplied, 8-bit gray / gray+alpha / RGB / RGBA / palette;
+  Adam7 interlace raises.
+- JPEG/compressed audio/video need libs absent from this container
   (PIL, ffmpeg); those payloads raise ``NotImplementedError`` under
   ``decode_stub=False`` and use the deterministic byte-stats stub
   otherwise, so the Spark-side plumbing — schema, partitioning, UDF
@@ -128,6 +132,85 @@ def _parse_bmp(payload: bytes) -> np.ndarray:
         px = px[::-1]  # BMP default raster order is bottom-up
     order = [2, 1, 0] + ([3] if nch == 4 else [])  # BGR(A) → RGB(A)
     return px[:, :, order]
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (palette expands to RGB after lookup)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG → (h, w, channels) uint8 array. Stdlib zlib + numpy
+    only (public spec, RFC 2083): chunk walk, concatenated-IDAT
+    inflate, scanline unfiltering. 8-bit depth, non-interlaced;
+    grayscale / gray+alpha / RGB / RGBA / indexed (PLTE lookup)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} interlace={interlace}: "
+            "only 8-bit non-interlaced gray/rgb/palette/alpha supported"
+        )
+    nch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * nch
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, line = int(filters[y]), rows[y]
+        if f == 0:
+            cur = line.copy()
+        elif f == 1:  # Sub: left-cumulative per channel — vectorize as
+            # cumsum mod 256 over pixels within each channel lane
+            cur = line.reshape(w, nch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-dependency is
+            # sequential by definition — per-pixel scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if f == 3:
+                    cur[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y], prev = cur, cur
+    px = recon.astype(np.uint8).reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+    return px
 
 
 def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -354,13 +437,15 @@ def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
             return _image_features(px, maxval)
         if payload[:2] == b"BM":
             return _image_features(_parse_bmp(payload), 255)
+        if payload[:8] == _PNG_SIG:
+            return _image_features(_parse_png(payload), 255)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(*_parse_wav(payload))
         if payload[:9] == b"YUV4MPEG2":
             w, h, _, frames = _parse_y4m(payload)
             return _video_features(w, h, frames)
         raise NotImplementedError(
-            "real decode beyond netpbm (P5/P6), uncompressed BMP, "
+            "real decode beyond netpbm (P5/P6), uncompressed BMP, PNG, "
             "PCM WAV, and YUV4MPEG2 video requires media libraries not "
             "present in this environment; run with decode_stub=True"
         )
