@@ -364,6 +364,86 @@ FROM one
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def pipe_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative mining: every 100th embedding is a
+    query; its 3 hardest negatives are the most-similar index vectors
+    inside the cosine band [0.1, 0.8) from 2 probed IVF cells
+    (ext/retrieval.py hard_negatives — near-dups and easy negatives
+    excluded before ranking). Deterministic end to end, so the oracle
+    re-derives the identical batch."""
+    from bq_duckdb_spark.ext.contract import _query_vec
+    from bq_duckdb_spark.ext.retrieval import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [_query_vec(spark, sf_dir, i) for i in range(4)]
+    return hard_negatives(
+        emb.filter(F.col("vec_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 != 0),
+        cents,
+        k=3,
+        nprobe=2,
+        sim_lo=0.1,
+        sim_hi=0.8,
+    )
+
+
+_PIPE_HARD_NEGATIVES_ORACLE = """
+WITH cents AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id < 4
+),
+qs AS (
+    SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+probed AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid
+               ) AS rn
+        FROM qs q CROSS JOIN cents c
+    ) WHERE rn <= 2
+),
+assigned AS (
+    SELECT vec_id, ev, cid FROM (
+        SELECT e.vec_id,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+               c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cv) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id % 100 <> 0
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT p.qid AS query_id, a.vec_id AS index_id,
+           list_dot_product(q.qv, a.ev)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.ev, a.ev)))
+               AS cosine
+    FROM probed p
+    JOIN qs q ON q.qid = p.qid
+    JOIN assigned a ON a.cid = p.cid
+)
+SELECT query_id, index_id, cosine FROM (
+    SELECT query_id, index_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, index_id
+           ) AS rn
+    FROM scored
+    WHERE cosine >= 0.1 AND cosine < 0.8
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -377,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_interval": q_range_interval,
         "q_outliers_mad": q_outliers_mad,
         "q_ab_test": q_ab_test,
+        "pipe_hard_negatives": pipe_hard_negatives,
     }
 
 
@@ -391,4 +472,5 @@ def oracle_sql() -> dict[str, str]:
         "q_range_interval": _Q_RANGE_INTERVAL_ORACLE,
         "q_outliers_mad": _Q_OUTLIERS_MAD_ORACLE,
         "q_ab_test": _q_ab_test_oracle(),
+        "pipe_hard_negatives": _PIPE_HARD_NEGATIVES_ORACLE,
     }

@@ -476,3 +476,40 @@ def apply_logreg(
         F.col(id_col),
         F.expr(f"1.0 / (1.0 + exp(-({score})))").alias("prob"),
     ).withColumn("label", (F.col("prob") >= 0.5).cast("int"))
+
+
+def hard_negatives(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    sim_lo: float = 0.0,
+    sim_hi: float = 0.95,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query,
+    the ``k`` MOST similar index vectors inside the band
+    ``[sim_lo, sim_hi)`` — above ``sim_hi`` is a near-duplicate or the
+    positive itself (training on it teaches the model nothing or the
+    wrong thing), below ``sim_lo`` is an easy negative the model
+    already separates. Deterministic (fixed centroids, exact cosine,
+    id tie-break), so mined batches are reproducible across retries —
+    the property that matters when a 1000-way training job re-runs one
+    failed shard.
+
+    Scale shape is ann_join's (ext/similarity.py): map-only cell
+    assignment, equi-join on cell, band filter BEFORE the per-query
+    top-k window."""
+    from bq_duckdb_spark.ext.similarity import ann_join
+
+    return ann_join(
+        queries,
+        index,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        sim_lo=sim_lo,
+        sim_hi=sim_hi,
+    )

@@ -669,6 +669,8 @@ def ann_join(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     index_id_col: str = "vec_id",
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
 ) -> DataFrame:
     """Batch ANN: cosine top-``k`` index matches for EVERY query row —
     the table-to-table version of ivf_topk (dedup-against-reference,
@@ -706,14 +708,20 @@ def ann_join(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("index_id")
     )
+    scored = q.join(idx, "ivf_cell").select(
+        F.col("__qid").alias("query_id"),
+        F.col("__iid").alias("index_id"),
+        cos.alias("cosine"),
+    )
+    # similarity band (hard-negative mining): applied BEFORE the top-k
+    # window so excluded rows (near-dups above hi, easy negatives below
+    # lo) never occupy a rank — and the window shuffles fewer rows
+    if sim_lo is not None:
+        scored = scored.where(F.col("cosine") >= sim_lo)
+    if sim_hi is not None:
+        scored = scored.where(F.col("cosine") < sim_hi)
     return (
-        q.join(idx, "ivf_cell")
-        .select(
-            F.col("__qid").alias("query_id"),
-            F.col("__iid").alias("index_id"),
-            cos.alias("cosine"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

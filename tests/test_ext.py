@@ -866,3 +866,26 @@ def test_non_y4m_video_still_gated(spark):
     assert len(multimodal.sample_frames(df, num_frames=4).collect()) == 4
     with pytest.raises(Exception, match="ffmpeg"):
         multimodal.sample_frames(df, num_frames=4, decode_stub=False).collect()
+
+
+def test_hard_negatives_band(spark):
+    """The similarity band excludes near-dups (>= hi) and easy
+    negatives (< lo); defaults leave ann_join semantics unchanged."""
+    from bq_duckdb_spark.ext import retrieval, similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from bq_duckdb_spark.ext.contract import _query_vec
+
+    cents = [_query_vec(spark, sf, i) for i in range(4)]
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = emb.filter(F.col("vec_id") % 100 != 0)
+    banded = retrieval.hard_negatives(
+        qs, idx, cents, k=1000, nprobe=2, sim_lo=0.1, sim_hi=0.8
+    ).collect()
+    assert banded
+    assert all(0.1 <= r.cosine < 0.8 for r in banded)
+    # unbanded ann_join is a superset per query and may exceed the band
+    plain = similarity.ann_join(qs, idx, cents, k=1000, nprobe=2).collect()
+    assert len(plain) >= len(banded)
+    assert any(r.cosine >= 0.8 or r.cosine < 0.1 for r in plain)
