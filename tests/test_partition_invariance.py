@@ -47,6 +47,7 @@ ENTRIES = [
     "q_range_interval",
     "q_outliers_mad",
     "q_ab_test",
+    "pipe_hard_negatives",
 ]
 
 
