@@ -58,6 +58,8 @@ SELECT n, n_name FROM seq JOIN nation ON n_nationkey = n - 1
 
 
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets: BUILDING-segment customers
+    who also placed a >300k order."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
@@ -77,6 +79,7 @@ SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
 
 
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT: customers who never placed an order."""
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     return cust.subtract(orders)  # EXCEPT DISTINCT semantics
@@ -90,6 +93,7 @@ SELECT o_custkey AS k FROM orders
 
 
 def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer and supplier nation keys."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.union(s).distinct()
@@ -106,6 +110,7 @@ SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM suppl
 
 
 def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over an unbounded frame per nation."""
     cust = _t(spark, sf_dir, "customer")
     w = (
         Window.partitionBy("c_nationkey")
@@ -170,6 +175,8 @@ FROM customer GROUP BY c_custkey
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS lattice over (returnflag, linestatus) with the
+    GROUPING() disambiguator."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(
         """
@@ -225,6 +232,8 @@ FROM orders
 
 
 def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order counts via DATE_TRUNC, emitted as a date string for
+    cross-engine hash parity."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(

@@ -1,0 +1,58 @@
+"""Global driver-contract consistency: no silent cross-module key
+collisions (dict.update would hide them), every oracle belongs to a
+query, the rows-only set stays pinned to the documented sketch floor,
+and every entry is documented."""
+
+import __spark_entry__ as entry
+
+
+def _modules():
+    from bq_duckdb_spark import (
+        contract_tier2,
+        contract_tier3,
+        contract_tier4,
+        contract_tier5,
+        contract_tier6,
+        contract_tpch,
+    )
+    from bq_duckdb_spark.ext import contract as ext_contract
+    from bq_duckdb_spark.ext import contract_pipeline, contract_portable
+
+    return {
+        "ext": ext_contract,
+        "tier2": contract_tier2,
+        "pipeline": contract_pipeline,
+        "portable": contract_portable,
+        "tier3": contract_tier3,
+        "tier4": contract_tier4,
+        "tier5": contract_tier5,
+        "tier6": contract_tier6,
+        "tpch": contract_tpch,
+    }
+
+
+def test_no_cross_module_key_collisions():
+    seen: dict[str, str] = {}
+    for mod_name, mod in _modules().items():
+        for k in mod.queries():
+            assert k not in seen, f"{k} defined in both {seen[k]} and {mod_name}"
+            seen[k] = mod_name
+
+
+def test_every_oracle_has_a_query_and_rows_only_floor_is_pinned():
+    qs, os = entry.queries(), entry.oracle_sql()
+    assert set(os) <= set(qs)
+    rows_only = set(qs) - set(os)
+    # the THEORETICAL floor: sketches whose engine implementations
+    # legitimately differ; both have exact oracle-backed twins
+    assert rows_only == {"q_approx_distinct", "q_percentiles_approx"}
+
+
+def test_every_entry_documented():
+    for name, fn in entry.queries().items():
+        assert fn.__doc__ and fn.__doc__.strip(), f"{name} has no docstring"
+
+
+def test_per_module_oracle_keys_match():
+    for mod_name, mod in _modules().items():
+        assert set(mod.oracle_sql()) <= set(mod.queries()), mod_name
