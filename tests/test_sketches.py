@@ -67,3 +67,41 @@ def test_partial_table_bounded(spark):
     partials = hll_partials(ev, ["day"], "user_id")
     assert partials.count() == 30
     assert dict(partials.dtypes)["hll_sketch"] == "binary"
+
+
+def test_streaming_partials_match_batch(spark, tmp_path):
+    """HLL partials built incrementally by a stream (update-mode
+    stateful agg) union to the same estimates as batch partials over
+    the same files — the sketch table is safe to build at ingestion."""
+    import pandas as pd
+
+    src = tmp_path / "sketch_stream"
+    src.mkdir()
+    rows = [(i % 10, (i * 131) % 500) for i in range(20000)]
+    pdf = pd.DataFrame(rows, columns=["day", "user_id"])
+    # two files -> two microbatches with one file per trigger
+    pdf.iloc[:12000].to_parquet(str(src / "f1.parquet"))
+    pdf.iloc[12000:].to_parquet(str(src / "f2.parquet"))
+
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = hll_partials(stream, ["day"], "user_id")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = hll_rollup(spark.table("hll_stream"), ["day"]).collect()
+    want = hll_rollup(hll_partials(batch, ["day"], "user_id"), ["day"]).collect()
+    assert {(r.day, r.n_distinct) for r in got} == {
+        (r.day, r.n_distinct) for r in want
+    }
