@@ -444,6 +444,127 @@ SELECT query_id, index_id, cosine FROM (
 
 
 # ---------------------------------------------------------------------------
+# data-quality expectations + profiling
+# ---------------------------------------------------------------------------
+
+
+def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style expectations over the warehouse tables in ONE
+    Spark job: key uniqueness, FK integrity, null checks, value ranges,
+    accepted sets (ext/validate.py; shapes documented there). Includes
+    a deliberately FAILING range rule so the report's non-zero path is
+    value-checked too."""
+    from bq_duckdb_spark.ext import validate as v
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    return v.validation_report(
+        [
+            v.check_unique(orders, ["o_orderkey"]),
+            v.check_unique(li, ["l_orderkey", "l_linenumber"]),
+            v.check_fk(li, orders, "l_orderkey", "o_orderkey"),
+            v.check_fk(orders, cust, "o_custkey", "c_custkey"),
+            v.check_not_null(orders, ["o_orderkey", "o_custkey", "o_totalprice"]),
+            v.check_range(li, "l_discount", lo=0.0, hi=0.1),
+            v.check_range(li, "l_quantity", lo=1, hi=10),  # fails by design
+            v.check_accepted_values(li, "l_returnflag", ["A", "N", "R"]),
+        ]
+    )
+
+
+_Q_VALIDATION_REPORT_ORACLE = """
+SELECT 'unique:o_orderkey' AS rule,
+       coalesce(sum(n - 1), 0) AS n_violations
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       coalesce(sum(n - 1), 0)
+FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'fk:l_orderkey->o_orderkey', count(*)
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'fk:o_custkey->c_custkey', count(*)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'not_null:o_orderkey', sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) FROM orders
+UNION ALL
+SELECT 'not_null:o_custkey', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+UNION ALL
+SELECT 'not_null:o_totalprice', sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) FROM orders
+UNION ALL
+SELECT 'range:l_discount',
+       sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+FROM lineitem
+UNION ALL
+SELECT 'range:l_quantity',
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 10 THEN 1 ELSE 0 END)
+FROM lineitem
+UNION ALL
+SELECT 'accepted:l_returnflag',
+       sum(CASE WHEN l_returnflag IS NOT NULL
+                 AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+FROM lineitem
+"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass warehouse profile of lineitem's key columns: null
+    count, exact distinct, stringified min/max, mean for numerics —
+    a single aggregate row exploded per column, never a job per
+    column."""
+    from bq_duckdb_spark.ext import validate as v
+
+    li = _t(spark, sf_dir, "lineitem")
+    return v.profile_table(
+        li, ["l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"]
+    )
+
+
+_Q_PROFILE_ORACLE = """
+SELECT 'l_orderkey' AS "column",
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_value,
+       avg(l_orderkey) AS mean_value
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity',
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_quantity),
+       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
+       avg(l_quantity)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_discount),
+       CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR),
+       avg(l_discount)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag',
+       sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_returnflag),
+       min(l_returnflag), max(l_returnflag), NULL
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate',
+       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR),
+       NULL
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -458,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outliers_mad": q_outliers_mad,
         "q_ab_test": q_ab_test,
         "pipe_hard_negatives": pipe_hard_negatives,
+        "q_validation_report": q_validation_report,
+        "q_profile": q_profile,
     }
 
 
@@ -473,4 +596,6 @@ def oracle_sql() -> dict[str, str]:
         "q_outliers_mad": _Q_OUTLIERS_MAD_ORACLE,
         "q_ab_test": _q_ab_test_oracle(),
         "pipe_hard_negatives": _PIPE_HARD_NEGATIVES_ORACLE,
+        "q_validation_report": _Q_VALIDATION_REPORT_ORACLE,
+        "q_profile": _Q_PROFILE_ORACLE,
     }
