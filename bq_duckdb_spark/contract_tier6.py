@@ -565,6 +565,94 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# CDC: snapshot diff + SCD Type 2
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC: two deterministic views of orders (one
+    missing keys %89, the other missing keys %97 and doubling the price
+    of keys %101) diffed into insert/delete/update rows by one
+    full-outer join with exact null-safe struct comparison
+    (operators/cdc.py). The oracle classifies the same pair with plain
+    SQL CASE over a FULL JOIN."""
+    from bq_duckdb_spark.operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 89 != 0)
+    new = orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )
+
+
+_Q_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+    SELECT * FROM orders WHERE o_orderkey % 89 <> 0
+),
+new AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderkey, change_type FROM (
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'update' END AS change_type
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+) WHERE change_type IS NOT NULL
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 build: each customer's order-priority history
+    compressed to validity intervals — consecutive same-priority orders
+    collapse, each surviving version carries valid_from/valid_to/
+    is_current (operators/cdc.py scd2: one shuffle, two window passes
+    over one ordering). Oracle re-derives with lag/lead."""
+    from bq_duckdb_spark.operators.cdc import scd2
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2(
+        orders,
+        ["o_custkey"],
+        ["o_orderpriority"],
+        "o_orderdate",
+        "o_orderkey",
+    ).select("o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current")
+
+
+_Q_SCD2_ORACLE = """
+WITH s AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER w AS prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+surv AS (
+    SELECT * FROM s WHERE prev IS NULL OR o_orderpriority IS DISTINCT FROM prev
+)
+SELECT o_custkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w2 AS valid_to,
+       lead(o_orderdate) OVER w2 IS NULL AS is_current
+FROM surv
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -581,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_hard_negatives": pipe_hard_negatives,
         "q_validation_report": q_validation_report,
         "q_profile": q_profile,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_scd2": q_scd2,
     }
 
 
@@ -598,4 +688,6 @@ def oracle_sql() -> dict[str, str]:
         "pipe_hard_negatives": _PIPE_HARD_NEGATIVES_ORACLE,
         "q_validation_report": _Q_VALIDATION_REPORT_ORACLE,
         "q_profile": _Q_PROFILE_ORACLE,
+        "q_snapshot_diff": _Q_SNAPSHOT_DIFF_ORACLE,
+        "q_scd2": _Q_SCD2_ORACLE,
     }
