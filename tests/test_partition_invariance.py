@@ -48,6 +48,10 @@ ENTRIES = [
     "q_outliers_mad",
     "q_ab_test",
     "pipe_hard_negatives",
+    "q_validation_report",
+    "q_profile",
+    "q_snapshot_diff",
+    "q_scd2",
 ]
 
 
