@@ -47,12 +47,13 @@ def dedup_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sh_cte() -> str:
+def _sh_cte(where: str = "") -> str:
     g = dp.grams_expr("text", _K, "duckdb")
     poly = dp.char_poly_expr("s", "duckdb")
     return (
         f"sh AS (SELECT doc_id, "
-        f"list_distinct(list_transform({g}, s -> {poly})) AS sh FROM documents)"
+        f"list_distinct(list_transform({g}, s -> {poly})) AS sh "
+        f"FROM documents{where})"
     )
 
 
@@ -195,8 +196,76 @@ def _text_clusters_oracle(rounds: int = 16) -> str:
     )
 
 
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality harness: on a bounded subset (doc_id < 400,
+    all-pairs ground truth is affordable there by construction), count
+    the TRUE near-dup pairs (exact 3-gram Jaccard >= 0.3, brute force —
+    the one intentional bounded BNLJ), the banded candidate pairs, the
+    verified pairs the pipeline keeps, and the resulting recall. This
+    is the evaluation loop run before trusting banding parameters at
+    corpus scale; every number is value-checked (portable hash family
+    end to end)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    sh = dp._with_poly_shingle_hashes(docs, "text", _K, out="sh").select(
+        F.col("doc_id"), "sh"
+    )
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("sb"))
+    jac = "size(array_intersect(sa, sb)) / size(array_union(sa, sb))"
+    true_pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .where(F.expr(jac) >= 0.3)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    cands = dp.portable_minhash_pairs(
+        docs, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_K
+    ).agg(F.count(F.lit(1)).alias("n_candidates"))
+    found = dp.portable_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3,
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_K,
+    ).agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        true_pairs.crossJoin(cands)
+        .crossJoin(found)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_found",
+            (F.col("n_found") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+def _lsh_eval_oracle() -> str:
+    where = " WHERE doc_id < 400"
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(a.sh, b.sh)))"
+    )
+    jac_sab = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    )
+    return (
+        f"WITH {_sh_cte(where)}, {_banded_cte()}, "
+        f"truth AS (SELECT count(*) AS n_true FROM sh a JOIN sh b "
+        f"ON a.doc_id < b.doc_id WHERE {jac} >= 0.3), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM banded a JOIN banded b2 USING (band, bucket) "
+        "WHERE a.doc_id < b2.doc_id), "
+        "ncand AS (SELECT count(*) AS n_candidates FROM cand), "
+        "nfound AS (SELECT count(*) AS n_found FROM cand p "
+        "JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b "
+        f"WHERE {jac_sab} >= 0.3) "
+        "SELECT n_true, n_candidates, n_found, "
+        "CAST(n_found AS DOUBLE) / n_true AS recall "
+        "FROM truth, ncand, nfound"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_lsh_eval": dedup_lsh_eval,
         "dedup_minhash_portable": dedup_minhash_portable,
         "dedup_simhash_portable": dedup_simhash_portable,
         "dedup_jaccard_portable": dedup_jaccard_portable,
@@ -207,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_lsh_eval": _lsh_eval_oracle(),
         "dedup_minhash_portable": _minhash_oracle(),
         "dedup_simhash_portable": _simhash_oracle(),
         "dedup_jaccard_portable": _jaccard_oracle(),
