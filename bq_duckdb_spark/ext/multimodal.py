@@ -16,6 +16,9 @@ Decode support is tiered:
   walk, IDAT inflate, all five scanline filters (None/Sub/Up/Average/
   Paeth) unapplied, 8-bit gray / gray+alpha / RGB / RGBA / palette;
   Adam7 interlace raises.
+- GIF87a/89a first frames decode FOR REAL: block walk, sub-block
+  concatenation, variable-width LSB-first LZW (clear/end/KwKwK, width
+  growth to 12 bits), color-table lookup, 4-pass deinterlace.
 - JPEG/compressed audio/video need libs absent from this container
   (PIL, ffmpeg); those payloads raise ``NotImplementedError`` under
   ``decode_stub=False`` and use the deterministic byte-stats stub
@@ -211,6 +214,113 @@ def _parse_png(payload: bytes) -> np.ndarray:
             raise ValueError("indexed PNG missing PLTE")
         px = plte[px[:, :, 0]]
     return px
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (variable code width 3..12 bits, LSB-first bit
+    packing, clear/end codes) → palette indices. Pure Python over the
+    concatenated sub-block bytes — GIF frames are small; heavy decode
+    belongs to real media libs, this covers the interchange format."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: [i] for i in range(clear)}, min_code_size + 1
+
+    table, width = fresh()
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    next_code = end + 1
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width = fresh()
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _parse_gif(payload: bytes) -> np.ndarray:
+    """Parse a GIF87a/89a first frame → (h, w, 3) uint8 RGB. Stdlib +
+    numpy: logical-screen/color-table walk, extension skip, sub-block
+    concatenation, LZW decode, optional 4-pass deinterlace."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(b"".join(chunks), min_code)[: w * h], np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:  # 4-pass interlace row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            return ct[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
 
 
 def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -439,6 +549,8 @@ def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
             return _image_features(_parse_bmp(payload), 255)
         if payload[:8] == _PNG_SIG:
             return _image_features(_parse_png(payload), 255)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _image_features(_parse_gif(payload), 255)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(*_parse_wav(payload))
         if payload[:9] == b"YUV4MPEG2":
@@ -446,8 +558,8 @@ def _decode_one(payload: bytes, decode_stub: bool) -> list[float]:
             return _video_features(w, h, frames)
         raise NotImplementedError(
             "real decode beyond netpbm (P5/P6), uncompressed BMP, PNG, "
-            "PCM WAV, and YUV4MPEG2 video requires media libraries not "
-            "present in this environment; run with decode_stub=True"
+            "GIF, PCM WAV, and YUV4MPEG2 video requires media libraries "
+            "not present in this environment; run with decode_stub=True"
         )
     n = len(payload)
     if n == 0:
