@@ -35,10 +35,18 @@ class PipelineTable:
     columns: list[dict] | None = None  # BQ ColumnDef dicts (source tables)
     rows: list | None = None
     dependencies: list[str] = field(default_factory=list)
+    # dbt-style data tests (extension beyond the reference): run after
+    # the table materializes; any violation fails the table, and the
+    # existing failure machinery skips its transitive dependents
+    tests: list[dict] = field(default_factory=list)
 
     @property
     def is_source(self) -> bool:
         return self.sql is None
+
+
+class DataTestFailure(Exception):
+    """A table materialized but violated one of its data tests."""
 
 
 @dataclass
@@ -91,6 +99,7 @@ class Pipeline:
                     sql=d.get("sql"),
                     columns=d.get("schema"),
                     rows=d.get("rows"),
+                    tests=d.get("tests") or [],
                 )
             self._reinfer_all_dependencies()
             return self.get_dag()
@@ -400,6 +409,57 @@ class Pipeline:
         else:
             df = self.session.query(t.sql)
             self.session.materialize(t.name, df, mode=self.materialize_mode)
+        self._run_table_tests(t)
+
+    # -- data tests (extension beyond the reference) -----------------------
+
+    def _test_sql(self, table: str, rule: dict) -> tuple[str, str]:
+        """(rule label, SQL returning ONE violation count). Rule kinds
+        mirror ext/validate.py; `expression` is a per-row predicate
+        every row must satisfy (the dbt convention)."""
+        kind = rule.get("type")
+        if kind == "unique":
+            cols = ", ".join(rule["columns"])
+            return (
+                f"unique:{cols}",
+                f"SELECT coalesce(sum(n - 1), 0) FROM "
+                f"(SELECT count(*) AS n FROM {table} GROUP BY {cols})",
+            )
+        if kind == "not_null":
+            cols = rule["columns"]
+            cond = " OR ".join(f"{c} IS NULL" for c in cols)
+            return (
+                "not_null:" + ",".join(cols),
+                f"SELECT count(*) FROM {table} WHERE {cond}",
+            )
+        if kind == "accepted_values":
+            col = rule["column"]
+            vals = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+                for v in rule["values"]
+            )
+            return (
+                f"accepted:{col}",
+                f"SELECT count(*) FROM {table} "
+                f"WHERE {col} IS NOT NULL AND {col} NOT IN ({vals})",
+            )
+        if kind == "expression":
+            pred = rule["predicate"]
+            return (
+                rule.get("name", f"expression:{pred}"),
+                f"SELECT count(*) FROM {table} WHERE NOT ({pred})",
+            )
+        raise ValueError(f"unknown data-test type: {kind!r}")
+
+    def _run_table_tests(self, t: PipelineTable) -> None:
+        for rule in t.tests:
+            label, sql = self._test_sql(t.name, rule)
+            n = self.session.query(sql).collect()[0][0]
+            if n:
+                raise DataTestFailure(
+                    f"data test failed on {t.name}: {label} "
+                    f"({n} violation{'s' if n != 1 else ''})"
+                )
 
     # -- introspection (G11/G12) -------------------------------------------
 
