@@ -653,6 +653,88 @@ WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 # ---------------------------------------------------------------------------
+# entity resolution: fuzzy pairs -> components -> canonical survivor
+# ---------------------------------------------------------------------------
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ER loop on one nation's customers: deletion-variant
+    fuzzy pairs (distance <= 1) -> hash-min connected components ->
+    every record labelled (cluster_id = component min, is_canonical =
+    the survivor a merge keeps). One nation keeps the name graph
+    fragmented into real multi-record clusters plus singletons (the
+    full customer set is one giant digit-walk component — useless as a
+    demonstration). Oracle: pigeonhole-blocked pairs + unrolled
+    pointer-doubling label propagation, both algorithms different from
+    the Spark side's."""
+    from bq_duckdb_spark.ext.dedup import assign_dup_clusters
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") == 7)
+    pairs = fuzzy.fuzzy_pairs_d1(cust, str_col="c_name", id_col="c_custkey").select(
+        "id_a", "id_b"
+    )
+    out = assign_dup_clusters(cust.select("c_custkey"), pairs, "c_custkey")
+    return out.select(
+        "c_custkey", F.col("cluster_id").cast("long").alias("cluster_id"), "is_canonical"
+    )
+
+
+def _entity_resolution_oracle(rounds: int = 8) -> str:
+    prop = []
+    prev = "lab0"
+    for i in range(1, rounds + 1):
+        prop.append(
+            f"relax{i} AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM ("
+            f"SELECT node, lbl FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.src AS node, l.lbl FROM edges e "
+            f"JOIN {prev} l ON l.node = e.dst) GROUP BY node)"
+        )
+        prop.append(
+            f"lab{i} AS MATERIALIZED (SELECT a.node, b.lbl "
+            f"FROM relax{i} a JOIN relax{i} b ON b.node = a.lbl)"
+        )
+        prev = f"lab{i}"
+    return (
+        """
+WITH c AS (
+    SELECT c_custkey AS id, c_name AS s,
+           substr(c_name, 1, 12) AS seg_a,
+           substr(c_name, 13, 3) AS seg_b,
+           substr(c_name, 16, 3) AS seg_c
+    FROM customer WHERE c_nationkey = 7
+),
+cand AS (
+    SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+    FROM c a JOIN c b ON a.seg_a = b.seg_a AND a.seg_b = b.seg_b AND a.id < b.id
+    UNION
+    SELECT a.id, b.id, a.s, b.s
+    FROM c a JOIN c b ON a.seg_a = b.seg_a AND a.seg_c = b.seg_c AND a.id < b.id
+    UNION
+    SELECT a.id, b.id, a.s, b.s
+    FROM c a JOIN c b ON a.seg_b = b.seg_b AND a.seg_c = b.seg_c AND a.id < b.id
+),
+pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(sa, sb) <= 1),
+edges AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+lab0 AS MATERIALIZED (
+    SELECT src AS node, src AS lbl FROM edges UNION SELECT dst, dst FROM edges
+),
+"""
+        + ", ".join(prop)
+        + f""",
+lab AS (SELECT node, min(lbl) AS cl FROM {prev} GROUP BY node)
+SELECT c.id AS c_custkey,
+       CAST(coalesce(l.cl, c.id) AS BIGINT) AS cluster_id,
+       c.id = coalesce(l.cl, c.id) AS is_canonical
+FROM c LEFT JOIN lab l ON c.id = l.node
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -671,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "q_snapshot_diff": q_snapshot_diff,
         "q_scd2": q_scd2,
+        "q_entity_resolution": q_entity_resolution,
     }
 
 
@@ -690,4 +773,5 @@ def oracle_sql() -> dict[str, str]:
         "q_profile": _Q_PROFILE_ORACLE,
         "q_snapshot_diff": _Q_SNAPSHOT_DIFF_ORACLE,
         "q_scd2": _Q_SCD2_ORACLE,
+        "q_entity_resolution": _entity_resolution_oracle(),
     }

@@ -52,6 +52,7 @@ ENTRIES = [
     "q_profile",
     "q_snapshot_diff",
     "q_scd2",
+    "q_entity_resolution",
 ]
 
 
