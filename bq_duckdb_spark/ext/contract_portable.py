@@ -231,7 +231,12 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             "n_candidates",
             "n_found",
-            (F.col("n_found") / F.col("n_true")).alias("recall"),
+            # NULL when the slice holds no true pairs (at sf0.1 the
+            # planted dup pairs span the id range, so a contiguous
+            # bounded slice can legitimately have an empty truth set)
+            F.when(
+                F.col("n_true") > 0, F.col("n_found") / F.col("n_true")
+            ).alias("recall"),
         )
     )
 
@@ -258,7 +263,7 @@ def _lsh_eval_oracle() -> str:
         "JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b "
         f"WHERE {jac_sab} >= 0.3) "
         "SELECT n_true, n_candidates, n_found, "
-        "CAST(n_found AS DOUBLE) / n_true AS recall "
+        "CASE WHEN n_true > 0 THEN CAST(n_found AS DOUBLE) / n_true END AS recall "
         "FROM truth, ncand, nfound"
     )
 
