@@ -731,6 +731,17 @@ FROM g
 # ---------------------------------------------------------------------------
 
 
+def _merge(dst: dict, src: dict, label: str) -> None:
+    """Checked registry merge: a module key that collides with the base
+    entries (or an earlier module) must fail loudly — dict.update would
+    silently replace the earlier implementation, and the driver would
+    grade the wrong code under the old name."""
+    dup = sorted(set(dst) & set(src))
+    if dup:
+        raise ValueError(f"contract key collision from {label}: {dup}")
+    dst.update(src)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -770,55 +781,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     try:
         from bq_duckdb_spark.ext import contract as ext_contract
 
-        q.update(ext_contract.queries())
+        _merge(q, ext_contract.queries(), "ext_contract")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier2
 
-        q.update(contract_tier2.queries())
+        _merge(q, contract_tier2.queries(), "contract_tier2")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark.ext import contract_pipeline
 
-        q.update(contract_pipeline.queries())
+        _merge(q, contract_pipeline.queries(), "contract_pipeline")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark.ext import contract_portable
 
-        q.update(contract_portable.queries())
+        _merge(q, contract_portable.queries(), "contract_portable")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier3
 
-        q.update(contract_tier3.queries())
+        _merge(q, contract_tier3.queries(), "contract_tier3")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier4
 
-        q.update(contract_tier4.queries())
+        _merge(q, contract_tier4.queries(), "contract_tier4")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier5
 
-        q.update(contract_tier5.queries())
+        _merge(q, contract_tier5.queries(), "contract_tier5")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tpch
 
-        q.update(contract_tpch.queries())
+        _merge(q, contract_tpch.queries(), "contract_tpch")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier6
 
-        q.update(contract_tier6.queries())
+        _merge(q, contract_tier6.queries(), "contract_tier6")
     except ImportError:
         pass
     return q
@@ -858,55 +869,55 @@ def oracle_sql() -> dict[str, str]:
     try:
         from bq_duckdb_spark.ext import contract as ext_contract
 
-        o.update(ext_contract.oracle_sql())
+        _merge(o, ext_contract.oracle_sql(), "ext_contract")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier2
 
-        o.update(contract_tier2.oracle_sql())
+        _merge(o, contract_tier2.oracle_sql(), "contract_tier2")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark.ext import contract_pipeline
 
-        o.update(contract_pipeline.oracle_sql())
+        _merge(o, contract_pipeline.oracle_sql(), "contract_pipeline")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark.ext import contract_portable
 
-        o.update(contract_portable.oracle_sql())
+        _merge(o, contract_portable.oracle_sql(), "contract_portable")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier3
 
-        o.update(contract_tier3.oracle_sql())
+        _merge(o, contract_tier3.oracle_sql(), "contract_tier3")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier4
 
-        o.update(contract_tier4.oracle_sql())
+        _merge(o, contract_tier4.oracle_sql(), "contract_tier4")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier5
 
-        o.update(contract_tier5.oracle_sql())
+        _merge(o, contract_tier5.oracle_sql(), "contract_tier5")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tpch
 
-        o.update(contract_tpch.oracle_sql())
+        _merge(o, contract_tpch.oracle_sql(), "contract_tpch")
     except ImportError:
         pass
     try:
         from bq_duckdb_spark import contract_tier6
 
-        o.update(contract_tier6.oracle_sql())
+        _merge(o, contract_tier6.oracle_sql(), "contract_tier6")
     except ImportError:
         pass
     return o

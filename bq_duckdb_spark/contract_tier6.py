@@ -65,15 +65,17 @@ WITH c AS (
     FROM customer
 ),
 cand AS (
-    SELECT a.s AS sa, b.s AS sb
+    -- carry the ID pair, not just the names: the Spark side emits one
+    -- row per id pair, so two same-named customers must stay two rows
+    SELECT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb
     FROM c a JOIN c b
       ON a.seg_a = b.seg_a AND a.seg_b = b.seg_b AND a.id < b.id
     UNION
-    SELECT a.s, b.s
+    SELECT a.id, b.id, a.s, b.s
     FROM c a JOIN c b
       ON a.seg_a = b.seg_a AND a.seg_c = b.seg_c AND a.id < b.id
     UNION
-    SELECT a.s, b.s
+    SELECT a.id, b.id, a.s, b.s
     FROM c a JOIN c b
       ON a.seg_b = b.seg_b AND a.seg_c = b.seg_c AND a.id < b.id
 )

@@ -39,11 +39,19 @@ def _tokens_expr(text_col: str, engine: str) -> str:
     return f"regexp_split_to_array(trim({text_col}), '\\s+')"
 
 
+# one shared coefficient table for every row function, generated once —
+# poly_hash_coeffs is prefix-stable, so any depth <= _MAX_DEPTH reads
+# the same coefficients the oracles were generated with
+_MAX_DEPTH = 8
+_A, _B = poly_hash_coeffs(_MAX_DEPTH)
+
+
 def cms_cell_expr(h: str, row: int, width: int) -> str:
     """Counter index of hash ``h`` in sketch row ``row`` — identical
     text in Spark SQL and DuckDB (plain integer arithmetic)."""
-    a, b = poly_hash_coeffs(row + 1)
-    return f"((({a[row]} * ({h}) + {b[row]}) % {P}) % {width})"
+    if row >= _MAX_DEPTH:
+        raise ValueError(f"CMS depth is capped at {_MAX_DEPTH} rows")
+    return f"((({_A[row]} * ({h}) + {_B[row]}) % {P}) % {width})"
 
 
 def cms_build(

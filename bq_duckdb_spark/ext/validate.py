@@ -28,7 +28,9 @@ def _result(rule: str, n: F.Column) -> F.Column:
 def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
     """One row per column: count of NULLs."""
     aggs = [
-        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
+        F.coalesce(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias(c)
         for c in cols
     ]
     row = df.agg(*aggs)

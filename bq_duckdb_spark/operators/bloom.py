@@ -78,16 +78,21 @@ def bloom_prefilter(
     ``build[build_key]`` (superset: zero false negatives). Schema is
     unchanged; follow with the exact join. NULL keys are dropped, same
     as any equi-join would drop them."""
-    words = bloom_words(build, build_key, m_words=m_words, k=k)
+    # alias the bitmap columns under the _bf_ prefix so a fact side
+    # that itself has 'word'/'word_idx' columns neither collides in the
+    # join nor loses its columns to the final drop
+    words = bloom_words(build, build_key, m_words=m_words, k=k).select(
+        F.col("word_idx").alias("_bf_word_idx"), F.col("word").alias("_bf_word")
+    )
     word_idx, mask = _word_and_mask(big_key, m_words, k)
     return (
         big.withColumn("_bf_widx", word_idx)
         .withColumn("_bf_mask", mask)
         .join(
             F.broadcast(words),
-            F.col("_bf_widx") == F.col("word_idx"),
+            F.col("_bf_widx") == F.col("_bf_word_idx"),
             "inner",
         )
-        .where(F.expr("word & _bf_mask = _bf_mask"))
-        .drop("_bf_widx", "_bf_mask", "word_idx", "word")
+        .where(F.expr("_bf_word & _bf_mask = _bf_mask"))
+        .drop("_bf_widx", "_bf_mask", "_bf_word_idx", "_bf_word")
     )

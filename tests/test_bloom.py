@@ -65,3 +65,16 @@ def test_schema_passthrough(spark):
     build = spark.range(5).selectExpr("id AS bkey")
     pre = bloom_prefilter(big, build, "key", "bkey")
     assert pre.columns == ["key", "v", "s"]
+
+
+def test_fact_side_word_column_survives(spark):
+    # a fact table that itself has 'word'/'word_idx' columns must keep
+    # them — the bitmap side is _bf_-prefixed internally
+    big = spark.range(1000).selectExpr(
+        "id % 50 AS key", "id AS word", "id * 2 AS word_idx"
+    )
+    build = spark.range(5).selectExpr("id * 10 AS bkey")
+    pre = bloom_prefilter(big, build, "key", "bkey")
+    assert pre.columns == ["key", "word", "word_idx"]
+    exact = big.join(build.withColumnRenamed("bkey", "key"), "key", "semi")
+    assert pre.join(build.withColumnRenamed("bkey", "key"), "key", "semi").count() == exact.count()

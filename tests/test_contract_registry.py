@@ -3,6 +3,8 @@ collisions (dict.update would hide them), every oracle belongs to a
 query, the rows-only set stays pinned to the documented sketch floor,
 and every entry is documented."""
 
+import pytest
+
 import __spark_entry__ as entry
 
 
@@ -37,6 +39,16 @@ def test_no_cross_module_key_collisions():
         for k in mod.queries():
             assert k not in seen, f"{k} defined in both {seen[k]} and {mod_name}"
             seen[k] = mod_name
+
+
+def test_merge_guard_raises_on_collision():
+    # entry.queries() itself now raises if a module shadows a BASE
+    # entry (the checked _merge) — pin the guard's behavior directly
+    with pytest.raises(ValueError, match="collision"):
+        entry._merge({"q_having": 1}, {"q_having": 2}, "demo")
+    # and the full registry builds clean through the guard
+    qs = entry.queries()
+    assert len(qs) == len(set(qs))
 
 
 def test_every_oracle_has_a_query_and_rows_only_floor_is_pinned():
