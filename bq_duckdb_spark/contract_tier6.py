@@ -681,7 +681,12 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _entity_resolution_oracle(rounds: int = 8) -> str:
+def _entity_resolution_oracle(rounds: int = 24) -> str:
+    # 24 rounds, not 8: digit-substitution name graphs form LONG chains
+    # (the sf0.1 nation-7 subset needs 16 rounds of relax+jump to reach
+    # its fixed point — measured; 20 and 24 are stable). The Spark side
+    # iterates to convergence, so only the unrolled oracle needs a
+    # worst-case round count.
     prop = []
     prev = "lab0"
     for i in range(1, rounds + 1):
