@@ -742,6 +742,121 @@ FROM c LEFT JOIN lab l ON c.id = l.node
 
 
 # ---------------------------------------------------------------------------
+# model evaluation: AUC / calibration / confusion
+# ---------------------------------------------------------------------------
+
+_EVAL_SCORED = """
+scored AS (
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-10.0 * ({score}))) AS prob,
+           CAST(lang = 'en' AS BIGINT) AS y
+    FROM documents
+)
+"""
+
+
+def _eval_scored_df(spark: SparkSession, sf_dir: str):
+    from bq_duckdb_spark.ext.retrieval import classify_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = classify_documents(docs, n_buckets=1024).select("doc_id", "prob")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    return scored.join(labels, "doc_id")
+
+
+def _eval_cte() -> str:
+    from bq_duckdb_spark.ext.retrieval import classifier_score_expr
+
+    return _EVAL_SCORED.format(
+        score=classifier_score_expr("text", 1024, "duckdb")
+    )
+
+
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the hashed quality classifier against the language label,
+    via the score-histogram Mann-Whitney formulation (ext/mleval.py) —
+    the only ordered pass runs over the bounded quantized-score
+    histogram, never a data-sized global rank window."""
+    from bq_duckdb_spark.ext.mleval import auc
+
+    return auc(_eval_scored_df(spark, sf_dir), "prob", "y")
+
+
+def _eval_auc_oracle() -> str:
+    return f"""
+WITH {_eval_cte()},
+g AS (
+    SELECT floor(prob * 10000) AS sq,
+           sum(y) AS np, count(*) - sum(y) AS nn
+    FROM scored GROUP BY 1
+),
+c AS (
+    SELECT np, nn,
+           coalesce(sum(nn) OVER (ORDER BY sq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+    FROM g
+),
+u AS (
+    SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+           sum(np * (cum_nn + 0.5 * nn)) AS u_stat
+    FROM c
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       u_stat / (n_pos * n_neg) AS auc
+FROM u
+"""
+
+
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the same classifier: per decile of
+    predicted probability, count, mean prediction, observed rate."""
+    from bq_duckdb_spark.ext.mleval import calibration_bins
+
+    return calibration_bins(_eval_scored_df(spark, sf_dir), "prob", "y")
+
+
+def _eval_calibration_oracle() -> str:
+    return f"""
+WITH {_eval_cte()}
+SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(avg(prob), 4) AS mean_prob,
+       round(avg(y), 4) AS pos_rate
+FROM scored
+GROUP BY 1
+"""
+
+
+def eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts + precision/recall/F1 at threshold 0.5."""
+    from bq_duckdb_spark.ext.mleval import confusion_stats
+
+    return confusion_stats(_eval_scored_df(spark, sf_dir), "prob", "y")
+
+
+def _eval_confusion_oracle() -> str:
+    return f"""
+WITH {_eval_cte()},
+a AS (
+    SELECT sum(CASE WHEN prob >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN prob >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN prob < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+           sum(CASE WHEN prob < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn
+    FROM scored
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN 2.0 * tp / (2 * tp + fp + fn) END AS f1
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -761,6 +876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_scd2": q_scd2,
         "q_entity_resolution": q_entity_resolution,
+        "eval_auc": eval_auc,
+        "eval_calibration": eval_calibration,
+        "eval_confusion": eval_confusion,
     }
 
 
@@ -781,4 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_diff": _Q_SNAPSHOT_DIFF_ORACLE,
         "q_scd2": _Q_SCD2_ORACLE,
         "q_entity_resolution": _entity_resolution_oracle(),
+        "eval_auc": _eval_auc_oracle(),
+        "eval_calibration": _eval_calibration_oracle(),
+        "eval_confusion": _eval_confusion_oracle(),
     }

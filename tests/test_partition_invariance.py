@@ -53,6 +53,8 @@ ENTRIES = [
     "q_snapshot_diff",
     "q_scd2",
     "q_entity_resolution",
+    "eval_auc",
+    "eval_confusion",
 ]
 
 
