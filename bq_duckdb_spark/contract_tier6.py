@@ -856,6 +856,55 @@ FROM a
 """
 
 
+def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-drift monitor: Population Stability Index between the
+    classifier-score distributions of two document sources (fixed
+    equal-width bins — drifting data must not move its own bins;
+    ext/mleval.py psi)."""
+    from bq_duckdb_spark.ext.mleval import psi
+
+    scored = _eval_scored_df(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    )
+    return psi(
+        scored.where(F.col("source") == "src0"),
+        scored.where(F.col("source") == "src1"),
+        "prob",
+    )
+
+
+def _eval_psi_oracle() -> str:
+    return f"""
+WITH {_eval_cte()},
+s AS (
+    SELECT sc.doc_id, sc.prob, d.source
+    FROM scored sc JOIN documents d USING (doc_id)
+),
+be AS (
+    SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin, count(*) AS ne
+    FROM s WHERE source = 'src0' GROUP BY 1
+),
+ba AS (
+    SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin, count(*) AS na
+    FROM s WHERE source = 'src1' GROUP BY 1
+),
+tot AS (
+    SELECT coalesce(ne, 0) AS ne, coalesce(na, 0) AS na
+    FROM be FULL JOIN ba USING (bin)
+),
+props AS (
+    SELECT ne, na,
+           greatest(ne / sum(ne) OVER (), 1e-6) AS pe,
+           greatest(na / sum(na) OVER (), 1e-6) AS pa
+    FROM tot
+)
+SELECT CAST(sum(ne) AS BIGINT) AS n_expected,
+       CAST(sum(na) AS BIGINT) AS n_actual,
+       sum((pa - pe) * (ln(pa) - ln(pe))) AS psi
+FROM props
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -879,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_auc": eval_auc,
         "eval_calibration": eval_calibration,
         "eval_confusion": eval_confusion,
+        "eval_psi": eval_psi,
     }
 
 
@@ -902,4 +952,5 @@ def oracle_sql() -> dict[str, str]:
         "eval_auc": _eval_auc_oracle(),
         "eval_calibration": _eval_calibration_oracle(),
         "eval_confusion": _eval_confusion_oracle(),
+        "eval_psi": _eval_psi_oracle(),
     }

@@ -78,6 +78,53 @@ def calibration_bins(
     )
 
 
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between two populations of a bounded
+    score: fixed equal-width bins (FIXED, not data-derived quantiles —
+    a drift monitor must not let the drifting data move its own bins),
+    PSI = sum over bins of (pa - pe) * ln(pa / pe), with the standard
+    1e-6 floor on empty-bin proportions. One aggregate per side over
+    the bin key + a broadcast-sized join of two n_bins-row tables.
+    Rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted."""
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.floor((F.col(value_col) - lo) / ((hi - lo) / n_bins)),
+            F.lit(n_bins - 1),
+        )
+        return (
+            df.select(F.greatest(b, F.lit(0)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    e, a = binned(expected, "ne"), binned(actual, "na")
+    tot = e.join(a, "bin", "full").select(
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+        F.coalesce("na", F.lit(0)).alias("na"),
+    )
+    # the global window runs over the n_bins-row bin table — bounded
+    w = Window.partitionBy()
+    props = tot.select(
+        "ne",
+        "na",
+        F.greatest(F.col("ne") / F.sum("ne").over(w), F.lit(1e-6)).alias("pe"),
+        F.greatest(F.col("na") / F.sum("na").over(w), F.lit(1e-6)).alias("pa"),
+    )
+    return props.agg(
+        F.sum("ne").alias("n_expected"),
+        F.sum("na").alias("n_actual"),
+        F.sum(
+            (F.col("pa") - F.col("pe")) * (F.log("pa") - F.log("pe"))
+        ).alias("psi"),
+    )
+
+
 def confusion_stats(
     scored: DataFrame, prob_col: str, label_col: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -66,3 +66,36 @@ def test_scd2_tiebreak_same_ts(spark):
         for r in scd2(df, ["k"], ["tier"], "ts", "id").collect()
     )
     assert got == [("a", True), ("b", False)]  # b (id 1) first, then a
+
+
+def test_snapshot_diff_random_property(spark):
+    """Random old/new snapshots: the diff must exactly match a Python
+    dict model of insert/delete/update classification."""
+    import random
+
+    random.seed(42)
+    for trial in range(3):
+        old = {k: (random.randint(0, 3), random.choice("abc"))
+               for k in random.sample(range(40), 25)}
+        new = {}
+        for k in random.sample(range(40), 25):
+            if k in old and random.random() < 0.5:
+                new[k] = old[k]  # unchanged
+            else:
+                new[k] = (random.randint(0, 3), random.choice("abc"))
+        expect = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                expect[k] = "insert"
+            elif k not in new:
+                expect[k] = "delete"
+            elif old[k] != new[k]:
+                expect[k] = "update"
+        from bq_duckdb_spark.operators.cdc import snapshot_diff
+
+        mk = lambda d: spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in d.items()], "k long, a long, b string"
+        )
+        got = {r.k: r.change_type
+               for r in snapshot_diff(mk(old), mk(new), ["k"]).collect()}
+        assert got == expect, f"trial {trial}"

@@ -84,3 +84,40 @@ def test_absent_token_small_estimate(spark):
     v = est.first()["cms_est"]
     # may collide (overestimate) but is bounded by the heaviest counter
     assert 0 <= v <= sum(len(t.split()) for t in TEXTS)
+
+
+def test_cms_random_property_vs_python_model(spark):
+    """Random corpora: every CMS counter must equal a Python model of
+    the same hashes, and every estimate must dominate the true count."""
+    import random
+
+    from bq_duckdb_spark.ext.dedup_portable import P, poly_hash_coeffs
+
+    random.seed(9)
+    vocab = ["w%d" % i for i in range(30)]
+    texts = [" ".join(random.choices(vocab, k=random.randint(1, 12)))
+             for _ in range(60)]
+    depth, width = 3, 16
+    a, b = poly_hash_coeffs(depth)
+
+    def poly(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 131 + ord(ch)) % P
+        return h
+
+    model = {}
+    truth = {}
+    for t in texts:
+        for tok in t.split():
+            truth[tok] = truth.get(tok, 0) + 1
+            h = poly(tok)
+            for r in range(depth):
+                cell = ((a[r] * h + b[r]) % P) % width
+                model[(r, cell)] = model.get((r, cell), 0) + 1
+    sketch = cms.cms_build(_docs(spark, texts), depth=depth, width=width)
+    got = {(r.row, r.cell): r.cnt for r in sketch.collect()}
+    assert got == model
+    est = cms.cms_estimate(spark, sketch, list(truth), depth=depth, width=width)
+    for r in est.collect():
+        assert r.cms_est >= truth[r.token]

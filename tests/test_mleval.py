@@ -70,3 +70,21 @@ def test_auc_no_global_row_window(spark):
     assert first_agg != -1
     # an aggregate exists upstream of (printed after) the funnel
     assert "HashAggregate" in plan[first_single:]
+
+
+def test_psi_identical_populations_near_zero(spark):
+    df = spark.range(500).selectExpr("CAST(id % 100 AS DOUBLE) / 100 AS prob")
+    r = __import__("bq_duckdb_spark.ext.mleval", fromlist=["psi"]).psi(
+        df, df, "prob"
+    ).first()
+    assert r.n_expected == r.n_actual == 500
+    assert abs(r.psi) < 1e-12
+
+
+def test_psi_shifted_population_flags(spark):
+    lo = spark.range(500).selectExpr("CAST(id % 30 AS DOUBLE) / 100 AS prob")
+    hi = spark.range(500).selectExpr("0.7 + CAST(id % 30 AS DOUBLE) / 100 AS prob")
+    from bq_duckdb_spark.ext.mleval import psi
+
+    r = psi(lo, hi, "prob").first()
+    assert r.psi > 0.25  # "shifted" per the standard rule of thumb
