@@ -143,6 +143,11 @@ def main() -> None:
     docs_05 = synth_docs(spark, "/root/testdata/sf0.1", 5).localCheckpoint(
         eager=True
     )
+    # a 25x tier (125k docs) gives the doc operators a 3-point curve
+    # spanning 250x total input growth
+    docs_25 = synth_docs(spark, "/root/testdata/sf0.1", 25).localCheckpoint(
+        eager=True
+    )
     emb_01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     emb_05 = synth_embeddings(spark, "/root/testdata/sf0.1", 5).localCheckpoint(
         eager=True
@@ -151,6 +156,7 @@ def main() -> None:
         ("sf0.01", docs_001, None),
         ("sf0.1", docs_01, emb_01),
         ("synth5x", docs_05, emb_05),
+        ("synth25x", docs_25, None),
     ]
 
     lines = []
@@ -229,10 +235,26 @@ def main() -> None:
     cust_05 = cust_05.localCheckpoint(eager=True)
 
     def t6_ops(tier, sf_dir, cust, docs):
+        from bq_duckdb_spark.ext.mleval import auc as auc_op
+        from bq_duckdb_spark.ext.retrieval import classify_documents
+        from bq_duckdb_spark.ext.validate import check_not_null, check_unique, validation_report
+
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         hot = orders.where(F.col("o_totalprice") > 450000)
+
+        def _auc():
+            scored = classify_documents(docs).select("doc_id", "prob").join(
+                docs.select("doc_id", (F.col("lang") == "en").cast("long").alias("y")),
+                "doc_id",
+            )
+            return auc_op(scored, "prob", "y")
+
         return {
+            "eval_auc": _auc,
+            "validation": lambda: validation_report(
+                [check_unique(docs, ["doc_id"]), check_not_null(docs, ["text", "lang"])]
+            ),
             "fuzzy_join_d1": lambda: fuzzy.fuzzy_pairs_d1(
                 cust, str_col="c_name", id_col="c_custkey"
             ),
@@ -271,6 +293,12 @@ def main() -> None:
     for name, by_tier in sorted(results.items()):
         if "sf0.1" in by_tier and "synth5x" in by_tier and by_tier["sf0.1"] > 0:
             r = by_tier["synth5x"] / by_tier["sf0.1"]
+            lines.append(f"  {name:26s} {r:5.2f}x")
+    lines.append("")
+    lines.append("growth (synth25x time / synth5x time; data grew 5.0x):")
+    for name, by_tier in sorted(results.items()):
+        if "synth5x" in by_tier and "synth25x" in by_tier and by_tier["synth5x"] > 0:
+            r = by_tier["synth25x"] / by_tier["synth5x"]
             lines.append(f"  {name:26s} {r:5.2f}x")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
