@@ -747,7 +747,7 @@ FROM c LEFT JOIN lab l ON c.id = l.node
 
 _EVAL_SCORED = """
 scored AS (
-    SELECT doc_id,
+    SELECT doc_id, source,
            1.0 / (1.0 + exp(-10.0 * ({score}))) AS prob,
            CAST(lang = 'en' AS BIGINT) AS y
     FROM documents
@@ -756,14 +756,18 @@ scored AS (
 
 
 def _eval_scored_df(spark: SparkSession, sf_dir: str):
-    from bq_duckdb_spark.ext.retrieval import classify_documents
+    # ONE map-only projection: score and label both derive row-wise
+    # from the same documents row — joining classify_documents back on
+    # doc_id would rescan and shuffle for nothing
+    from bq_duckdb_spark.ext.retrieval import classifier_score_expr
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = classify_documents(docs, n_buckets=1024).select("doc_id", "prob")
-    labels = docs.select(
-        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    score = classifier_score_expr("text", 1024, "spark")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"1.0 / (1.0 + exp(-10.0 * ({score})))").alias("prob"),
+        (F.col("lang") == "en").cast("long").alias("y"),
     )
-    return scored.join(labels, "doc_id")
 
 
 def _eval_cte() -> str:
@@ -785,10 +789,12 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _eval_auc_oracle() -> str:
+    from bq_duckdb_spark.ext.mleval import GRID
+
     return f"""
 WITH {_eval_cte()},
 g AS (
-    SELECT floor(prob * 10000) AS sq,
+    SELECT floor(prob * {GRID}) AS sq,
            sum(y) AS np, count(*) - sum(y) AS nn
     FROM scored GROUP BY 1
 ),
@@ -804,9 +810,13 @@ u AS (
     FROM c
 )
 SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-       u_stat / (n_pos * n_neg) AS auc
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN u_stat / (n_pos * n_neg) END AS auc
 FROM u
 """
+
+
+_CAL_BINS = 10
 
 
 def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,13 +824,15 @@ def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted probability, count, mean prediction, observed rate."""
     from bq_duckdb_spark.ext.mleval import calibration_bins
 
-    return calibration_bins(_eval_scored_df(spark, sf_dir), "prob", "y")
+    return calibration_bins(
+        _eval_scored_df(spark, sf_dir), "prob", "y", n_bins=_CAL_BINS
+    )
 
 
 def _eval_calibration_oracle() -> str:
     return f"""
 WITH {_eval_cte()}
-SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin,
+SELECT CAST(least(floor(prob * {_CAL_BINS}), {_CAL_BINS - 1}) AS BIGINT) AS bin,
        count(*) AS n,
        round(avg(prob), 4) AS mean_prob,
        round(avg(y), 4) AS pos_rate
@@ -829,21 +841,27 @@ GROUP BY 1
 """
 
 
+_CONF_THRESHOLD = 0.5
+
+
 def eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion counts + precision/recall/F1 at threshold 0.5."""
     from bq_duckdb_spark.ext.mleval import confusion_stats
 
-    return confusion_stats(_eval_scored_df(spark, sf_dir), "prob", "y")
+    return confusion_stats(
+        _eval_scored_df(spark, sf_dir), "prob", "y", threshold=_CONF_THRESHOLD
+    )
 
 
 def _eval_confusion_oracle() -> str:
+    t = _CONF_THRESHOLD
     return f"""
 WITH {_eval_cte()},
 a AS (
-    SELECT sum(CASE WHEN prob >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
-           sum(CASE WHEN prob >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
-           sum(CASE WHEN prob < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn,
-           sum(CASE WHEN prob < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn
+    SELECT sum(CASE WHEN prob >= {t} AND y = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN prob >= {t} AND y = 0 THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN prob < {t} AND y = 0 THEN 1 ELSE 0 END) AS tn,
+           sum(CASE WHEN prob < {t} AND y = 1 THEN 1 ELSE 0 END) AS fn
     FROM scored
 )
 SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
@@ -863,30 +881,26 @@ def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext/mleval.py psi)."""
     from bq_duckdb_spark.ext.mleval import psi
 
-    scored = _eval_scored_df(spark, sf_dir).join(
-        _t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
-    )
+    scored = _eval_scored_df(spark, sf_dir)
     return psi(
         scored.where(F.col("source") == "src0"),
         scored.where(F.col("source") == "src1"),
         "prob",
+        n_bins=_CAL_BINS,
     )
 
 
 def _eval_psi_oracle() -> str:
+    b = _CAL_BINS
     return f"""
 WITH {_eval_cte()},
-s AS (
-    SELECT sc.doc_id, sc.prob, d.source
-    FROM scored sc JOIN documents d USING (doc_id)
-),
 be AS (
-    SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin, count(*) AS ne
-    FROM s WHERE source = 'src0' GROUP BY 1
+    SELECT CAST(least(floor(prob * {b}), {b - 1}) AS BIGINT) AS bin, count(*) AS ne
+    FROM scored WHERE source = 'src0' GROUP BY 1
 ),
 ba AS (
-    SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin, count(*) AS na
-    FROM s WHERE source = 'src1' GROUP BY 1
+    SELECT CAST(least(floor(prob * {b}), {b - 1}) AS BIGINT) AS bin, count(*) AS na
+    FROM scored WHERE source = 'src1' GROUP BY 1
 ),
 tot AS (
     SELECT coalesce(ne, 0) AS ne, coalesce(na, 0) AS na

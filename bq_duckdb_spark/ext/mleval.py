@@ -49,10 +49,16 @@ def auc(scored: DataFrame, prob_col: str, label_col: str) -> DataFrame:
         F.sum("nn").alias("n_neg"),
         F.sum(F.col("np") * (F.col("cum_nn") + 0.5 * F.col("nn"))).alias("u_stat"),
     )
+    # NULL, not inf/NaN/error, when a class is absent: Spark's non-ANSI
+    # x/0 gives NULL while DuckDB's IEEE default gives inf — guard both
+    # sides explicitly (the oracle carries the same CASE)
     return u.select(
         "n_pos",
         "n_neg",
-        (F.col("u_stat") / (F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u_stat") / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
     )
 
 
@@ -94,8 +100,11 @@ def psi(
     the bin key + a broadcast-sized join of two n_bins-row tables.
     Rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted."""
     def binned(df: DataFrame, out: str) -> DataFrame:
+        # multiply, don't divide by the bin width: floor(v * 10) and
+        # floor(v / 0.1) DISAGREE on boundary doubles (0.3 / 0.1 is
+        # 2.9999…), and calibration_bins + the DuckDB oracles multiply
         b = F.least(
-            F.floor((F.col(value_col) - lo) / ((hi - lo) / n_bins)),
+            F.floor((F.col(value_col) - lo) * n_bins / (hi - lo)),
             F.lit(n_bins - 1),
         )
         return (

@@ -65,11 +65,14 @@ def test_auc_no_global_row_window(spark):
         "CAST(id % 97 AS DOUBLE) / 97 AS prob", "CAST(id % 2 AS INT) AS y"
     )
     plan = auc(df, "prob", "y")._jdf.queryExecution().executedPlan().toString()
-    first_single = plan.find("SinglePartition")
-    first_agg = plan.find("HashAggregate")
-    assert first_agg != -1
-    # an aggregate exists upstream of (printed after) the funnel
-    assert "HashAggregate" in plan[first_single:]
+    # the per-score histogram aggregate (keys=[sq…]) must feed the
+    # ordered window — i.e. appear BELOW it in the printed tree. A
+    # raw-row global-rank plan has a Window but no sq-keyed aggregate
+    # under it (the final .agg() alone would make a weaker check pass).
+    win = plan.find("Window")
+    hist = plan.find("keys=[sq")
+    assert win != -1 and hist != -1
+    assert hist > win  # histogram is a child of (printed after) the window
 
 
 def test_psi_identical_populations_near_zero(spark):

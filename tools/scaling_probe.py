@@ -236,7 +236,6 @@ def main() -> None:
 
     def t6_ops(tier, sf_dir, cust, docs):
         from bq_duckdb_spark.ext.mleval import auc as auc_op
-        from bq_duckdb_spark.ext.retrieval import classify_documents
         from bq_duckdb_spark.ext.validate import check_not_null, check_unique, validation_report
 
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -244,9 +243,13 @@ def main() -> None:
         hot = orders.where(F.col("o_totalprice") > 450000)
 
         def _auc():
-            scored = classify_documents(docs).select("doc_id", "prob").join(
-                docs.select("doc_id", (F.col("lang") == "en").cast("long").alias("y")),
-                "doc_id",
+            # single projection — score and label derive from one row
+            from bq_duckdb_spark.ext.retrieval import classifier_score_expr
+
+            score = classifier_score_expr("text", 1024, "spark")
+            scored = docs.select(
+                F.expr(f"1.0 / (1.0 + exp(-10.0 * ({score})))").alias("prob"),
+                (F.col("lang") == "en").cast("long").alias("y"),
             )
             return auc_op(scored, "prob", "y")
 
