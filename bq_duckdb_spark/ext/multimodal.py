@@ -587,10 +587,34 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _decode_image(payload: bytes) -> tuple[np.ndarray, int]:
+    """Any supported image payload → ((h, w, c) uint8 pixels, maxval).
+    Alpha channels are dropped (resize/feature consumers are RGB/gray);
+    unsupported formats raise NotImplementedError."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _parse_netpbm(payload)
+    if payload[:2] == b"BM":
+        px = _parse_bmp(payload)
+    elif payload[:8] == _PNG_SIG:
+        px = _parse_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        px = _parse_gif(payload)
+    else:
+        raise NotImplementedError(
+            "image decode supports netpbm/BMP/PNG/GIF here; other "
+            "formats need media libraries absent from this environment"
+        )
+    if px.shape[2] in (2, 4):  # gray+alpha / RGBA → drop alpha
+        px = px[:, :, : px.shape[2] - 1]
+    return px, 255
+
+
 def _resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
-    """Nearest-neighbor resize of a P5/P6 image, re-encoded as netpbm.
-    Pure numpy fancy indexing — a real resize, no image libs."""
-    px, maxval = _parse_netpbm(payload)
+    """Nearest-neighbor resize of any supported image, re-encoded as
+    netpbm P5/P6 (the normalization target: downstream stages see ONE
+    format regardless of input container). Pure numpy fancy indexing —
+    a real resize, no image libs."""
+    px, maxval = _decode_image(payload)
     h, w, c = px.shape
     rows = np.minimum((np.arange(height) * h) // height, h - 1)
     cols = np.minimum((np.arange(width) * w) // width, w - 1)
@@ -605,9 +629,10 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over mapInPandas.
 
-    Real path (``decode_stub=False``): netpbm P5/P6 payloads get a true
-    nearest-neighbor resize (numpy only) and re-encode; other formats
-    raise (PIL absent). Stub path: deterministic truncate/pad to
+    Real path (``decode_stub=False``): netpbm/BMP/PNG/GIF payloads get
+    a true nearest-neighbor resize (numpy only) re-encoded as netpbm —
+    one normalized output format whatever the input container; JPEG &
+    co raise (PIL absent). Stub path: deterministic truncate/pad to
     width*height bytes. Either way the batch shape, schema, and memory
     profile (output bounded by target size, not input size) are real.
     """

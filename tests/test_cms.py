@@ -121,3 +121,41 @@ def test_cms_random_property_vs_python_model(spark):
     est = cms.cms_estimate(spark, sketch, list(truth), depth=depth, width=width)
     for r in est.collect():
         assert r.cms_est >= truth[r.token]
+
+
+def test_streaming_cms_partials_match_batch(spark, tmp_path):
+    """CMS counters built by an update-mode streaming aggregation over
+    two microbatches equal the batch-built sketch over the same files —
+    counter addition is exactly the streaming state merge."""
+    import pandas as pd
+
+    src = tmp_path / "cms_stream"
+    src.mkdir()
+    texts = [" ".join(f"w{(i * 7 + j) % 23}" for j in range(1 + i % 9))
+             for i in range(400)]
+    pd.DataFrame({"text": texts[:250]}).to_parquet(str(src / "f1.parquet"))
+    pd.DataFrame({"text": texts[250:]}).to_parquet(str(src / "f2.parquet"))
+
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cms.cms_build(stream, depth=DEPTH, width=WIDTH)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = {(r.row, r.cell): r.cnt for r in spark.table("cms_stream").collect()}
+    want = {
+        (r.row, r.cell): r.cnt
+        for r in cms.cms_build(batch, depth=DEPTH, width=WIDTH).collect()
+    }
+    assert got == want

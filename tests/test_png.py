@@ -119,3 +119,37 @@ def test_feature_path_real_decode(spark):
     feats = multimodal.extract_features(df, decode_stub=False).collect()[0]
     expect = multimodal._image_features(px, 255)
     assert feats.feature == pytest.approx(expect)
+
+
+def test_resize_png_normalizes_to_netpbm(spark):
+    """resize_images accepts PNG input and emits a normalized netpbm
+    payload whose pixels match resizing the decoded array directly."""
+    import numpy as np
+
+    px = _random_px(16, 12, 3, seed=8)
+    blob = encode_png(px, 2, filters=[1, 2, 4, 3] * 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), "image/png")],
+        "blob_id long, payload binary, media_type string",
+    )
+    out = multimodal.resize_images(df, width=6, height=8, decode_stub=False).collect()[0]
+    got, maxval = multimodal._parse_netpbm(bytes(out.payload))
+    assert got.shape == (8, 6, 3) and maxval == 255
+    rows = np.minimum((np.arange(8) * 16) // 8, 15)
+    cols = np.minimum((np.arange(6) * 12) // 6, 11)
+    assert np.array_equal(got, px[rows[:, None], cols[None, :], :])
+
+
+def test_resize_rgba_drops_alpha(spark):
+    px = _random_px(4, 4, 4, seed=9)
+    blob = encode_png(px, 6)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), "image/png")],
+        "blob_id long, payload binary, media_type string",
+    )
+    out = multimodal.resize_images(df, width=4, height=4, decode_stub=False).collect()[0]
+    got, _ = multimodal._parse_netpbm(bytes(out.payload))
+    assert got.shape == (4, 4, 3)
+    import numpy as np
+
+    assert np.array_equal(got, px[:, :, :3])
