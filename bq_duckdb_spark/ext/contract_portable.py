@@ -268,9 +268,44 @@ def _lsh_eval_oracle() -> str:
     )
 
 
+
+
+def pipe_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split: hash the near-dup CLUSTER id, not
+    the document id — two near-duplicate documents split independently
+    would put one in train and its twin in eval, silently inflating
+    every eval metric. Composition: portable-jaccard pairs -> hash-min
+    components -> deterministic mix-hash split of the cluster label
+    (80/20). The whole chain is value-checked: the oracle re-derives
+    clusters via unrolled label propagation and applies the same split
+    arithmetic."""
+    from bq_duckdb_spark.ext.pipeline import mix_hash_expr
+
+    clustered = dedup_text_clusters(spark, sf_dir)
+    split = (
+        f"CASE WHEN {mix_hash_expr('cluster_id', 3)} % 10 < 8 "
+        f"THEN 'train' ELSE 'eval' END"
+    )
+    return clustered.select("doc_id", "cluster_id", F.expr(split).alias("split"))
+
+
+def _leakage_free_split_oracle() -> str:
+    from bq_duckdb_spark.ext.pipeline import mix_hash_expr
+
+    split = (
+        f"CASE WHEN {mix_hash_expr('cluster_id', 3)} % 10 < 8 "
+        f"THEN 'train' ELSE 'eval' END"
+    )
+    return (
+        f"SELECT doc_id, cluster_id, {split} AS split "
+        f"FROM ({_text_clusters_oracle()})"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_lsh_eval": dedup_lsh_eval,
+        "pipe_leakage_free_split": pipe_leakage_free_split,
         "dedup_minhash_portable": dedup_minhash_portable,
         "dedup_simhash_portable": dedup_simhash_portable,
         "dedup_jaccard_portable": dedup_jaccard_portable,
@@ -282,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_lsh_eval": _lsh_eval_oracle(),
+        "pipe_leakage_free_split": _leakage_free_split_oracle(),
         "dedup_minhash_portable": _minhash_oracle(),
         "dedup_simhash_portable": _simhash_oracle(),
         "dedup_jaccard_portable": _jaccard_oracle(),

@@ -55,6 +55,7 @@ ENTRIES = [
     "q_entity_resolution",
     "eval_auc",
     "eval_confusion",
+    "pipe_leakage_free_split",
 ]
 
 

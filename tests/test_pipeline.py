@@ -310,3 +310,31 @@ def test_example_pipeline_runs(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main("/root/testdata/sf0.001")
+
+
+def test_leakage_free_split_property(spark):
+    """THE property the split exists for: no near-dup pair (and no
+    cluster) straddles the train/eval boundary."""
+    import bq_duckdb_spark.ext.contract_portable as cp
+    from bq_duckdb_spark.ext import dedup_portable as dp
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = cp.pipe_leakage_free_split(spark, sf)
+    # every cluster maps to exactly one split
+    assert (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # and concretely: verified near-dup pairs never straddle
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dp.portable_jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddle = pairs.join(a, "id_a").join(b, "id_b").where(F.col("sa") != F.col("sb"))
+    assert straddle.count() == 0
+    # both splits are non-empty (80/20 by cluster hash)
+    assert out.select(F.countDistinct("split")).first()[0] == 2
