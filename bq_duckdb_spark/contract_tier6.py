@@ -635,15 +635,22 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current")
 
 
+# first-row detection uses a row-presence marker (lag(1)), not the
+# lagged attribute value: `prev IS NULL` cannot distinguish 'no
+# previous row' from 'previous value is NULL', so consecutive NULL
+# priorities would survive here while the Spark side (lag over a
+# struct) correctly collapses them
 _Q_SCD2_ORACLE = """
 WITH s AS (
     SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-           lag(o_orderpriority) OVER w AS prev
+           lag(o_orderpriority) OVER w AS prev,
+           lag(1) OVER w AS has_prev
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ),
 surv AS (
-    SELECT * FROM s WHERE prev IS NULL OR o_orderpriority IS DISTINCT FROM prev
+    SELECT * FROM s
+    WHERE has_prev IS NULL OR o_orderpriority IS DISTINCT FROM prev
 )
 SELECT o_custkey, o_orderpriority,
        o_orderdate AS valid_from,
@@ -732,11 +739,31 @@ lab0 AS MATERIALIZED (
 """
         + ", ".join(prop)
         + f""",
-lab AS (SELECT node, min(lbl) AS cl FROM {prev} GROUP BY node)
+lab AS (SELECT node, min(lbl) AS cl FROM {prev} GROUP BY node),
+-- convergence sentinel: one more relax step from the final labels; any
+-- label that would still drop means the unrolled round count was too
+-- small for this corpus. Under-iteration then emits a poison row
+-- (c_custkey = -1) — a loud, diagnosable row-count mismatch instead of
+-- a silent value mismatch blamed on the Spark side.
+probe AS (
+    SELECT node, min(lbl) AS best FROM (
+        SELECT node, cl AS lbl FROM lab
+        UNION ALL
+        SELECT e.src AS node, l.cl AS lbl
+        FROM edges e JOIN lab l ON l.node = e.dst
+    ) GROUP BY node
+),
+unconverged AS (
+    SELECT count(*) AS n FROM probe p JOIN lab l ON l.node = p.node
+    WHERE p.best < l.cl
+)
 SELECT c.id AS c_custkey,
        CAST(coalesce(l.cl, c.id) AS BIGINT) AS cluster_id,
        c.id = coalesce(l.cl, c.id) AS is_canonical
 FROM c LEFT JOIN lab l ON c.id = l.node
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+FROM unconverged WHERE n > 0
 """
     )
 

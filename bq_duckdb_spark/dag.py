@@ -413,27 +413,61 @@ class Pipeline:
 
     # -- data tests (extension beyond the reference) -----------------------
 
+    @staticmethod
+    def _qident(name: str) -> str:
+        """Backtick-quote one identifier (backticks doubled)."""
+        return "`" + name.replace("`", "``") + "`"
+
+    def _table_columns(self, table: str) -> list[str] | None:
+        """Registered column names for ``table`` (None if unresolvable —
+        validation is then skipped rather than failing the test run)."""
+        key = self.session._resolve_key(table)
+        if key is None:
+            return None
+        return [c["name"] for c in self.session.tables[key].columns or []]
+
     def _test_sql(self, table: str, rule: dict) -> tuple[str, str]:
         """(rule label, SQL returning ONE violation count). Rule kinds
         mirror ext/validate.py; `expression` is a per-row predicate
-        every row must satisfy (the dbt convention)."""
+        every row must satisfy (the dbt convention).
+
+        Rule column names are validated against the table's registered
+        schema and backtick-quoted before interpolation, so names with
+        quotes/spaces/dots are safe. The raw `expression` predicate is
+        TRUSTED CONFIG (like a dbt test body): whoever can write the
+        pipeline definition already controls the SQL the DAG runs."""
         kind = rule.get("type")
+        known = self._table_columns(table)
+
+        def check(cols: list[str]) -> None:
+            if known is None:
+                return
+            for c in cols:
+                if c not in known:
+                    raise ValueError(
+                        f"data test on {table} references unknown column {c!r}"
+                    )
+
         if kind == "unique":
-            cols = ", ".join(rule["columns"])
+            check(rule["columns"])
+            cols = ", ".join(self._qident(c) for c in rule["columns"])
             return (
-                f"unique:{cols}",
+                "unique:" + ",".join(rule["columns"]),
                 f"SELECT coalesce(sum(n - 1), 0) FROM "
                 f"(SELECT count(*) AS n FROM {table} GROUP BY {cols})",
             )
         if kind == "not_null":
             cols = rule["columns"]
-            cond = " OR ".join(f"{c} IS NULL" for c in cols)
+            check(cols)
+            cond = " OR ".join(f"{self._qident(c)} IS NULL" for c in cols)
             return (
                 "not_null:" + ",".join(cols),
                 f"SELECT count(*) FROM {table} WHERE {cond}",
             )
         if kind == "accepted_values":
             col = rule["column"]
+            check([col])
+            qcol = self._qident(col)
             vals = ", ".join(
                 "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
                 for v in rule["values"]
@@ -441,7 +475,7 @@ class Pipeline:
             return (
                 f"accepted:{col}",
                 f"SELECT count(*) FROM {table} "
-                f"WHERE {col} IS NOT NULL AND {col} NOT IN ({vals})",
+                f"WHERE {qcol} IS NOT NULL AND {qcol} NOT IN ({vals})",
             )
         if kind == "expression":
             pred = rule["predicate"]

@@ -246,6 +246,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             if code == end:
                 return out
             if prev is None:
+                if code not in table:
+                    # first code after a clear must be a root entry —
+                    # same uniform error as the mid-stream corrupt case
+                    raise ValueError(f"corrupt GIF LZW stream (code {code})")
                 entry = table[code]
             elif code in table:
                 entry = table[code]

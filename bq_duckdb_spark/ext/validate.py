@@ -21,23 +21,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _qcol(name: str) -> F.Column:
+    """Resolve a column by its verbatim top-level name — backticks
+    doubled, so quotes/spaces/dots in names never split or parse."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _result(rule: str, n: F.Column) -> F.Column:
     return F.struct(F.lit(rule).alias("rule"), n.cast("long").alias("n_violations"))
 
 
 def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One row per column: count of NULLs."""
+    """One row per column: count of NULLs.
+
+    Columns are resolved with ``_qcol(c)`` and the result structs built
+    with F.struct/F.lit (never string-formatted expressions), so names
+    containing quotes, spaces, or dots are handled verbatim; aggregate
+    slots use positional aliases for the same reason."""
     aggs = [
         F.coalesce(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
-        ).cast("long").alias(c)
-        for c in cols
+            F.sum(F.when(_qcol(c).isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias(f"__nn_{i}")
+        for i, c in enumerate(cols)
     ]
     row = df.agg(*aggs)
-    pairs = ", ".join(f"named_struct('rule', 'not_null:{c}', 'n_violations', {c})" for c in cols)
-    return row.select(
-        F.explode_outer(F.expr(f"array({pairs})")).alias("r")
-    ).select("r.rule", "r.n_violations")
+    arr = F.array(*[
+        F.struct(
+            F.lit(f"not_null:{c}").alias("rule"),
+            F.col(f"__nn_{i}").alias("n_violations"),
+        )
+        for i, c in enumerate(cols)
+    ])
+    return row.select(F.explode_outer(arr).alias("r")).select(
+        "r.rule", "r.n_violations"
+    )
 
 
 def check_unique(df: DataFrame, cols: list[str], rule: str | None = None) -> DataFrame:
@@ -125,24 +142,32 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for f in df.schema.fields
         if isinstance(f.dataType, (T.NumericType,))
     }
+    # columns resolved via _qcol(c) and structs built with F.struct/F.lit —
+    # no string-formatted expressions, so arbitrary column names
+    # (quotes, spaces, dots) profile correctly; slots aliased by position
     aggs = []
-    for c in cols:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__lo_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__hi_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.when(_qcol(c).isNull(), 1).otherwise(0)).alias(f"__n_{i}"))
+        aggs.append(F.countDistinct(_qcol(c)).alias(f"__d_{i}"))
+        aggs.append(F.min(_qcol(c)).cast("string").alias(f"__lo_{i}"))
+        aggs.append(F.max(_qcol(c)).cast("string").alias(f"__hi_{i}"))
         aggs.append(
             (
-                F.avg(F.col(c)) if c in numeric else F.lit(None).cast("double")
-            ).alias(f"__m_{c}")
+                F.avg(_qcol(c)) if c in numeric else F.lit(None).cast("double")
+            ).alias(f"__m_{i}")
         )
     row = df.agg(*aggs)
-    structs = ", ".join(
-        f"named_struct('column', '{c}', 'n_nulls', __n_{c}, "
-        f"'n_distinct', __d_{c}, 'min_value', __lo_{c}, "
-        f"'max_value', __hi_{c}, 'mean_value', __m_{c})"
-        for c in cols
-    )
-    return row.select(F.explode_outer(F.expr(f"array({structs})")).alias("p")).select(
+    arr = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{i}").alias("n_nulls"),
+            F.col(f"__d_{i}").alias("n_distinct"),
+            F.col(f"__lo_{i}").alias("min_value"),
+            F.col(f"__hi_{i}").alias("max_value"),
+            F.col(f"__m_{i}").alias("mean_value"),
+        )
+        for i, c in enumerate(cols)
+    ])
+    return row.select(F.explode_outer(arr).alias("p")).select(
         "p.column", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value", "p.mean_value"
     )

@@ -90,3 +90,24 @@ def test_unknown_rule_type_rejected(session):
     res = session.pipeline.run()
     assert not res.success
     assert "unknown data-test type" in res.failed[0]["error"]
+
+
+def test_unknown_column_fails_loud(session):
+    session.pipeline.register(
+        _defs([[1, "a"]], [{"type": "not_null", "columns": ["nope"]}])
+    )
+    res = session.pipeline.run()
+    assert not res.success
+    assert any("unknown column 'nope'" in f["error"] for f in res.failed)
+
+
+def test_quoted_identifiers_in_rules(session):
+    # a column name with a space passes through backtick quoting
+    session.pipeline.register([
+        {"name": "raw2", "schema": [{"name": "k", "type": "INT64"}],
+         "rows": [[1], [2]]},
+        {"name": "staged2", "sql": "SELECT k AS `od d` FROM raw2",
+         "tests": [{"type": "unique", "columns": ["od d"]},
+                   {"type": "not_null", "columns": ["od d"]}]},
+    ])
+    assert session.pipeline.run().success

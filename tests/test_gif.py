@@ -152,3 +152,13 @@ def test_feature_path(spark):
     feats = multimodal.extract_features(df, decode_stub=False).collect()[0]
     expect = multimodal._image_features(np.array(palette, np.uint8)[idx], 255)
     assert feats.feature == pytest.approx(expect)
+
+
+def test_corrupt_first_code_uniform_error():
+    # first code after (implicit) clear that is not a root entry must
+    # raise the same ValueError as mid-stream corruption, not KeyError
+    # (codes are 3 bits here: roots 0..3, clear=4, end=5, next=6)
+    with pytest.raises(ValueError, match="corrupt GIF LZW"):
+        multimodal._gif_lzw_decode(bytes([0b111]), 2)  # code 7: out of range
+    with pytest.raises(ValueError, match="corrupt GIF LZW"):
+        multimodal._gif_lzw_decode(bytes([0b110]), 2)  # code 6: KwKwK needs prev

@@ -62,3 +62,14 @@ def test_single_job_shapes(spark):
     rep = v.validation_report([v.check_unique(df, ["k"]), v.check_not_null(df, ["k"])])
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan
+
+
+def test_weird_column_names(spark):
+    # quotes / spaces / dots in column names must profile and check
+    # verbatim (structs built with F.struct/F.lit, columns via df[c])
+    df = spark.createDataFrame([(1, 2.0), (None, 3.0)], ["od d.col", "it's"])
+    rep = {r.rule: r.n_violations for r in v.check_not_null(df, ["od d.col", "it's"]).collect()}
+    assert rep == {"not_null:od d.col": 1, "not_null:it's": 0}
+    prof = {r.column: r for r in v.profile_table(df).collect()}
+    assert prof["od d.col"].n_nulls == 1 and prof["od d.col"].n_distinct == 1
+    assert prof["it's"].mean_value == 2.5
