@@ -96,9 +96,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
+    # fact-fact edge pinned to a shuffled hash join: size estimates at
+    # small SF would otherwise BROADCAST lineitem — a single-task hash
+    # build of the biggest table locally, and an OOM at 100 TB. The
+    # filtered customer dim broadcasts onto the distributed fact stream.
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(li.hint("shuffle_hash"), orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -130,8 +134,8 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: region/nation are tiny at every SF → explicit broadcast; the
     big fact-fact join (orders⋈lineitem) shuffles on the orderkey.
     """
-    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -139,15 +143,19 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
+    # the fact-fact edge (orders⋈lineitem) is pinned to a shuffled hash
+    # join — small-SF size estimates would otherwise broadcast lineitem
+    # itself (single-task build locally, OOM at scale); every dim then
+    # broadcasts onto the 32-way-distributed fact stream
     return (
-        region.join(nation, region.r_regionkey == nation.n_regionkey)
-        .join(cust, nation.n_nationkey == cust.c_nationkey)
-        .join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(li.hint("shuffle_hash"), orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            supp,
+            F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
