@@ -840,6 +840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _merge(q, contract_tier6.queries(), "contract_tier6")
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier7
+
+        _merge(q, contract_tier7.queries(), "contract_tier7")
+    except ImportError:
+        pass
     return q
 
 
@@ -926,6 +932,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tier6
 
         _merge(o, contract_tier6.oracle_sql(), "contract_tier6")
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier7
+
+        _merge(o, contract_tier7.oracle_sql(), "contract_tier7")
     except ImportError:
         pass
     return o

@@ -356,3 +356,55 @@ def cross_corpus_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("corpus_id", "batch_id", "jaccard")
     )
+
+
+def portable_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT over portable-minhash candidates:
+    |A∩B|/|A| and |A∩B|/|B| per pair, kept when either side is mostly
+    contained in the other.
+
+    Containment is the quote / subset-duplication detector Jaccard
+    misses: a short doc pasted into a long one has tiny Jaccard (the
+    union is dominated by the long doc) but containment ≈ 1 on the
+    short side — exactly what a training-data pipeline must catch to
+    avoid leaking a benchmark passage embedded in a web page.
+
+    Same scale shape as :func:`portable_jaccard_pairs`: banded LSH
+    candidates (one shuffle, never all-pairs), then a single
+    long-format join carries each pair's two shingle sets; the
+    asymmetric ratios are row-local arithmetic on top.
+    """
+    df = widen_small_scan(df)
+    cands = portable_minhash_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "sh").select(
+        F.col(id_col).alias("__id"), "sh"
+    )
+    member = cands.select(
+        "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("__id")
+    )
+    return (
+        member.join(sh, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
+        )
+        .withColumn(
+            "containment_a",
+            F.expr("size(array_intersect(sh_a, sh_b)) / size(sh_a)"),
+        )
+        .withColumn(
+            "containment_b",
+            F.expr("size(array_intersect(sh_a, sh_b)) / size(sh_b)"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )

@@ -513,3 +513,61 @@ def hard_negatives(
         sim_lo=sim_lo,
         sim_hi=sim_hi,
     )
+
+
+# ---------------------------------------------------------------------------
+# rank fusion
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of any number of (id, rank) lists:
+    score(d) = Σ_lists 1 / (k + rank_list(d)), absent-from-list terms
+    contributing nothing (Cormack et al.'s parameter-free fusion — the
+    standard way to combine lexical and dense retrievers).
+
+    Shape: union of the (already top-N-truncated) lists → ONE groupBy
+    on the id. The inputs are ranked candidate lists, bounded by their
+    own top-N, so every stage here is candidate-sized, never
+    corpus-sized.
+    """
+    out = ranked[0].select(id_col, rank_col)
+    for r in ranked[1:]:
+        out = out.unionByName(r.select(id_col, rank_col))
+    return out.groupBy(id_col).agg(
+        F.sum(F.expr(f"CAST(1.0 AS DOUBLE) / ({k} + {rank_col})")).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+
+
+def tfidf_query_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF cosine of each document against a bag-of-terms query
+    (unit query weights): Σ_{t∈q} tfidf(d,t) / ‖tfidf(d)‖. The constant
+    query-norm factor scales every score equally and is dropped (ranks
+    are what retrieval consumes). One tf_idf pipeline feeds both the
+    numerator (term-filtered) and the norm (per-doc sum of squares) —
+    vocabulary-scale shuffles stay inside tf_idf itself."""
+    from bq_duckdb_spark.ext.text import tf_idf
+
+    ti = tf_idf(df, text_col, id_col)
+    norms = ti.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("__norm")
+    )
+    num = (
+        ti.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col)
+        .agg(F.sum("tfidf").alias("__num"))
+    )
+    return num.join(norms, id_col).select(
+        id_col, (F.col("__num") / F.col("__norm")).alias("score")
+    )
