@@ -12,6 +12,7 @@ from bq_duckdb_spark.streaming.streams import (
     read_event_stream,
     run_available_now,
     session_windows,
+    stateful_ewma,
     stateful_user_stats,
     stream_dedup_exact,
     view_conversion_outer,
@@ -23,6 +24,7 @@ __all__ = [
     "read_event_stream",
     "windowed_counts",
     "session_windows",
+    "stateful_ewma",
     "stateful_user_stats",
     "stream_dedup_exact",
     "click_attribution",

@@ -166,6 +166,54 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType([T.StructField("y", T.DoubleType())])
+
+
+def _make_update_ewma(alpha: float):
+    beta = 1.0 - alpha
+
+    def _update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        y = state.get[0] if state.exists else None
+        for pdf in batches:
+            # event order within the batch; cross-batch order is the
+            # arrival order, which a time-partitioned source guarantees
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].to_numpy():
+                x = float(x)
+                y = x if y is None else alpha * x + beta * y
+        if y is not None:
+            state.update((y,))
+            yield pd.DataFrame({"user_id": [key[0]], "ewma": [y]})
+
+    return _update
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of operators/timeseries.ewma for UNBOUNDED
+    per-key histories: the state store keeps only the running smoothed
+    value per key (O(1) state, vs the batch operator's per-key history
+    buffer), and each micro-batch folds its in-order events on top.
+    Emits the per-key EWMA after every batch (update mode); the final
+    emission equals the batch operator's last row per key when events
+    arrive time-ordered across batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_ewma(alpha),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup_exact(
     events: DataFrame,
     key_cols: list[str] | None = None,

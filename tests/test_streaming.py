@@ -689,3 +689,62 @@ def test_view_conversion_outer_stream_matches_batch(spark, tmp_path):
     # every matched pair AND every never-converted (null-click) view
     assert got == expected
     assert any(c is None for _, c in expected)  # the test exercises nulls
+
+
+def test_stateful_ewma_matches_batch(spark, tmp_path):
+    """Streamed O(1)-state EWMA across two time-ordered micro-batches ==
+    the batch operator's final row per key (same fold, same order)."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from bq_duckdb_spark.operators.timeseries import ewma as batch_ewma
+
+    d = tmp_path / "ewma_stream"
+    d.mkdir()
+    rows = [
+        (eid, uid, float(v))
+        for eid, (uid, v) in enumerate(
+            [(1, 10), (1, 20), (2, 5), (1, 3), (2, 9), (2, 1)]
+        )
+    ]
+    # two single-file batches split at the time midpoint (file-source
+    # streaming needs real files, not directories; see memory notes)
+    cols = ["event_id", "user_id", "value"]
+    early = pd.DataFrame(rows[:3], columns=cols)
+    late = pd.DataFrame(rows[3:], columns=cols)
+    for name, pdf in [("a.parquet", early), ("b.parquet", late)]:
+        pdf["ts"] = pd.to_datetime(pdf["event_id"], unit="h")
+        pdf.to_parquet(str(d / name), index=False)
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = streaming.run_available_now(
+        streaming.stateful_ewma(stream, alpha=0.3), "ewma_out",
+        output_mode="update",
+    )
+    got = {r.user_id: r.ewma for r in spark.table("ewma_out").collect()}
+    q.stop()
+
+    batch = batch_ewma(
+        spark.read.parquet(str(d)), ["user_id"], ["ts", "event_id"],
+        "value", 0.3,
+    )
+    want = {
+        r.user_id: r.ewma
+        for r in batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for uid in want:
+        assert got[uid] == want[uid], uid  # bit-identical sequential folds
