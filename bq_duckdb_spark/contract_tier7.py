@@ -85,7 +85,7 @@ _CUT = "1997-01-01 00:00:00"
 
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order count / revenue maintained as a merged
-    partial-aggregate state: state(orders before {cut}) folded with
+    partial-aggregate state: state(orders before the cut date) folded with
     state(orders after) — never a rescan of the base — must equal the
     direct aggregate over all orders, which is exactly what the oracle
     computes. Sums rounded as cross-order aggregates (merge order
@@ -115,7 +115,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_INCREMENTAL_AGG_ORACLE = f"""
+_Q_INCREMENTAL_AGG_ORACLE = """
 SELECT o_custkey,
        count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_price

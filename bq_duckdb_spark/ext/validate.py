@@ -61,7 +61,7 @@ def check_unique(df: DataFrame, cols: list[str], rule: str | None = None) -> Dat
     """Rows beyond the first per key — 0 when the key is unique."""
     name = rule or ("unique:" + ",".join(cols))
     dups = (
-        df.groupBy(*cols)
+        df.groupBy(*[_qcol(c) for c in cols])
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v"))
     )
@@ -78,9 +78,9 @@ def check_fk(
     """Child rows whose non-null key has no parent (left-anti join)."""
     name = rule or f"fk:{child_key}->{parent_key}"
     orphans = (
-        child.select(F.col(child_key).alias("k"))
+        child.select(_qcol(child_key).alias("k"))
         .where(F.col("k").isNotNull())
-        .join(parent.select(F.col(parent_key).alias("k")), "k", "left_anti")
+        .join(parent.select(_qcol(parent_key).alias("k")), "k", "left_anti")
         .agg(F.count(F.lit(1)).alias("v"))
     )
     return orphans.select(
@@ -95,9 +95,9 @@ def check_range(
     name = rule or f"range:{col}"
     cond = F.lit(False)
     if lo is not None:
-        cond = cond | (F.col(col) < lo)
+        cond = cond | (_qcol(col) < lo)
     if hi is not None:
-        cond = cond | (F.col(col) > hi)
+        cond = cond | (_qcol(col) > hi)
     row = df.agg(F.sum(F.when(cond, 1).otherwise(0)).alias("v"))
     return row.select(
         F.lit(name).alias("rule"),
@@ -112,7 +112,7 @@ def check_accepted_values(
     name = rule or f"accepted:{col}"
     row = df.agg(
         F.sum(
-            F.when(F.col(col).isNotNull() & ~F.col(col).isin(values), 1).otherwise(0)
+            F.when(_qcol(col).isNotNull() & ~_qcol(col).isin(values), 1).otherwise(0)
         ).alias("v")
     )
     return row.select(

@@ -73,3 +73,11 @@ def test_weird_column_names(spark):
     prof = {r.column: r for r in v.profile_table(df).collect()}
     assert prof["od d.col"].n_nulls == 1 and prof["od d.col"].n_distinct == 1
     assert prof["it's"].mean_value == 2.5
+    more = {r.rule: r.n_violations for r in v.validation_report([
+        v.check_unique(df, ["od d.col"]),
+        v.check_range(df, "it's", lo=2.5, hi=3.0),
+        v.check_accepted_values(df, "it's", [2.0, 3.0]),
+    ]).collect()}
+    assert more["unique:od d.col"] == 0   # (1, NULL) distinct keys
+    assert more["range:it's"] == 1        # 2.0 below lo
+    assert more["accepted:it's"] == 0
