@@ -556,7 +556,12 @@ def tfidf_query_scores(
     query-norm factor scales every score equally and is dropped (ranks
     are what retrieval consumes). One tf_idf pipeline feeds both the
     numerator (term-filtered) and the norm (per-doc sum of squares) —
-    vocabulary-scale shuffles stay inside tf_idf itself."""
+    vocabulary-scale shuffles stay inside tf_idf itself. The two
+    branches share lineage, which Spark's runtime exchange reuse
+    dedupes where subplans coincide; at warehouse scale the TF-IDF
+    table is the thing you materialize at rest once (engine.materialize
+    / saveAsTable) and feed to every query, rather than recomputing it
+    per search."""
     from bq_duckdb_spark.ext.text import tf_idf
 
     ti = tf_idf(df, text_col, id_col)

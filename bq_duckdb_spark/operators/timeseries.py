@@ -32,6 +32,7 @@ def ewma(
     value_col: str,
     alpha: float,
     out: str = "ewma",
+    max_lookback: int | None = None,
 ) -> DataFrame:
     """One row per input row: the EWMA of ``value_col`` over the key's
     history up to and including that row.
@@ -40,6 +41,16 @@ def ewma(
     ``alpha`` is embedded as a double literal; the fold
     ``acc -> α·x + (1-α)·acc`` runs left-to-right from the first
     observation, prefix by prefix.
+
+    ``max_lookback``: per-prefix folds cost O(n²) per key exactly
+    (every prefix refolds its history). A weight (1-α)^K below ~1e-17
+    is beneath double precision, so folding only the last K
+    observations per prefix (K ≈ ln(1e-17)/ln(1-α); 110 for α=0.3) is
+    numerically indistinguishable while making the per-key cost O(n·K)
+    — the right setting when keys have long histories. Both the exact
+    and bounded forms are deterministic; a reference engine running the
+    same bounded fold matches bit-for-bit. For truly unbounded streams
+    use streaming.stateful_ewma (O(1) running state).
     """
     ev = F.struct(
         *[F.col(c) for c in order_cols], F.col(value_col).alias("__v")
@@ -57,8 +68,17 @@ def ewma(
         F.posexplode_outer("__evs").alias("__pos", "__ev"),
         "__vals",
     )
+    # fold seed = first element of the (possibly lookback-truncated)
+    # window, fold body = the rest; start index s is 1 for the exact
+    # form and max(1, prefix_len - K + 1) for the bounded form
+    s = (
+        "1"
+        if max_lookback is None
+        else f"greatest(1, __pos + 2 - {int(max_lookback)})"
+    )
     fold: Column = F.expr(
-        f"aggregate(slice(__vals, 2, __pos), element_at(__vals, 1), "
+        f"aggregate(slice(__vals, ({s}) + 1, __pos + 1 - ({s})), "
+        f"element_at(__vals, {s}), "
         f"(acc, x) -> CAST({alpha} AS DOUBLE) * x + CAST({1.0 - alpha} AS DOUBLE) * acc)"
     )
     return rows.select(

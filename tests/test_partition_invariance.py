@@ -56,6 +56,12 @@ ENTRIES = [
     "eval_auc",
     "eval_confusion",
     "pipe_leakage_free_split",
+    # tier-7: per-key ordered folds, state-merge algebra, rank fusion,
+    # LSH-candidate containment
+    "q_ewma",
+    "q_incremental_agg",
+    "q_rrf_fusion",
+    "text_containment",
 ]
 
 

@@ -111,3 +111,33 @@ def test_containment_catches_subset_quote(spark):
     assert r.containment_b == 1.0
     assert r.containment_a == pytest.approx(34 / 38)
     assert not any(3 in k for k in out)
+
+
+def test_ewma_bounded_lookback_within_machine_precision(spark):
+    # 200-step history: truncating to the last 110 observations changes
+    # nothing beyond double precision, and the bounded fold is itself
+    # deterministic (same values regardless of input partitioning)
+    import math
+
+    vals = [math.sin(i) * 100 + 100 for i in range(200)]
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate(vals)], ["k", "t", "v"]
+    )
+    exact = {r.t: r.ewma for r in ewma(df, ["k"], ["t"], "v", 0.3).collect()}
+    bounded = {
+        r.t: r.ewma
+        for r in ewma(df, ["k"], ["t"], "v", 0.3, max_lookback=110).collect()
+    }
+    bounded2 = {
+        r.t: r.ewma
+        for r in ewma(
+            df.repartition(7), ["k"], ["t"], "v", 0.3, max_lookback=110
+        ).collect()
+    }
+    assert exact.keys() == bounded.keys()
+    for t in exact:
+        assert bounded[t] == pytest.approx(exact[t], rel=1e-12), t
+        assert bounded2[t] == bounded[t], t  # bit-identical
+    ref = _ref_ewma(vals, 0.3)
+    for i, want in enumerate(ref):
+        assert exact[i] == want

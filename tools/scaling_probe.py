@@ -218,6 +218,9 @@ def main() -> None:
     from bq_duckdb_spark.ext import cms as cms_mod
     from bq_duckdb_spark.ext import fuzzy, graph
     from bq_duckdb_spark.operators.bloom import bloom_prefilter
+    from bq_duckdb_spark.ext.dedup_portable import portable_containment_pairs
+    from bq_duckdb_spark.operators import incremental as inc
+    from bq_duckdb_spark.operators import timeseries as ts
 
     cust_01 = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
     n_cust = cust_01.agg(F.max("c_custkey")).collect()[0][0] + 1
@@ -265,6 +268,32 @@ def main() -> None:
                 li, hot, "l_orderkey", "o_orderkey"
             ),
             "cms_build": lambda: cms_mod.cms_build(docs, "text", depth=4, width=64),
+            # tier-7: LSH-candidate containment (banding-shaped),
+            # partial-aggregate state merge (two groupBys + union),
+            # bounded-lookback EWMA over per-customer order histories
+            # (orders replicate with custkeys UNCHANGED, so per-key
+            # histories grow 5x — exactly the case max_lookback keeps
+            # linear)
+            "containment": lambda: portable_containment_pairs(
+                docs, "text", "doc_id", threshold=0.5
+            ),
+            "incremental_agg": lambda: inc.merge_agg_states(
+                [
+                    inc.agg_state(
+                        orders.where(F.col("o_orderkey") % 2 == 0),
+                        ["o_custkey"], "o_totalprice",
+                    ),
+                    inc.agg_state(
+                        orders.where(F.col("o_orderkey") % 2 == 1),
+                        ["o_custkey"], "o_totalprice",
+                    ),
+                ],
+                ["o_custkey"],
+            ),
+            "ewma_bounded": lambda: ts.ewma(
+                orders, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+                "o_totalprice", 0.3, max_lookback=110,
+            ),
             "triangles": lambda: graph.triangle_count(
                 graph.cooccurrence_edges(
                     li.select(
