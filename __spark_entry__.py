@@ -99,10 +99,12 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact-fact edge pinned to a shuffled hash join: size estimates at
     # small SF would otherwise BROADCAST lineitem — a single-task hash
     # build of the biggest table locally, and an OOM at 100 TB. The
-    # filtered customer dim broadcasts onto the distributed fact stream.
+    # filtered customer side is left UNHINTED: customer scales with SF
+    # (only region/nation are fixed-size), so AQE broadcasts it when it
+    # fits and shuffles it when it doesn't.
     return (
         orders.join(li.hint("shuffle_hash"), orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -145,13 +147,15 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     # the fact-fact edge (orders⋈lineitem) is pinned to a shuffled hash
     # join — small-SF size estimates would otherwise broadcast lineitem
-    # itself (single-task build locally, OOM at scale); every dim then
-    # broadcasts onto the 32-way-distributed fact stream
+    # itself (single-task build locally, OOM at scale). Only the
+    # FIXED-SIZE dims (region: 5 rows, nation: 25 rows) carry explicit
+    # broadcast hints; customer/supplier scale with SF, so AQE decides
+    # for them (broadcast when they fit, shuffle when they don't).
     return (
         orders.join(li.hint("shuffle_hash"), orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)

@@ -38,8 +38,15 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("bm25", 4).alias("bm25_r"))
 
 
-_TEXT_BM25_ORACLE = """
-WITH lens AS (
+# ONE definition of the DuckDB-side BM25 pipeline, shared with the
+# tier-7 RRF-fusion oracle (contract_tier7) so the arithmetic cannot
+# drift between the standalone score entry and the fused-ranking entry.
+
+
+def bm25_oracle_ctes(terms: list[str]) -> str:
+    """lens/stats/matched/doc_tc/term_df CTE block (no WITH keyword)."""
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""lens AS (
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS doc_len
     FROM documents
@@ -51,7 +58,7 @@ matched AS (
     SELECT doc_id, term FROM (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
         FROM documents
-    ) WHERE term IN ('join', 'window', 'customer')
+    ) WHERE term IN ({tl})
 ),
 doc_tc AS (
     SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tc
@@ -59,18 +66,26 @@ doc_tc AS (
 ),
 term_df AS (
     SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM doc_tc GROUP BY term
+)"""
+
+
+# Okapi BM25 with the Lucene idf form; k1=1.2, b=0.75 (must track
+# retrieval.bm25_scores' defaults)
+BM25_SCORE_SUM = (
+    "sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))"
+    " * tc * (1.2 + 1.0)"
+    " / (tc + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)))"
 )
-SELECT doc_id,
-       round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-                 * tc * (1.2 + 1.0)
-                 / (tc + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))), 4)
-           AS bm25_r
-FROM doc_tc
-JOIN term_df USING (term)
-JOIN lens USING (doc_id)
-CROSS JOIN stats
-GROUP BY doc_id
-"""
+
+BM25_SCORE_FROM = (
+    "FROM doc_tc JOIN term_df USING (term) JOIN lens USING (doc_id) "
+    "CROSS JOIN stats GROUP BY doc_id"
+)
+
+_TEXT_BM25_ORACLE = (
+    f"WITH {bm25_oracle_ctes(_BM25_TERMS)}\n"
+    f"SELECT doc_id, round({BM25_SCORE_SUM}, 4) AS bm25_r\n{BM25_SCORE_FROM}"
+)
 
 
 # ---------------------------------------------------------------------------

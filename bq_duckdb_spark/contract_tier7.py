@@ -163,38 +163,29 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_oracle() -> str:
+    # the BM25 pipeline (CTEs + score sum) is imported from tier-4 —
+    # ONE definition feeds both the standalone score entry and this
+    # fused-ranking entry, so the arithmetic cannot drift
+    from bq_duckdb_spark.contract_tier4 import (
+        BM25_SCORE_FROM,
+        BM25_SCORE_SUM,
+        bm25_oracle_ctes,
+    )
+
     terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
     return f"""
-WITH lens AS (
-    SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS doc_len
-    FROM documents
-),
-stats AS (
-    SELECT avg(doc_len) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM lens
-),
-exploded AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-    FROM documents
-),
-doc_tc AS (
-    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tc
-    FROM exploded WHERE term IN ({terms}) GROUP BY doc_id, term
-),
-term_df AS (
-    SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM doc_tc GROUP BY term
-),
+WITH {bm25_oracle_ctes(_RRF_TERMS)},
 bm AS (
-    SELECT doc_id,
-           round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-                     * tc * (1.2 + 1.0)
-                     / (tc + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl))), 4) AS r4
-    FROM doc_tc JOIN term_df USING (term) JOIN lens USING (doc_id)
-    CROSS JOIN stats GROUP BY doc_id
+    SELECT doc_id, round({BM25_SCORE_SUM}, 4) AS r4
+    {BM25_SCORE_FROM}
 ),
 bm_rank AS (
     SELECT doc_id, row_number() OVER (ORDER BY r4 DESC, doc_id) AS rank
     FROM bm ORDER BY r4 DESC, doc_id LIMIT {_RRF_TOPN}
+),
+exploded AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
 ),
 all_tc AS (
     SELECT doc_id, term, count(*) AS term_count

@@ -439,11 +439,14 @@ class Pipeline:
         kind = rule.get("type")
         known = self._table_columns(table)
 
+        # case-insensitive like Spark's (and BigQuery's) column resolution
+        known_ci = None if known is None else {c.lower() for c in known}
+
         def check(cols: list[str]) -> None:
-            if known is None:
+            if known_ci is None:
                 return
             for c in cols:
-                if c not in known:
+                if c.lower() not in known_ci:
                     raise ValueError(
                         f"data test on {table} references unknown column {c!r}"
                     )

@@ -175,17 +175,18 @@ def portable_minhash_pairs(
     )
 
 
-def portable_jaccard_pairs(
+def _candidate_shingle_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    threshold: float = 0.5,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 3,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over portable-minhash candidates (long-format
-    single-join verify, as in dedup.ngram_jaccard_pairs)."""
+    """(id_a, id_b, sh_a, sh_b) for every portable-LSH candidate pair —
+    the shared long-format single-join verify feeding both the Jaccard
+    and containment twins: banded candidates (one shuffle, never
+    all-pairs), then ONE join carries each pair's two shingle sets."""
     df = widen_small_scan(df)
     cands = portable_minhash_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "sh").select(
@@ -201,6 +202,22 @@ def portable_jaccard_pairs(
             F.max(F.when(F.col("__id") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
             F.max(F.when(F.col("__id") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
         )
+    )
+
+
+def portable_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over portable-minhash candidates (long-format
+    single-join verify, as in dedup.ngram_jaccard_pairs)."""
+    return (
+        _candidate_shingle_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
         .withColumn(
             "jaccard",
             F.expr(
@@ -377,26 +394,11 @@ def portable_containment_pairs(
     short side — exactly what a training-data pipeline must catch to
     avoid leaking a benchmark passage embedded in a web page.
 
-    Same scale shape as :func:`portable_jaccard_pairs`: banded LSH
-    candidates (one shuffle, never all-pairs), then a single
-    long-format join carries each pair's two shingle sets; the
+    Shares :func:`_candidate_shingle_pairs` with the Jaccard twin; the
     asymmetric ratios are row-local arithmetic on top.
     """
-    df = widen_small_scan(df)
-    cands = portable_minhash_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
-    sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "sh").select(
-        F.col(id_col).alias("__id"), "sh"
-    )
-    member = cands.select(
-        "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("__id")
-    )
     return (
-        member.join(sh, "__id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
-            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
-        )
+        _candidate_shingle_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
         .withColumn(
             "containment_a",
             F.expr("size(array_intersect(sh_a, sh_b)) / size(sh_a)"),

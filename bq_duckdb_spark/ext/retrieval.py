@@ -536,6 +536,8 @@ def rrf_fuse(
     own top-N, so every stage here is candidate-sized, never
     corpus-sized.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     out = ranked[0].select(id_col, rank_col)
     for r in ranked[1:]:
         out = out.unionByName(r.select(id_col, rank_col))

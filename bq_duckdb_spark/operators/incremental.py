@@ -29,7 +29,10 @@ def merge_agg_states(states: list[DataFrame], key_cols: list[str]) -> DataFrame:
     """Fold any number of (keys, n, s) states into one: union → one
     re-shuffle on the keys → partial sums add. Associative and
     commutative, so states can be merged in any order or tree shape
-    (e.g. hourly → daily → monthly rollups)."""
+    (e.g. hourly → daily → monthly rollups). Raises ValueError on an
+    empty state list."""
+    if not states:
+        raise ValueError("merge_agg_states needs at least one state")
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)

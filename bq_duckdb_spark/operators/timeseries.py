@@ -52,6 +52,8 @@ def ewma(
     same bounded fold matches bit-for-bit. For truly unbounded streams
     use streaming.stateful_ewma (O(1) running state).
     """
+    if max_lookback is not None and int(max_lookback) < 1:
+        raise ValueError(f"max_lookback must be >= 1, got {max_lookback}")
     ev = F.struct(
         *[F.col(c) for c in order_cols], F.col(value_col).alias("__v")
     )

@@ -183,10 +183,14 @@ def _make_update_ewma(alpha: float):
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         y = state.get[0] if state.exists else None
-        for pdf in batches:
-            # event order within the batch; cross-batch order is the
-            # arrival order, which a time-partitioned source guarantees
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a group's micro-batch rows arrive as MULTIPLE Arrow chunks
+        # (split at arrow.maxRecordsPerBatch, arbitrary row placement) —
+        # sorting per chunk would fold across chunks out of time order,
+        # so gather the whole batch, sort ONCE, then fold; cross-batch
+        # order is the arrival order a time-partitioned source gives
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for x in pdf["value"].to_numpy():
                 x = float(x)
                 y = x if y is None else alpha * x + beta * y

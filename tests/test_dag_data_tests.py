@@ -111,3 +111,12 @@ def test_quoted_identifiers_in_rules(session):
                    {"type": "not_null", "columns": ["od d"]}]},
     ])
     assert session.pipeline.run().success
+
+
+def test_rule_columns_case_insensitive(session):
+    # Spark (and BigQuery) resolve columns case-insensitively; the
+    # schema validation must not be stricter than the engine
+    session.pipeline.register(
+        _defs([[1, "a"]], [{"type": "not_null", "columns": ["K", "S"]}])
+    )
+    assert session.pipeline.run().success
