@@ -141,3 +141,82 @@ def test_ewma_bounded_lookback_within_machine_precision(spark):
     ref = _ref_ewma(vals, 0.3)
     for i, want in enumerate(ref):
         assert exact[i] == want
+
+
+# -- property tests: random inputs vs single-machine references -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+)
+@settings(**_HSET)
+def test_ewma_property_vs_reference(spark, series, alpha):
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(series)], ["k", "t", "v"]
+    )
+    got = {(r.k, r.t): r.ewma for r in ewma(df, ["k"], ["t"], "v", alpha).collect()}
+    per_key = {}
+    for i, (k, v) in enumerate(series):
+        per_key.setdefault(k, []).append((i, v))
+    for k, items in per_key.items():
+        ref = _ref_ewma([v for _, v in items], alpha)
+        for (i, _), want in zip(items, ref):
+            assert got[(k, i)] == want, (k, i)  # exact: same fold order
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-1e9, 1e9, allow_nan=False)),
+        min_size=0,
+        max_size=30,
+    ),
+    n_splits=st.integers(1, 4),
+    seed=st.integers(0, 1000),
+)
+@settings(**_HSET)
+def test_incremental_merge_property(spark, rows, n_splits, seed):
+    # arbitrary partition of the rows into delta batches: merged states
+    # must equal the direct aggregate over everything (counts exact,
+    # sums within float re-association tolerance)
+    import random
+
+    rng = random.Random(seed)
+    buckets = [[] for _ in range(n_splits)]
+    for r in rows:
+        buckets[rng.randrange(n_splits)].append(r)
+    schema = "k int, v double"
+    states = [
+        incremental.agg_state(spark.createDataFrame(b, schema), ["k"], "v")
+        for b in buckets
+        if b
+    ]
+    if not states:
+        return
+    merged = {
+        r.k: (r.n, r.s)
+        for r in incremental.merge_agg_states(states, ["k"]).collect()
+    }
+    direct = {
+        r.k: (r.n, r.s)
+        for r in incremental.agg_state(
+            spark.createDataFrame(rows, schema), ["k"], "v"
+        ).collect()
+    }
+    assert merged.keys() == direct.keys()
+    for k in direct:
+        assert merged[k][0] == direct[k][0]
+        assert merged[k][1] == pytest.approx(direct[k][1], rel=1e-9, abs=1e-6)
