@@ -25,7 +25,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bq_duckdb_spark.ext import dedup_portable as dp
 from bq_duckdb_spark.ext import retrieval
@@ -132,28 +131,18 @@ _RRF_K = 60
 _RRF_TOPN = 100
 
 
-def _ranked_topn(df: DataFrame, score_col: str, id_col: str = "doc_id") -> DataFrame:
-    # rank over the 4dp-ROUNDED score with an id tiebreak: the rounded
-    # scores are what the bm25/tfidf oracles already hash-match, so both
-    # engines order identically; the window then runs over the already-
-    # TakeOrderedAndProject-truncated top-N list, never the corpus
-    top = (
-        df.withColumn("__r4", F.round(score_col, 4))
-        .orderBy(F.desc("__r4"), id_col)
-        .limit(_RRF_TOPN)
-    )
-    w = Window.orderBy(F.desc("__r4"), id_col)
-    return top.withColumn("rank", F.row_number().over(w)).select(id_col, "rank")
-
-
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF of two retrievers over documents for one bag-of-terms query:
     Okapi BM25 (ext/retrieval.bm25_scores) and TF-IDF cosine
     (ext/retrieval.tfidf_query_scores), each truncated to its top-100,
     fused with k=60 and cut to the fused top-20."""
     docs = _t(spark, sf_dir, "documents")
-    bm = _ranked_topn(retrieval.bm25_scores(docs, _RRF_TERMS), "bm25")
-    cos = _ranked_topn(retrieval.tfidf_query_scores(docs, _RRF_TERMS), "score")
+    bm = retrieval.ranked_topn(
+        retrieval.bm25_scores(docs, _RRF_TERMS), "bm25", top_n=_RRF_TOPN
+    )
+    cos = retrieval.ranked_topn(
+        retrieval.tfidf_query_scores(docs, _RRF_TERMS), "score", top_n=_RRF_TOPN
+    )
     fused = retrieval.rrf_fuse([bm, cos], k=_RRF_K)
     return (
         fused.orderBy(F.desc("rrf"), "doc_id")
@@ -162,17 +151,54 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_terms(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def _cos_ctes() -> str:
+    # the TF-IDF pipeline (ti CTE) is imported from ext/contract — ONE
+    # definition tracks ext/text.tf_idf for the standalone per-term
+    # entry, the cosine-score entry, and the fused-ranking entry alike
+    from bq_duckdb_spark.ext.contract import TFIDF_ORACLE_CTES
+
+    return f"""{TFIDF_ORACLE_CTES},
+norms AS (
+    SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS nrm FROM ti GROUP BY doc_id
+),
+qnum AS (
+    SELECT doc_id, sum(tfidf) AS num FROM ti
+    WHERE term IN ({_sql_terms(_RRF_TERMS)}) GROUP BY doc_id
+),
+cos AS (
+    SELECT doc_id, round(num / nrm, 4) AS r4
+    FROM qnum JOIN norms USING (doc_id)
+)"""
+
+
+def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone per-doc TF-IDF cosine scores for the fusion query bag
+    — hash-pins the summed/normed score (not just the per-term values
+    text_tfidf pins), so any cross-engine drift in the cosine retriever
+    is localized here rather than surfacing as an opaque rank mismatch
+    inside q_rrf_fusion."""
+    docs = _t(spark, sf_dir, "documents")
+    out = retrieval.tfidf_query_scores(docs, _RRF_TERMS)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _tfidf_cosine_oracle() -> str:
+    return f"WITH {_cos_ctes()} SELECT doc_id, r4 AS score_r FROM cos"
+
+
 def _rrf_oracle() -> str:
-    # the BM25 pipeline (CTEs + score sum) is imported from tier-4 —
-    # ONE definition feeds both the standalone score entry and this
-    # fused-ranking entry, so the arithmetic cannot drift
+    # BM25 CTEs/score from tier-4, TF-IDF cosine CTEs from _cos_ctes —
+    # every formula in this oracle has exactly one definition
     from bq_duckdb_spark.contract_tier4 import (
         BM25_SCORE_FROM,
         BM25_SCORE_SUM,
         bm25_oracle_ctes,
     )
 
-    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
     return f"""
 WITH {bm25_oracle_ctes(_RRF_TERMS)},
 bm AS (
@@ -183,39 +209,7 @@ bm_rank AS (
     SELECT doc_id, row_number() OVER (ORDER BY r4 DESC, doc_id) AS rank
     FROM bm ORDER BY r4 DESC, doc_id LIMIT {_RRF_TOPN}
 ),
-exploded AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-    FROM documents
-),
-all_tc AS (
-    SELECT doc_id, term, count(*) AS term_count
-    FROM exploded GROUP BY doc_id, term
-),
-doc_lens AS (
-    SELECT doc_id, count(*) AS doc_len FROM exploded GROUP BY doc_id
-),
-all_df AS (
-    SELECT term, count(DISTINCT doc_id) AS df_t FROM all_tc GROUP BY term
-),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-ti AS (
-    SELECT dt.doc_id, dt.term,
-           (dt.term_count / CAST(dl.doc_len AS DOUBLE))
-               * ln(CAST(n.n_docs AS DOUBLE) / df.df_t) AS tfidf
-    FROM all_tc dt JOIN doc_lens dl USING (doc_id)
-    JOIN all_df df USING (term) CROSS JOIN n
-),
-norms AS (
-    SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS nrm FROM ti GROUP BY doc_id
-),
-qnum AS (
-    SELECT doc_id, sum(tfidf) AS num FROM ti
-    WHERE term IN ({terms}) GROUP BY doc_id
-),
-cos AS (
-    SELECT doc_id, round(num / nrm, 4) AS r4
-    FROM qnum JOIN norms USING (doc_id)
-),
+{_cos_ctes()},
 cos_rank AS (
     SELECT doc_id, row_number() OVER (ORDER BY r4 DESC, doc_id) AS rank
     FROM cos ORDER BY r4 DESC, doc_id LIMIT {_RRF_TOPN}
@@ -235,7 +229,10 @@ ORDER BY sum(CAST(1.0 AS DOUBLE) / ({_RRF_K} + rank)) DESC, doc_id LIMIT 20
 # asymmetric containment
 # ---------------------------------------------------------------------------
 
-_NUM_HASHES, _BANDS, _K = 32, 8, 3
+# LSH parameters come from contract_portable — its _sh_cte/_banded_cte
+# oracle builders are pinned to those same module constants, so Spark
+# side and oracle cannot disagree about the banding geometry
+from bq_duckdb_spark.ext.contract_portable import _BANDS, _K, _NUM_HASHES  # noqa: E402
 
 
 def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma": q_ewma,
         "q_incremental_agg": q_incremental_agg,
         "q_rrf_fusion": q_rrf_fusion,
+        "text_tfidf_cosine": text_tfidf_cosine,
         "text_containment": text_containment,
     }
 
@@ -288,5 +286,6 @@ def oracle_sql() -> dict[str, str]:
         "q_ewma": _Q_EWMA_ORACLE,
         "q_incremental_agg": _Q_INCREMENTAL_AGG_ORACLE,
         "q_rrf_fusion": _rrf_oracle(),
+        "text_tfidf_cosine": _tfidf_cosine_oracle(),
         "text_containment": _containment_oracle(),
     }

@@ -610,29 +610,39 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_TFIDF_ORACLE = """
-WITH exploded AS (
+# ONE definition of the DuckDB-side TF-IDF pipeline (CTE block + the
+# per-(doc, term) value expression), shared with the tier-7 entries
+# (RRF fusion, cosine scores) so the arithmetic tracking ext/text.tf_idf
+# cannot drift between oracles.
+
+TFIDF_ORACLE_CTES = """ti_exploded AS (
     SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
     FROM documents
 ),
-doc_terms AS (
-    SELECT doc_id, term, count(*) AS term_count FROM exploded GROUP BY doc_id, term
+ti_doc_terms AS (
+    SELECT doc_id, term, count(*) AS term_count FROM ti_exploded GROUP BY doc_id, term
 ),
-doc_lens AS (
-    SELECT doc_id, count(*) AS doc_len FROM exploded GROUP BY doc_id
+ti_doc_lens AS (
+    SELECT doc_id, count(*) AS doc_len FROM ti_exploded GROUP BY doc_id
 ),
-term_df AS (
-    SELECT term, count(DISTINCT doc_id) AS df_t FROM doc_terms GROUP BY term
+ti_term_df AS (
+    SELECT term, count(DISTINCT doc_id) AS df_t FROM ti_doc_terms GROUP BY term
 ),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
-SELECT dt.doc_id, dt.term,
-       round((dt.term_count / CAST(dl.doc_len AS DOUBLE))
-             * ln(CAST(n.n_docs AS DOUBLE) / df.df_t), 4) AS tfidf_r
-FROM doc_terms dt
-JOIN doc_lens dl USING (doc_id)
-JOIN term_df df USING (term)
-CROSS JOIN n
-"""
+ti_n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+ti AS (
+    SELECT dt.doc_id, dt.term,
+           (dt.term_count / CAST(dl.doc_len AS DOUBLE))
+               * ln(CAST(n.n_docs AS DOUBLE) / df.df_t) AS tfidf
+    FROM ti_doc_terms dt
+    JOIN ti_doc_lens dl USING (doc_id)
+    JOIN ti_term_df df USING (term)
+    CROSS JOIN ti_n n
+)"""
+
+_TEXT_TFIDF_ORACLE = (
+    f"WITH {TFIDF_ORACLE_CTES}\n"
+    "SELECT doc_id, term, round(tfidf, 4) AS tfidf_r FROM ti"
+)
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bq_duckdb_spark.ext.dedup_portable import P, char_poly_expr
 from bq_duckdb_spark.ext.text import _tokens
@@ -545,6 +546,27 @@ def rrf_fuse(
         F.sum(F.expr(f"CAST(1.0 AS DOUBLE) / ({k} + {rank_col})")).alias("rrf"),
         F.count(F.lit(1)).alias("n_lists"),
     )
+
+
+def ranked_topn(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """(id, rank) for the top-N of a scored frame — the list shape
+    rrf_fuse consumes. Ranks order by the 4dp-ROUNDED score with an id
+    tiebreak: rounded scores are what cross-engine oracles can pin
+    exactly, so two engines building this list order identically. The
+    truncation compiles to TakeOrderedAndProject; the rank window then
+    runs over the N survivors, never the corpus."""
+    top = (
+        df.withColumn("__r4", F.round(score_col, 4))
+        .orderBy(F.desc("__r4"), id_col)
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("__r4"), id_col)
+    return top.withColumn("rank", F.row_number().over(w)).select(id_col, "rank")
 
 
 def tfidf_query_scores(

@@ -27,7 +27,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
@@ -40,19 +39,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = load_table(spark, sf_dir, "documents")
     query = ["join", "window", "customer"]
 
-    def ranked(df, score_col):
-        top = (
-            df.withColumn("__r", F.round(score_col, 4))
-            .orderBy(F.desc("__r"), "doc_id")
-            .limit(100)
-        )
-        w = Window.orderBy(F.desc("__r"), "doc_id")
-        return top.withColumn("rank", F.row_number().over(w)).select(
-            "doc_id", "rank"
-        )
-
-    bm = ranked(retrieval.bm25_scores(docs, query), "bm25")
-    cos = ranked(retrieval.tfidf_query_scores(docs, query), "score")
+    bm = retrieval.ranked_topn(retrieval.bm25_scores(docs, query), "bm25")
+    cos = retrieval.ranked_topn(
+        retrieval.tfidf_query_scores(docs, query), "score"
+    )
     fused = (
         retrieval.rrf_fuse([bm, cos], k=60)
         .orderBy(F.desc("rrf"), "doc_id")
@@ -66,10 +56,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # SERP hygiene: a hit that is a near-subset of a higher-ranked hit
     # adds no information — flag containment pairs among the top hits
     hits = docs.join(fused.select("doc_id"), "doc_id")
-    dups = portable_containment_pairs(hits, "text", "doc_id", threshold=0.7)
-    n = dups.count()
-    print(f"== containment pairs among top-20: {n} ==")
-    for r in dups.limit(5).collect():
+    dups = portable_containment_pairs(
+        hits, "text", "doc_id", threshold=0.7
+    ).collect()
+    print(f"== containment pairs among top-20: {len(dups)} ==")
+    for r in dups[:5]:
         print(
             f"  {r.id_a} ⊇/⊆ {r.id_b}: "
             f"a_in_b={r.containment_a:.2f} b_in_a={r.containment_b:.2f}"
