@@ -41,6 +41,24 @@ def test_q05_broadcasts_dimensions(q):
     assert a.sortmerge_joins == 0, "no SMJ expected at this scale"
 
 
+def test_fact_fact_edge_never_broadcasts_lineitem(q):
+    # q03/q05 pin orders⋈lineitem to a shuffled hash join: small-SF size
+    # estimates would otherwise broadcast lineitem itself (single-task
+    # hash build locally, OOM shape at scale). Guard against a silent
+    # revert of the hint.
+    for name in ("q03_shipping_priority", "q05_local_supplier"):
+        a = audit_plan(q(name))
+        assert "ShuffledHashJoin" in a.formatted, name
+        # no BroadcastExchange whose OWN input schema carries lineitem's
+        # revenue columns — only dims may broadcast (the first Input
+        # line after the node header is that exchange's input)
+        for seg in a.formatted.split("BroadcastExchange")[1:]:
+            inp = next(
+                (ln for ln in seg.splitlines() if ln.startswith("Input")), ""
+            )
+            assert "l_extendedprice" not in inp, (name, inp)
+
+
 def test_map_only_query_has_no_exchange(q):
     a = audit_plan(q("q_filter_case"))
     assert a.exchanges == 0, f"map-only pipeline must not shuffle\n{a.formatted}"
