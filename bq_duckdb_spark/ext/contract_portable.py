@@ -39,6 +39,23 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups under PRECISE multi-block banding — the
+    at-scale scheme (Manku/Jain/Sarma WWW'07 multi-table construction):
+    6 blocks of the fingerprint, one band per 3-block combination
+    (C(6,3)=20 bands, ~14-bit packed keys on the 28-bit portable
+    fingerprint; ~33-bit on the production 64-bit one). Versus the
+    4-chunk scheme's 2^7-value buckets, random co-bucketing collapses,
+    so candidate pairs — and wall time — stay ~linear in corpus size;
+    the pigeonhole guarantee (every pair within Hamming 3 shares a
+    band) is preserved, and this entry's oracle proves the pair set is
+    IDENTICAL to brute force at this corpus. Same banding core as
+    dedup.simhash_near_dup_pairs(n_blocks=6)."""
+    return dp.portable_simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3, chunks=6
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def dedup_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over portable-minhash candidates."""
     return dp.portable_jaccard_pairs(
@@ -122,6 +139,36 @@ def _simhash_oracle() -> str:
         f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
         f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
         f"FROM ch a JOIN ch b USING (chunk, val) "
+        f"WHERE a.doc_id < b.doc_id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+
+def _simhash_blocked_oracle(cap: int = 1000) -> str:
+    """Mirror of the 6-block banding: band keys, caps, and the verify are
+    generated from the SAME layout/combo/pack builders the Spark
+    operator uses (ext/dedup.py) — pure >>/&/*/+ arithmetic both
+    engines evaluate identically."""
+    from bq_duckdb_spark.ext.dedup import band_combos, band_key_exprs, block_layout
+
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    poly = dp.char_poly_expr("t", "duckdb")
+    fp = dp.simhash_expr("th", 28, "duckdb")
+    combos = band_combos(6, 3)
+    keys = ", ".join(band_key_exprs("simhash", block_layout(28, 6), combos))
+    return (
+        f"WITH th AS (SELECT doc_id, "
+        f"list_transform({toks}, t -> {poly}) AS th FROM documents), "
+        f"fp AS (SELECT doc_id, {fp} AS simhash FROM th), "
+        f"keyed AS (SELECT doc_id, simhash, [{keys}] AS keys FROM fp), "
+        f"banded AS (SELECT doc_id, simhash, u.band, keys[u.band + 1] AS key "
+        f"FROM keyed, UNNEST(range(0, {len(combos)})) AS u(band) "
+        # mirrors the operator's max_bucket cap (smallest ids kept per bucket)
+        f"QUALIFY row_number() OVER (PARTITION BY u.band, keys[u.band + 1] "
+        f"ORDER BY doc_id) <= {cap}) "
+        f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        f"FROM banded a JOIN banded b USING (band, key) "
         f"WHERE a.doc_id < b.doc_id "
         f"AND bit_count(xor(a.simhash, b.simhash)) <= 3"
     )
@@ -308,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_leakage_free_split": pipe_leakage_free_split,
         "dedup_minhash_portable": dedup_minhash_portable,
         "dedup_simhash_portable": dedup_simhash_portable,
+        "dedup_simhash_blocked": dedup_simhash_blocked,
         "dedup_jaccard_portable": dedup_jaccard_portable,
         "dedup_text_clusters": dedup_text_clusters,
         "dedup_incremental": dedup_incremental,
@@ -320,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_leakage_free_split": _leakage_free_split_oracle(),
         "dedup_minhash_portable": _minhash_oracle(),
         "dedup_simhash_portable": _simhash_oracle(),
+        "dedup_simhash_blocked": _simhash_blocked_oracle(),
         "dedup_jaccard_portable": _jaccard_oracle(),
         "dedup_text_clusters": _text_clusters_oracle(),
         "dedup_incremental": _incremental_oracle(),

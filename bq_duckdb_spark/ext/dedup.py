@@ -18,6 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import numpy as np
@@ -600,40 +601,150 @@ def embedding_near_dup_pairs(
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+# ---------------------------------------------------------------------------
+# multi-block pigeonhole banding (shared by the xxhash64 and portable
+# SimHash paths)
+# ---------------------------------------------------------------------------
+#
+# The pigeonhole guarantee generalizes: split an nbits fingerprint into
+# n_blocks blocks; a pair within Hamming distance h has at most h dirty
+# blocks, so its (n_blocks - h) clean blocks contain SOME (n_blocks - h)-
+# subset — band on every such subset and no true pair is missed. The
+# n_blocks = h + 1 case is the classic "agree on one chunk" scheme; LARGER
+# n_blocks trades band count (C(n_blocks, n_blocks - h) exploded rows per
+# doc) for exponentially wider bucket keys. For 64-bit / h=3: 4 blocks
+# gives 4 bands keyed on 16 bits (2^16 buckets — random collisions grow
+# candidate pairs ~ n^2 / 2^16, the measured superlinear wall-time growth
+# in SCALING_r6), while 6 blocks gives C(6,3)=20 bands keyed on ~33 bits
+# (2^33 buckets — random collisions are negligible at any realistic
+# corpus, candidates ~ true near-dups only). This is the multi-table
+# construction from Manku, Jain & Sarma, "Detecting Near-Duplicates for
+# Web Crawling" (WWW'07), expressed as one (band, key) shuffle instead of
+# sorted permuted tables.
+#
+# All expression builders below emit arithmetic valid in BOTH Spark SQL
+# and DuckDB (>>, &, *, +, CASE) so the DuckDB oracles are generated from
+# the same definitions (see ext/contract_portable.py).
+
+
+def block_layout(nbits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(bit offset, width) per block — wider blocks take the LOW offsets;
+    when widths divide evenly this reproduces the legacy chunk layout
+    (block c at offset c * width) bit for bit."""
+    base, extra = divmod(nbits, n_blocks)
+    widths = [base + 1] * extra + [base] * (n_blocks - extra)
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
+def band_combos(n_blocks: int, max_hamming: int) -> list[tuple[int, ...]]:
+    """All (n_blocks - max_hamming)-subsets of blocks, lexicographic —
+    one band per subset. Clamped to 1-block bands when max_hamming >=
+    n_blocks: the pigeonhole guarantee then no longer holds (a pair can
+    differ in every block) and recall is best-effort — the legacy
+    chunk-scheme behavior for out-of-design thresholds."""
+    keep = max(1, n_blocks - max_hamming)
+    return list(itertools.combinations(range(n_blocks), keep))
+
+
+def first_band_lookup(combos: list[tuple[int, ...]], n_blocks: int) -> list[int]:
+    """bitmap (bit i set = block i clean) -> index of the FIRST band whose
+    blocks are all clean, -1 if none — the emit-once rule as a flat
+    2^n_blocks lookup evaluated in-bucket from the xor."""
+    out = []
+    for bm in range(1 << n_blocks):
+        first = -1
+        for ci, c in enumerate(combos):
+            if all((bm >> i) & 1 for i in c):
+                first = ci
+                break
+        out.append(first)
+    return out
+
+
+def _block_val(fp: str, off: int, width: int) -> str:
+    # >> is arithmetic in both engines; the mask truncates the sign fill,
+    # so signed fingerprints (xxhash64) extract correctly at any offset
+    return f"(({fp} >> {off}) & {(1 << width) - 1})"
+
+
+def band_key_exprs(
+    fp: str, layout: list[tuple[int, int]], combos: list[tuple[int, ...]]
+) -> list[str]:
+    """One bucket-key expression per band: the band's block values packed
+    into a single BIGINT (low block in the low bits) — deterministic,
+    collision-free, and plain */+ arithmetic both engines fold."""
+    keys = []
+    for c in combos:
+        if sum(layout[i][1] for i in c) > 62:
+            raise ValueError("band key wider than a signed 64-bit pack")
+        parts, shift = [], 0
+        for i in reversed(c):
+            off, w = layout[i]
+            parts.append(f"{_block_val(fp, off, w)} * {1 << shift}")
+            shift += w
+        keys.append(" + ".join(reversed(parts)))
+    return keys
+
+
+def clean_bitmap_expr(x: str, layout: list[tuple[int, int]]) -> str:
+    """Bitmap of zero-xor blocks from the pair's xor ``x``."""
+    return " + ".join(
+        f"(CASE WHEN {_block_val(x, off, w)} = 0 THEN {1 << i} ELSE 0 END)"
+        for i, (off, w) in enumerate(layout)
+    )
+
+
+def blocked_pairs_from_fp(
+    sh: DataFrame,
+    id_col: str,
+    nbits: int,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
     max_bucket: int = 1000,
+    emit: str = "first_band",
 ) -> DataFrame:
-    """Near-dup id-pairs with Hamming(simhash) <= max_hamming.
+    """(id_a, id_b, hamming) for every pair within ``max_hamming`` on a
+    precomputed ``simhash`` column — the banding core both SimHash paths
+    share.
 
-    Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
-    chunks — any pair within Hamming distance 3 must agree on at least
-    one chunk — ONE shuffle on (chunk_idx, chunk_value) into per-bucket
-    (id, simhash) lists, pairs expanded in-bucket, then verified with
-    bit_count(xor). No all-pairs comparison, no self-join (the simhash
-    UDF would run once per join side), no persist (leaks storage in a
-    long-lived session). ``max_bucket`` caps pathological buckets.
+    ONE shuffle on (band, key) into per-bucket sorted (id, simhash)
+    lists, pairs expanded in-bucket, verified with bit_count(xor); never
+    an all-pairs join, nothing persisted, ``max_bucket`` caps
+    pathological buckets deterministically (smallest ids kept).
 
-    A pair agreeing on several chunks would surface once per chunk; it
-    is emitted ONLY from its lowest agreeing chunk (first-matching-band
-    rule, decided in-bucket from the xor) — exact dedup with NO distinct
-    shuffle over the candidate-pair set, which at corpus scale is the
-    difference between one exchange and two.
+    ``emit="first_band"``: a pair co-bucketed in several bands is emitted
+    ONLY from its first fully-clean band (decided in-bucket from the xor
+    via a flat lookup) — exact dedup with NO distinct shuffle over the
+    pair set. ``emit="distinct"``: a trailing distinct instead — the
+    portable oracle-mirrored variant (a cap that drops a pair from its
+    first-clean band's bucket but not another's then still emits it,
+    matching a DISTINCT-over-all-bands oracle).
     """
-    sh = with_simhash64(widen_small_scan(df), text_col).select(F.col(id_col), "simhash")
-    chunked = sh.select(
+    layout = block_layout(nbits, n_blocks)
+    combos = band_combos(n_blocks, max_hamming)
+    # assembled with F.array/F.struct (not one parsed "array(...)" string):
+    # Spark's parser reads "array(" as a possible ARRAY<type> constructor
+    # and chokes on the >> inside — the column constructors skip the
+    # ambiguity while the key expressions stay engine-neutral strings
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band"), F.expr(k).alias("key"))
+        for i, k in enumerate(band_key_exprs("simhash", layout, combos))
+    ])
+    banded = sh.select(
         id_col,
         "simhash",
-        F.explode_outer(  # never-empty computed array; see banding comment
-            F.expr(
-                "transform(sequence(0, 3), "
-                "c -> named_struct('chunk', c, 'val', "
-                "shiftright(simhash, c * 16) & 65535))"
-            )
-        ).alias("cc"),
-    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+        # explode_outer: see the banding comment in minhash_candidate_pairs
+        F.explode_outer(band_structs).alias("bb"),
+    ).select(
+        id_col, "simhash",
+        F.col("bb.band").alias("band"), F.col("bb.key").alias("key"),
+    )
     bucketed = (
-        chunked.groupBy("chunk", "val")
+        banded.groupBy("band", "key")
         .agg(
             F.slice(
                 F.array_sort(
@@ -651,22 +762,45 @@ def simhash_near_dup_pairs(
         "y -> named_struct('id_a', element_at(xs, i).id, 'id_b', y.id, "
         "'x', element_at(xs, i).simhash ^ y.simhash))))"
     )
-    # first-matching-band rule: the pair's lowest agreeing 16-bit chunk,
-    # computed from the xor we already have in-bucket. Both the hamming
-    # threshold and the emit-once decision resolve BEFORE any further
-    # exchange — the former .distinct() over the pair set is gone.
-    first_agreeing = (
-        "CASE WHEN (p.x & 65535) = 0 THEN 0 "
-        "WHEN (shiftright(p.x, 16) & 65535) = 0 THEN 1 "
-        "WHEN (shiftright(p.x, 32) & 65535) = 0 THEN 2 ELSE 3 END"
-    )
-    return (
-        bucketed.select(F.col("chunk"), F.explode_outer(F.expr(pair)).alias("p"))
-        .filter(
-            (F.expr("bit_count(p.x)") <= max_hamming)
-            & (F.col("chunk") == F.expr(first_agreeing))
+    out = bucketed.select(
+        "band", F.explode_outer(F.expr(pair)).alias("p")
+    ).filter(F.expr("bit_count(p.x)") <= max_hamming)
+    if emit == "first_band":
+        # F.element_at over a literal array for the same parser reason as
+        # band_structs above (the bitmap expression contains >>)
+        lookup = first_band_lookup(combos, n_blocks)
+        bm = clean_bitmap_expr("p.x", layout)
+        out = out.filter(
+            F.col("band")
+            == F.element_at(
+                F.array(*[F.lit(v) for v in lookup]), F.expr(bm).cast("int") + 1
+            )
         )
-        .select("p.id_a", "p.id_b", F.expr("bit_count(p.x)").alias("hamming"))
+        return out.select("p.id_a", "p.id_b", F.expr("bit_count(p.x)").alias("hamming"))
+    return (
+        out.select("p.id_a", "p.id_b", F.expr("bit_count(p.x)").alias("hamming"))
+        .distinct()
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    max_bucket: int = 1000, n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup id-pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding over the 64-bit fingerprint (see
+    :func:`blocked_pairs_from_fp`): ``n_blocks=4`` is the classic
+    agree-on-one-16-bit-chunk scheme — fewest exploded rows, right for
+    small/medium corpora; ``n_blocks=6`` bands every 3-block combination
+    (C(6,3)=20 bands, ~33-bit keys) — 5x the banding rows but random
+    bucket collisions vanish, which is what keeps candidate pairs (and
+    wall time) LINEAR in corpus size at web scale. Both emit each pair
+    exactly once from its first clean band — no distinct shuffle.
+    """
+    sh = with_simhash64(widen_small_scan(df), text_col).select(F.col(id_col), "simhash")
+    return blocked_pairs_from_fp(
+        sh, id_col, 64, max_hamming, n_blocks, max_bucket, emit="first_band"
     )
 
 

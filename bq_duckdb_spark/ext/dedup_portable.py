@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from bq_duckdb_spark.ext.dedup import (
     _bucket_pairs_expr,
     _minhash_coeffs,
+    blocked_pairs_from_fp,
     widen_small_scan,
 )
 
@@ -238,11 +239,15 @@ def portable_simhash_pairs(
     chunks: int = 4,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """SimHash near-dup pairs, portable-hash family: 28-bit fingerprint
-    (7-bit x 4 pigeonhole chunks — any pair within Hamming 3 agrees on
-    some chunk), bit_count(xor) verify. Same one-shuffle bucket shape as
-    dedup.simhash_near_dup_pairs."""
-    cbits = nbits // chunks
+    """SimHash near-dup pairs, portable-hash family: ``nbits``-bit
+    fingerprint banded by :func:`dedup.blocked_pairs_from_fp`.
+    ``chunks=4`` is the classic one-clean-chunk scheme (7-bit keys at 28
+    bits — tiny bucket space, fine for modest corpora); ``chunks=6``
+    bands every 3-block combination (C(6,3)=20 bands, ~14-bit packed
+    keys) — the precise scheme whose candidates stay ~linear in corpus
+    size (see the banding notes in ext/dedup.py). Trailing DISTINCT
+    (not the first-clean-band rule) so the DuckDB oracle mirrors as a
+    plain DISTINCT over all band joins."""
     th = f"transform(split(trim({text_col}), '\\\\s+'), t -> {char_poly_expr('t', 'spark')})"
     fp = simhash_expr("__th", nbits, "spark")
     sh = (
@@ -250,41 +255,8 @@ def portable_simhash_pairs(
         .withColumn("simhash", F.expr(fp))
         .select(id_col, "simhash")
     )
-    chunked = sh.select(
-        id_col,
-        "simhash",
-        F.explode_outer(
-            F.expr(
-                f"transform(sequence(0, {chunks - 1}), "
-                f"c -> named_struct('chunk', c, 'val', "
-                f"(simhash >> (c * {cbits})) & {(1 << cbits) - 1}))"
-            )
-        ).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk", "cc.val")
-    bucketed = (
-        chunked.groupBy("chunk", "val")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
-                ),
-                1,
-                max_bucket,
-            ).alias("xs")
-        )
-        .filter(F.size("xs") > 1)
-    )
-    pair = (
-        "flatten(transform(sequence(1, size(xs) - 1), "
-        "i -> transform(slice(xs, i + 1, size(xs) - i), "
-        "y -> named_struct('id_a', element_at(xs, i).id, 'id_b', y.id, "
-        "'hamming', bit_count(element_at(xs, i).simhash ^ y.simhash)))))"
-    )
-    return (
-        bucketed.select(F.explode_outer(F.expr(pair)).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return blocked_pairs_from_fp(
+        sh, id_col, nbits, max_hamming, chunks, max_bucket, emit="distinct"
     )
 
 

@@ -66,6 +66,91 @@ def test_simhash_deterministic(docs):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+# --- multi-block banding (the precise at-scale scheme) ----------------------
+
+
+def test_block_layout_reproduces_chunk_scheme():
+    # even split: block c at offset c*width — bit-identical to the legacy
+    # chunk layout
+    assert dedup.block_layout(64, 4) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+    assert dedup.block_layout(28, 4) == [(0, 7), (7, 7), (14, 7), (21, 7)]
+    # uneven split: wider blocks take the low offsets, widths sum to nbits
+    assert dedup.block_layout(28, 6) == [
+        (0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4)
+    ]
+    assert dedup.block_layout(64, 6) == [
+        (0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)
+    ]
+
+
+def test_band_combos_and_first_band_lookup():
+    combos = dedup.band_combos(6, 3)
+    assert len(combos) == 20 and combos[0] == (0, 1, 2)
+    # h >= n_blocks clamps to best-effort single-block bands (legacy
+    # behavior for out-of-design thresholds)
+    assert dedup.band_combos(4, 10) == [(0,), (1,), (2,), (3,)]
+    lut = dedup.first_band_lookup(combos, 6)
+    assert len(lut) == 64
+    assert lut[0] == -1  # no clean blocks -> no band
+    assert lut[0b000111] == 0  # blocks {0,1,2} clean -> first combo
+    assert lut[0b111111] == 0  # everything clean -> still the first combo
+    assert lut[0b111000] == combos.index((3, 4, 5))  # only the last combo fits
+
+
+def test_simhash_blocked_pair_set_equals_chunk_scheme(docs):
+    # both schemes are exact for hamming <= 3 (pigeonhole), so the pair
+    # sets must be IDENTICAL — the 6-block scheme only removes random
+    # bucket collisions, never true pairs
+    a = sorted(
+        map(tuple, dedup.simhash_near_dup_pairs(docs, "text", "doc_id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.simhash_near_dup_pairs(docs, "text", "doc_id", n_blocks=6).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def _random_candidate_count(spark, fps, nbits, n_blocks, h):
+    """Sum of C(bucket, 2) over all (band, key) buckets — the in-bucket
+    pair-expansion work the verify stage must then filter."""
+    layout = dedup.block_layout(nbits, n_blocks)
+    keys = dedup.band_key_exprs("simhash", layout, dedup.band_combos(n_blocks, h))
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "id long, simhash long"
+    )
+    banded = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.expr(k).alias("key"))
+                for i, k in enumerate(keys)
+            ])
+        ).alias("bb")
+    ).select("bb.band", "bb.key")
+    return sum(
+        r["count"] * (r["count"] - 1) // 2
+        for r in banded.groupBy("band", "key").count().collect()
+    )
+
+
+def test_blocked_banding_collapses_random_collisions(spark):
+    # 2000 random 64-bit fingerprints (seeded — fully deterministic): the
+    # 4x16-bit scheme accrues ~C(2000,2)*4/2^16 ≈ 120 random co-bucketed
+    # pairs (and the count QUADRUPLES with every corpus doubling — the
+    # superlinear growth SCALING_r6 measured), while the 6-block scheme's
+    # ~2^33-value keys make random collisions vanish at 5x the bands
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    fps = [rng.getrandbits(64) - (1 << 63) for _ in range(2000)]
+    chunk = _random_candidate_count(spark, fps, 64, 4, 3)
+    blocked = _random_candidate_count(spark, fps, 64, 6, 3)
+    assert chunk > 50  # the quadratic collision term is already real
+    assert blocked == 0  # and the precise scheme has erased it
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     import math

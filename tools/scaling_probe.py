@@ -125,6 +125,12 @@ def main() -> None:
             "simhash_pairs": lambda: dedup.simhash_near_dup_pairs(
                 docs, "text", "doc_id"
             ),
+            # the precise 6-block scheme: 5x the banding rows, but random
+            # bucket collisions (the superlinear term in simhash_pairs's
+            # growth) vanish — growth should track the corpus, not its square
+            "simhash_blocked": lambda: dedup.simhash_near_dup_pairs(
+                docs, "text", "doc_id", n_blocks=6
+            ),
             "tfidf": lambda: text.tf_idf(docs),
             "bigram_lm": lambda: text.ngram_lm_score(docs),
             "quality": lambda: text.with_quality_scores(docs),
