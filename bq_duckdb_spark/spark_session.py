@@ -16,6 +16,7 @@ def get_spark(
     app_name: str = "bq-duckdb-spark",
     cpus: str | int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard config.
 
@@ -50,6 +51,12 @@ def get_spark(
         # loaded as a long of epoch-nanos and converted at the edge.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # build-time-only settings (e.g. the event log for shuffle telemetry)
+    # — getOrCreate() ignores these on an already-running session, so
+    # callers needing them must be the first to build (tools run
+    # standalone and are)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
