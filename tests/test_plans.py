@@ -59,6 +59,46 @@ def test_fact_fact_edge_never_broadcasts_lineitem(q):
             assert "l_extendedprice" not in inp, (name, inp)
 
 
+def test_runtime_bloom_filter_engages_on_shuffled_fact_join(q, spark):
+    # At 100 TB the filtered orders side of a fact-fact join is far too
+    # big to broadcast, so the join shuffles — and Spark's runtime bloom
+    # filter (on by default, gated behind a 10 GB application-side scan
+    # threshold) then injects a might_contain prefilter into the lineitem
+    # side, cutting the dominant shuffle ~selectivity-fold. Recreate the
+    # at-scale conditions (no broadcast, thresholds relaxed) and pin that
+    # the injection actually fires on our join shape AND that results are
+    # unchanged — if a future hint or rewrite broke eligibility, this is
+    # the only place that would notice.
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        "o_orderdate >= DATE'1994-01-01' AND o_orderdate < DATE'1994-04-01'"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = sorted(map(tuple, joined.collect()))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_map_only_query_has_no_exchange(q):
     a = audit_plan(q("q_filter_case"))
     assert a.exchanges == 0, f"map-only pipeline must not shuffle\n{a.formatted}"
