@@ -13,6 +13,63 @@ from pyspark.sql import functions as F
 
 from bq_duckdb_spark.ext import dedup, pipeline
 
+# fingerprint corpora biased toward near-duplicates: a few random bases,
+# each with mutants within (and just beyond) typical Hamming thresholds
+_fp_corpora = st.lists(
+    st.integers(0, (1 << 64) - 1), min_size=2, max_size=5
+).flatmap(
+    lambda bases: st.lists(
+        st.tuples(
+            st.sampled_from(bases),
+            st.lists(st.integers(0, 63), min_size=0, max_size=5, unique=True),
+        ),
+        min_size=2,
+        max_size=14,
+    ).map(
+        lambda muts: [
+            base ^ sum(1 << b for b in bits) for base, bits in muts
+        ]
+    )
+)
+
+
+@given(
+    fps=_fp_corpora,
+    n_blocks=st.sampled_from([4, 5, 6]),
+    h=st.sampled_from([1, 2, 3]),
+    emit=st.sampled_from(["first_band", "distinct"]),
+)
+@settings(**{
+    "max_examples": 10,
+    "deadline": None,
+    "suppress_health_check": [
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+})
+def test_blocked_banding_equals_brute_force(spark, fps, n_blocks, h, emit):
+    """Any block count / threshold / emit mode: the banded pair set must
+    equal brute-force Hamming comparison, with every pair emitted exactly
+    once — the pigeonhole guarantee and the emit-once rule, on arbitrary
+    near-dup-heavy fingerprint corpora."""
+    signed = [f - (1 << 64) if f >= (1 << 63) else f for f in fps]
+    sh = spark.createDataFrame(
+        list(enumerate(signed)), "id long, simhash long"
+    )
+    got = [
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.blocked_pairs_from_fp(
+            sh, "id", 64, max_hamming=h, n_blocks=n_blocks, emit=emit
+        ).collect()
+    ]
+    want = sorted(
+        (i, j, (fps[i] ^ fps[j]).bit_count())
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if (fps[i] ^ fps[j]).bit_count() <= h
+    )
+    assert len(got) == len(set(got)), "a pair was emitted twice"
+    assert sorted(got) == want
+
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,
