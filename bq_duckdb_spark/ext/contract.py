@@ -54,9 +54,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit-chunk pigeonhole banding."""
+    """SimHash near-dup pairs, pinned to the 4-chunk banding so the
+    oracle mirror is deterministic (the operator's size-adaptive default
+    would pick the same scheme at every test SF; the 6-block at-scale
+    scheme is oracle-pinned by dedup_simhash_blocked — the banding core
+    is shared, so together the hash family and both schemes are
+    value-checked)."""
     return dedup.simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3, n_blocks=4
     )
 
 
@@ -1042,9 +1047,10 @@ def _xx_minhash_oracle() -> str:
 
 
 def _xx_simhash_oracle() -> str:
+    # n_blocks=4 matches the entry's pinned scheme (see dedup_simhash)
     from bq_duckdb_spark.ext.xx_oracles import simhash_oracle
 
-    return simhash_oracle()
+    return simhash_oracle(n_blocks=4)
 
 
 def _xx_jaccard_oracle() -> str:

@@ -33,6 +33,32 @@ from pyspark.sql.types import ArrayType, LongType
 # ---------------------------------------------------------------------------
 
 
+def local_input_bytes(df: DataFrame, files: list[str] | None = None) -> int | None:
+    """Total on-disk bytes of ``df``'s source files when every one is a
+    statable LOCAL file, else None (remote object store, non-file source,
+    or stat failure) — a driver-side, no-Spark-job size probe shared by
+    the scan-widening and banding-scheme heuristics. None means "assume
+    the at-scale path"."""
+    if files is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return None
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            path = f[len("file://"):] if f.startswith("file://") else f[len("file:"):]
+        elif "://" not in f:
+            path = f
+        else:
+            return None
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
 def widen_small_scan(
     df: DataFrame,
     target: int | None = None,
@@ -69,18 +95,9 @@ def widen_small_scan(
         return df
     if not files or len(files) >= target:
         return df
-    total = 0
-    for f in files:
-        if f.startswith("file:"):
-            path = f[len("file://"):] if f.startswith("file://") else f[len("file:"):]
-        elif "://" not in f:
-            path = f
-        else:  # remote object store: the scale path — leave untouched
-            return df
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return df
+    total = local_input_bytes(df, files)
+    if total is None:  # remote object store / unstatable: the scale path
+        return df
     max_pb = int(
         str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         .lower().rstrip("b")
@@ -785,19 +802,30 @@ def blocked_pairs_from_fp(
 
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
-    max_bucket: int = 1000, n_blocks: int = 4,
+    max_bucket: int = 1000, n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup id-pairs with Hamming(simhash) <= max_hamming.
 
     Pigeonhole banding over the 64-bit fingerprint (see
-    :func:`blocked_pairs_from_fp`): ``n_blocks=4`` is the classic
-    agree-on-one-16-bit-chunk scheme — fewest exploded rows, right for
-    small/medium corpora; ``n_blocks=6`` bands every 3-block combination
-    (C(6,3)=20 bands, ~33-bit keys) — 5x the banding rows but random
-    bucket collisions vanish, which is what keeps candidate pairs (and
-    wall time) LINEAR in corpus size at web scale. Both emit each pair
+    :func:`blocked_pairs_from_fp`). ``n_blocks=4`` is the classic
+    agree-on-one-16-bit-chunk scheme — fewest exploded rows, but its
+    2^16-value buckets accrue random collisions, so candidate pairs
+    grow ~n^2/2^16: superlinear wall time once the corpus passes a few
+    thousand docs. ``n_blocks=6`` bands every 3-block combination
+    (C(6,3)=20 bands, ~33-bit keys): 5x the banding rows, but random
+    collisions vanish and growth stays LINEAR — measured (SCALING_r7):
+    ~equal at 5k docs, 2.8x faster at 125k, growth 1.5x vs 2.2x per 5x
+    data. The default (None) picks 4 only for a statably-tiny local
+    corpus (< 4 MB source bytes, under the measured crossover) and 6
+    everywhere else — including any remote/unstatable source, which is
+    by definition the at-scale path. The choice is plan-only: both
+    schemes emit the IDENTICAL pair set (pigeonhole-exact; modulo
+    ``max_bucket`` cap edges on pathological mega-buckets), each pair
     exactly once from its first clean band — no distinct shuffle.
     """
+    if n_blocks is None:
+        sz = local_input_bytes(df)
+        n_blocks = 4 if sz is not None and sz < (4 << 20) else 6
     sh = with_simhash64(widen_small_scan(df), text_col).select(F.col(id_col), "simhash")
     return blocked_pairs_from_fp(
         sh, id_col, 64, max_hamming, n_blocks, max_bucket, emit="first_band"

@@ -32,44 +32,56 @@ def _tok_hash_ctes(chain_name: str = "tok") -> xo.StageChain:
     return ch
 
 
-def simhash_oracle(max_hamming: int = 3, max_bucket: int = 1000) -> str:
+def simhash_oracle(
+    max_hamming: int = 3, max_bucket: int = 1000, n_blocks: int = 6
+) -> str:
     """dedup_simhash: 64-bit vote fingerprint over token xxhash64s,
-    16-bit-chunk pigeonhole banding, first-matching-chunk emission —
-    the Spark operator's exact arithmetic (ext/dedup.py
-    simhash_near_dup_pairs)."""
+    multi-block pigeonhole banding, first-clean-band emission — the
+    Spark operator's exact arithmetic (ext/dedup.py
+    simhash_near_dup_pairs), with the band keys, cap, and emit-once
+    lookup generated from the SAME layout/combo builders."""
+    from bq_duckdb_spark.ext.dedup import (
+        band_combos,
+        band_key_exprs,
+        block_layout,
+        clean_bitmap_expr,
+        first_band_lookup,
+    )
+
     ch = _tok_hash_ctes()
     bits = " + ".join(
         f"CASE WHEN 2 * sum((th >> {b}) & 1) > count(*) "
         f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
         for b in range(64)
     )
-    first_chunk = (
-        "CASE WHEN (x & 65535) = 0 THEN 0 "
-        "WHEN ((x >> 16) & 65535) = 0 THEN 1 "
-        "WHEN ((x >> 32) & 65535) = 0 THEN 2 ELSE 3 END"
-    )
+    layout = block_layout(64, n_blocks)
+    combos = band_combos(n_blocks, max_hamming)
+    keys = ", ".join(band_key_exprs("simhash", layout, combos))
+    lookup = ", ".join(map(str, first_band_lookup(combos, n_blocks)))
+    bm = clean_bitmap_expr("x", layout)
     return f"""
 WITH {ch.render_ctes()},
 fp AS MATERIALIZED (
     SELECT doc_id, {xo.signed(f"({bits})")} AS simhash
     FROM {ch.cur} GROUP BY doc_id
 ),
-ch_ AS MATERIALIZED (
-    SELECT doc_id, simhash, u.c AS chunk,
-           (simhash >> (u.c * 16)) & 65535 AS val
-    FROM fp, unnest([0, 1, 2, 3]) AS u(c)
-    QUALIFY row_number() OVER (PARTITION BY u.c,
-        (simhash >> (u.c * 16)) & 65535 ORDER BY doc_id) <= {max_bucket}
+banded AS MATERIALIZED (
+    SELECT doc_id, simhash, u.band, keys[u.band + 1] AS key
+    FROM (SELECT doc_id, simhash, [{keys}] AS keys FROM fp),
+         unnest(range(0, {len(combos)})) AS u(band)
+    QUALIFY row_number() OVER (PARTITION BY u.band, keys[u.band + 1]
+        ORDER BY doc_id) <= {max_bucket}
 ),
 pairs AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.chunk,
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band,
            xor(a.simhash, b.simhash) AS x
-    FROM ch_ a JOIN ch_ b USING (chunk, val)
+    FROM banded a JOIN banded b USING (band, key)
     WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(x) AS hamming
 FROM pairs
-WHERE bit_count(x) <= {max_hamming} AND chunk = {first_chunk}
+WHERE bit_count(x) <= {max_hamming}
+  AND band = ([{lookup}])[({bm}) + 1]
 """
 
 

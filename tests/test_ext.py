@@ -99,16 +99,16 @@ def test_band_combos_and_first_band_lookup():
 
 def test_simhash_blocked_pair_set_equals_chunk_scheme(docs):
     # both schemes are exact for hamming <= 3 (pigeonhole), so the pair
-    # sets must be IDENTICAL — the 6-block scheme only removes random
-    # bucket collisions, never true pairs
+    # sets must be IDENTICAL — the 6-block default only removes random
+    # bucket collisions vs the legacy 4-chunk scheme, never true pairs
     a = sorted(
-        map(tuple, dedup.simhash_near_dup_pairs(docs, "text", "doc_id").collect())
-    )
-    b = sorted(
         map(
             tuple,
-            dedup.simhash_near_dup_pairs(docs, "text", "doc_id", n_blocks=6).collect(),
+            dedup.simhash_near_dup_pairs(docs, "text", "doc_id", n_blocks=4).collect(),
         )
+    )
+    b = sorted(
+        map(tuple, dedup.simhash_near_dup_pairs(docs, "text", "doc_id").collect())
     )
     assert a == b and len(a) > 0
 

@@ -122,12 +122,13 @@ def main() -> None:
             "minhash_pairs": lambda: dedup.minhash_candidate_pairs(
                 docs, "text", "doc_id"
             ),
+            # the legacy 4-chunk scheme, kept probed as the comparison
+            # curve: its 2^16-value buckets accrue random collisions, so
+            # its growth goes superlinear where the 6-block default stays
+            # ~linear (SCALING_r7: 2.21x vs 1.52x per 5x data at 125k docs)
             "simhash_pairs": lambda: dedup.simhash_near_dup_pairs(
-                docs, "text", "doc_id"
+                docs, "text", "doc_id", n_blocks=4
             ),
-            # the precise 6-block scheme: 5x the banding rows, but random
-            # bucket collisions (the superlinear term in simhash_pairs's
-            # growth) vanish — growth should track the corpus, not its square
             "simhash_blocked": lambda: dedup.simhash_near_dup_pairs(
                 docs, "text", "doc_id", n_blocks=6
             ),
