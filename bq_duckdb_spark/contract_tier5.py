@@ -717,6 +717,84 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# skyline (Pareto-optimal set)
+# ---------------------------------------------------------------------------
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(priority, year) order skyline: maximize o_totalprice,
+    minimize o_orderdate — "the high-value orders no earlier order beats
+    on both counts". The 2D case is ONE window over one shuffle
+    (operators/skyline.py skyline_2d — no dominance join, no UDF); the
+    oracle is the definitional NOT EXISTS dominance test, a genuinely
+    different algorithm."""
+    from bq_duckdb_spark.operators.skyline import skyline_2d
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    return skyline_2d(
+        orders, "o_totalprice", "o_orderdate", by=["o_orderpriority", "o_year"]
+    ).select("o_orderpriority", "o_year", "o_totalprice", "o_orderdate")
+
+
+_Q_SKYLINE_ORACLE = """
+WITH pts AS (
+    SELECT DISTINCT o_orderpriority,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           o_totalprice, o_orderdate
+    FROM orders
+)
+SELECT o_orderpriority, o_year, o_totalprice, o_orderdate
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.o_orderpriority = p.o_orderpriority AND q.o_year = p.o_year
+      AND q.o_totalprice >= p.o_totalprice AND q.o_orderdate <= p.o_orderdate
+      AND (q.o_totalprice > p.o_totalprice OR q.o_orderdate < p.o_orderdate)
+)
+"""
+
+
+def q_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-dimensional skyline (maximize l_extendedprice, minimize
+    l_discount and l_tax) per returnflag over one quantity/year slice —
+    the d > 2 path: per-partition numpy dominance prune, then an exact
+    pass over the skyline-sized survivor union
+    (operators/skyline.py skyline_nd)."""
+    from bq_duckdb_spark.operators.skyline import skyline_nd
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") <= 10) & (F.year("l_shipdate") == 1996)
+    )
+    return skyline_nd(
+        li,
+        maximize=["l_extendedprice"],
+        minimize=["l_discount", "l_tax"],
+        by=["l_returnflag"],
+    ).select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
+
+
+_Q_SKYLINE_3D_ORACLE = """
+WITH pts AS (
+    SELECT DISTINCT l_returnflag, l_extendedprice, l_discount, l_tax
+    FROM lineitem
+    WHERE l_quantity <= 10 AND EXTRACT(year FROM l_shipdate) = 1996
+)
+SELECT l_returnflag, l_extendedprice, l_discount, l_tax
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.l_returnflag = p.l_returnflag
+      AND q.l_extendedprice >= p.l_extendedprice
+      AND q.l_discount <= p.l_discount AND q.l_tax <= p.l_tax
+      AND (q.l_extendedprice > p.l_extendedprice
+           OR q.l_discount < p.l_discount OR q.l_tax < p.l_tax)
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emb_kmeans": emb_kmeans,
@@ -737,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": q_cube,
         "q_lateral": q_lateral,
         "q_window_distinct": q_window_distinct,
+        "q_skyline": q_skyline,
+        "q_skyline_3d": q_skyline_3d,
     }
 
 
@@ -762,4 +842,6 @@ def oracle_sql() -> dict[str, str]:
         "q_cube": _Q_CUBE_ORACLE,
         "q_lateral": _Q_LATERAL_SQL,
         "q_window_distinct": _Q_WINDOW_DISTINCT_ORACLE,
+        "q_skyline": _Q_SKYLINE_ORACLE,
+        "q_skyline_3d": _Q_SKYLINE_3D_ORACLE,
     }

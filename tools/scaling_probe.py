@@ -37,12 +37,21 @@ def synth_docs(spark, base_dir: str, copies: int):
     for i in range(copies):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
         if i:
-            # rotate the token stream (breaks k-gram shingles: minhash/
-            # jaccard see different grams) AND substitute every 7th
-            # token with a replica-tagged one (breaks the token
-            # MULTISET: simhash is bag-of-words, so rotation alone
-            # leaves replicas as planted near-dups and the probe would
-            # measure their quadratic pair expansion, not scaling)
+            # rotate the token stream AND suffix every 3rd token with a
+            # replica tag: every 3-gram shingle then contains a rewritten
+            # token, so replicas share ~no shingles (minhash/jaccard/
+            # containment see Jaccard ~0, not the ~0.4 a sparser every-7th
+            # substitution left — which made those probes measure planted
+            # near-dup density growing quadratically in the copy count
+            # instead of scaling), and a third of the token MULTISET
+            # changes (simhash is bag-of-words, so rotation alone would
+            # leave replicas as planted near-dups). SUFFIXING the original
+            # token (vs replacing it with one of a few fixed tags) keeps
+            # the vocabulary's entropy: a fixed-tag pool collapses the
+            # token space under repeated re-replication (the 125x tier
+            # builds on the 25x corpus), which manufactures genuinely
+            # similar docs and made every near-dup probe superlinear at
+            # the deep tier — a data artifact, not an operator property.
             d = d.withColumn(
                 "text",
                 F.expr(
@@ -50,8 +59,8 @@ def synth_docs(spark, base_dir: str, copies: int):
                     f"concat_ws(' ', transform("
                     f"  concat(slice(split(trim(text), '\\\\s+'), {i + 1}, 100000), "
                     f"         slice(split(trim(text), '\\\\s+'), 1, {i})), "
-                    f"  (t, j) -> IF(pmod(j + {i}, 7) = 0, "
-                    f"             concat('rep{i}tk', pmod(j, 5)), t))))"
+                    f"  (t, j) -> IF(pmod(j + {i}, 3) = 0, "
+                    f"             concat(t, '_r{i}'), t))))"
                 ),
             )
         reps.append(d)
@@ -155,6 +164,19 @@ def main() -> None:
     docs_25 = synth_docs(spark, "/root/testdata/sf0.1", 25).localCheckpoint(
         eager=True
     )
+    # a 125x deep tier (625k docs, ~70 MB of text) for the dedup family
+    # only — the 4-point curve is what separates "looked linear for one
+    # doubling" from "stays linear": built by re-replicating the 25x
+    # corpus (written to parquet so synth_docs can re-rotate it)
+    deep_dir = "/tmp/docs_synth25x"
+    docs_25.write.mode("overwrite").parquet(
+        os.path.join(deep_dir, "documents.parquet")
+    )
+    docs_125 = synth_docs(spark, deep_dir, 5).localCheckpoint(eager=True)
+    deep_subset = {
+        "dedup_exact", "minhash_pairs", "simhash_pairs", "simhash_blocked",
+        "quality", "token_budget",
+    }
     emb_01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     emb_05 = synth_embeddings(spark, "/root/testdata/sf0.1", 5).localCheckpoint(
         eager=True
@@ -164,6 +186,7 @@ def main() -> None:
         ("sf0.1", docs_01, emb_01),
         ("synth5x", docs_05, emb_05),
         ("synth25x", docs_25, None),
+        ("synth125x", docs_125, None),
     ]
 
     lines = []
@@ -172,6 +195,8 @@ def main() -> None:
         n_docs = docs.count()
         ops = doc_ops(docs)
         for name, mk in ops.items():
+            if tier == "synth125x" and name not in deep_subset:
+                continue
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -338,6 +363,12 @@ def main() -> None:
     for name, by_tier in sorted(results.items()):
         if "synth5x" in by_tier and "synth25x" in by_tier and by_tier["synth5x"] > 0:
             r = by_tier["synth25x"] / by_tier["synth5x"]
+            lines.append(f"  {name:26s} {r:5.2f}x")
+    lines.append("")
+    lines.append("growth (synth125x time / synth25x time; data grew 5.0x):")
+    for name, by_tier in sorted(results.items()):
+        if "synth25x" in by_tier and "synth125x" in by_tier and by_tier["synth25x"] > 0:
+            r = by_tier["synth125x"] / by_tier["synth25x"]
             lines.append(f"  {name:26s} {r:5.2f}x")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
