@@ -359,7 +359,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
-    carry_shingles: bool = False,
+    carry_shingles: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard verification over
     MinHash-banded candidates: candidates via bucket join, then
@@ -372,10 +372,16 @@ def ngram_jaccard_pairs(
     shingle arrays ride through the band shuffle and pairs are verified
     inside each bucket — 2 fewer stages (no verify join, no regroup;
     measured 25% faster at sf0.1) but the dominant (band, bucket)
-    shuffle carries every doc's shingle set ``bands`` times. The default
+    shuffle carries every doc's shingle set ``bands`` times. The
     long-format verify shuffles the shingled corpus ONCE, so it wins at
-    corpus scale; flip the flag only when the corpus fits comfortably in
-    aggregate executor memory."""
+    corpus scale. The default (None) picks the carry variant only for a
+    statably-tiny local corpus (< 4 MB source bytes — the bands-fold
+    shuffle inflation is then noise) and the long format everywhere
+    else, including any remote/unstatable source; both produce
+    identical results (pinned by test), so the choice is plan-only."""
+    if carry_shingles is None:
+        sz = local_input_bytes(df)
+        carry_shingles = sz is not None and sz < (4 << 20)
     if carry_shingles:
         return _ngram_jaccard_carry(
             df, text_col, id_col, threshold, num_hashes, bands, shingle_k
