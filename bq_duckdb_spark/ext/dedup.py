@@ -38,12 +38,16 @@ def local_input_bytes(df: DataFrame, files: list[str] | None = None) -> int | No
     statable LOCAL file, else None (remote object store, non-file source,
     or stat failure) — a driver-side, no-Spark-job size probe shared by
     the scan-widening and banding-scheme heuristics. None means "assume
-    the at-scale path"."""
+    the at-scale path" — and an EMPTY file list means exactly that, not
+    "zero bytes": checkpointed/cached/in-memory/JDBC frames have no
+    input files and their size is unknowable here."""
     if files is None:
         try:
             files = df.inputFiles()
         except Exception:
             return None
+    if not files:
+        return None
     total = 0
     for f in files:
         if f.startswith("file:"):

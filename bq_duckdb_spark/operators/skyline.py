@@ -26,7 +26,10 @@ is re-expressed with built-in operators instead:
 Semantics note (both operators): computed over DISTINCT points of the
 chosen dimensions — exact ties on every dimension are one point (no
 self-domination ambiguity), and a row carrying payload columns should
-join back on the dimension values.
+join back on the dimension values. Points with a NULL in any dimension
+are EXCLUDED up front (dominance against an unknown value is
+undefined; both paths agree) — group keys may be NULL (a NULL group is
+a group like any other).
 """
 
 from __future__ import annotations
@@ -47,36 +50,45 @@ def skyline_2d(
 
     Default orientation: maximize x, minimize y; flip with the flags
     (flipping is just negating the sort/compare directions — the window
-    shape is identical). One shuffle on (by) with an in-partition sort;
-    no join, no UDF.
+    shape is identical). ONE shuffle on (by) with an in-partition sort;
+    no join, no UDF — duplicate elimination rides the same window
+    (duplicates of a point are adjacent under the (x, y) sort, so a
+    lag() comparison keeps exactly the first occurrence; an up-front
+    .distinct() would cost a second full exchange of the projection).
 
     Why the single window is exact on distinct points, ordered by
     (x desc, y asc): every potential dominator of a point precedes it
     (higher x, or equal x with strictly smaller y — equal x AND equal y
     is impossible on distinct points), and a point is dominated exactly
     when some predecessor has y <= its y. So: survive iff y < the
-    running min of all predecessors' y.
+    running min of all predecessors' y — a min that duplicate rows of
+    earlier points cannot change, which is why deduplication and
+    dominance can share one pass.
     """
     by = by or []
     xo = F.col(x_col).desc() if maximize_x else F.col(x_col).asc()
     yo = F.col(y_col).asc() if minimize_y else F.col(y_col).desc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(xo, yo)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    order = Window.partitionBy(*by).orderBy(xo, yo)
+    w = order.rowsBetween(Window.unboundedPreceding, -1)
     best_prev = (F.min if minimize_y else F.max)(F.col(y_col)).over(w)
-    # the window value must be materialized into a column first — Spark
+    # the window values must be materialized into columns first — Spark
     # rejects window expressions inside a WHERE/filter
     survive = (
         F.col(y_col) < F.col("__bp") if minimize_y else F.col(y_col) > F.col("__bp")
     )
+    first_of_dup_run = ~(
+        F.col("__px").eqNullSafe(F.col(x_col))
+        & F.col("__py").eqNullSafe(F.col(y_col))
+    )
     return (
         df.select(*by, x_col, y_col)
-        .distinct()
+        # NULL-dimension points excluded (see module docstring)
+        .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .withColumn("__bp", best_prev)
-        .filter(F.col("__bp").isNull() | survive)
-        .drop("__bp")
+        .withColumn("__px", F.lag(x_col).over(order))
+        .withColumn("__py", F.lag(y_col).over(order))
+        .filter(first_of_dup_run & (F.col("__bp").isNull() | survive))
+        .drop("__bp", "__px", "__py")
     )
 
 
@@ -129,8 +141,10 @@ def _dominance_prune(cols: list[str], maximize: list[str], by: list[str]):
         if not by:
             yield _prune_group(pdf)
             return
+        # dropna=False: a NULL group key is a group like any other (Spark
+        # grouping semantics) — pandas' default would silently drop it
         yield pd.concat(
-            [_prune_group(g) for _, g in pdf.groupby(by, sort=False)],
+            [_prune_group(g) for _, g in pdf.groupby(by, sort=False, dropna=False)],
             ignore_index=True,
         )
 
@@ -154,7 +168,17 @@ def skyline_nd(
     """
     by = by or []
     cols = [*maximize, *minimize]
-    sel = df.select(*by, *cols).distinct()
+    dims_ok = F.lit(True)
+    for c in cols:
+        # NULL-dimension points excluded (see module docstring); NaN too —
+        # the numpy kernel's all-False NaN comparisons would otherwise
+        # keep them unconditionally, diverging from the 2D path
+        dims_ok = dims_ok & F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+    # no up-front .distinct(): the kernel drop_duplicates each batch, and
+    # phase 2 sees every group's survivors co-located, so cross-partition
+    # duplicates die there — an explicit distinct would add a full
+    # exchange of the projection for nothing
+    sel = df.select(*by, *cols).filter(dims_ok)
     schema = sel.schema
     kernel = _dominance_prune(cols, maximize, by)
     pruned = sel.mapInPandas(kernel, schema)

@@ -107,8 +107,14 @@ def test_simhash_blocked_pair_set_equals_chunk_scheme(docs):
             dedup.simhash_near_dup_pairs(docs, "text", "doc_id", n_blocks=4).collect(),
         )
     )
+    # n_blocks pinned explicitly on BOTH sides: the fixture is an
+    # in-memory relation, so the size-adaptive default would resolve to
+    # the at-scale scheme — fine, but the test must not depend on it
     b = sorted(
-        map(tuple, dedup.simhash_near_dup_pairs(docs, "text", "doc_id").collect())
+        map(
+            tuple,
+            dedup.simhash_near_dup_pairs(docs, "text", "doc_id", n_blocks=6).collect(),
+        )
     )
     assert a == b and len(a) > 0
 

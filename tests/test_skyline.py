@@ -88,6 +88,35 @@ def test_skyline_nd_grouped_no_cross_group_pruning(spark):
     assert got == [("a", 5, 5), ("b", 0, 0)]
 
 
+def test_skyline_null_semantics_agree(spark):
+    # NULL-dimension points are excluded by BOTH paths; a NULL group key
+    # is a real group (not silently dropped)
+    rows = [(None, 5, 1), (None, 4, None), ("a", None, 1), ("a", 2, 2)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got2d = sorted(
+        ((r.g, r.x, r.y) for r in skyline_2d(df, "x", "y", by=["g"]).collect()),
+        key=lambda t: (t[0] or "", t[1], t[2]),
+    )
+    gotnd = sorted(
+        (
+            (r.g, r.x, r.y)
+            for r in skyline_nd(df, maximize=["x"], minimize=["y"], by=["g"]).collect()
+        ),
+        key=lambda t: (t[0] or "", t[1], t[2]),
+    )
+    assert got2d == [(None, 5, 1), ("a", 2, 2)]
+    assert gotnd == got2d
+
+
+def test_skyline_2d_single_shuffle(spark):
+    # dedup rides the dominance window: exactly ONE exchange in the plan
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("x"), (F.col("id") % 5).alias("y")
+    )
+    plan = skyline_2d(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_skyline_2d_plan_is_join_free(spark):
     df = spark.range(1000).select(
         (F.col("id") % 37).alias("x"), (F.col("id") % 11).alias("y")

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from bq_duckdb_spark import get_spark
 
 
-def synth_docs(spark, base_dir: str, copies: int):
+def synth_docs(spark, base_dir: str, copies: int, tag: str = "r"):
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = []
@@ -52,15 +52,20 @@ def synth_docs(spark, base_dir: str, copies: int):
             # builds on the 25x corpus), which manufactures genuinely
             # similar docs and made every near-dup probe superlinear at
             # the deep tier — a data artifact, not an operator property.
+            # ``tag`` distinguishes replication LEVELS: without it, deep
+            # replica i of an untransformed base doc would reproduce the
+            # first-level replica i byte for byte (same formula, same
+            # input) — thousands of planted exact-dup pairs at the deep
+            # tier.
             d = d.withColumn(
                 "text",
                 F.expr(
-                    f"concat_ws(' ', concat('rep{i}x', ''), "
+                    f"concat_ws(' ', concat('rep{tag}{i}x', ''), "
                     f"concat_ws(' ', transform("
                     f"  concat(slice(split(trim(text), '\\\\s+'), {i + 1}, 100000), "
                     f"         slice(split(trim(text), '\\\\s+'), 1, {i})), "
                     f"  (t, j) -> IF(pmod(j + {i}, 3) = 0, "
-                    f"             concat(t, '_r{i}'), t))))"
+                    f"             concat(t, '_{tag}{i}'), t))))"
                 ),
             )
         reps.append(d)
@@ -172,7 +177,7 @@ def main() -> None:
     docs_25.write.mode("overwrite").parquet(
         os.path.join(deep_dir, "documents.parquet")
     )
-    docs_125 = synth_docs(spark, deep_dir, 5).localCheckpoint(eager=True)
+    docs_125 = synth_docs(spark, deep_dir, 5, tag="d").localCheckpoint(eager=True)
     deep_subset = {
         "dedup_exact", "minhash_pairs", "simhash_pairs", "simhash_blocked",
         "quality", "token_budget",
