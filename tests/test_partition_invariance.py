@@ -62,6 +62,12 @@ ENTRIES = [
     "q_incremental_agg",
     "q_rrf_fusion",
     "text_containment",
+    # round-4 session 2: block-combination banding, window/two-phase
+    # dominance (the nd path's mapInPandas batches change with
+    # partitioning — the skyline must not)
+    "dedup_simhash_blocked",
+    "q_skyline",
+    "q_skyline_3d",
 ]
 
 
