@@ -860,6 +860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _merge(q, contract_tier7.queries(), "contract_tier7")
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier8
+
+        _merge(q, contract_tier8.queries(), "contract_tier8")
+    except ImportError:
+        pass
     return q
 
 
@@ -952,6 +958,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tier7
 
         _merge(o, contract_tier7.oracle_sql(), "contract_tier7")
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier8
+
+        _merge(o, contract_tier8.oracle_sql(), "contract_tier8")
     except ImportError:
         pass
     return o

@@ -1,0 +1,129 @@
+"""Held-out unigram LM scoring (ext/lm.py): arithmetic pinned to a
+pure-Python reference, OOV accounting, filter semantics, and the
+self-train default."""
+
+import math
+
+import pytest
+
+from bq_duckdb_spark.ext import lm
+
+
+def _py_lm(ref_texts, k=0.5):
+    counts = {}
+    for t in ref_texts:
+        for w in t.strip().split():
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    v = len(counts)
+    denom = total + k * (v + 1)
+    vocab = {
+        w: round(math.log((c + k) / denom) * 1_000_000)
+        for w, c in counts.items()
+    }
+    oov = round(math.log(k / denom) * 1_000_000)
+    return vocab, oov
+
+
+def _py_score(text, vocab, oov):
+    toks = text.strip().split()
+    s = 0
+    n_oov = 0
+    for w in toks:
+        if w in vocab:
+            s += vocab[w]
+        else:
+            s += oov
+            n_oov += 1
+    n = len(toks)
+    return n, n_oov, n_oov / n, -s / (n * 1_000_000.0)
+
+
+REF = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+]
+TARGETS = [
+    (0, "the cat sat"),           # all in-vocab, high-frequency
+    (1, "zebra quokka the"),      # 2 OOV of 3
+    (2, "a a a a"),               # repeated rare-ish token
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    ref = spark.createDataFrame(
+        [(i + 100, t) for i, t in enumerate(REF)], ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame(TARGETS, ["doc_id", "text"])
+    return ref, tgt
+
+
+def test_matches_python_reference(frames):
+    ref, tgt = frames
+    out = {
+        r["doc_id"]: r
+        for r in lm.with_lm_score(tgt, ref=ref).collect()
+    }
+    vocab, oov = _py_lm(REF)
+    for doc_id, text in TARGETS:
+        n, n_oov, ratio, nll = _py_score(text, vocab, oov)
+        row = out[doc_id]
+        assert row["n_tokens"] == n
+        assert row["n_oov"] == n_oov
+        assert row["oov_ratio"] == ratio
+        assert row["nll"] == nll  # exact-operand IEEE: bit-equal
+
+
+def test_oov_counted_and_penalized(frames):
+    ref, tgt = frames
+    out = {r["doc_id"]: r for r in lm.with_lm_score(tgt, ref=ref).collect()}
+    assert out[0]["n_oov"] == 0 and out[0]["oov_ratio"] == 0.0
+    assert out[1]["n_oov"] == 2 and out[1]["oov_ratio"] == 2 / 3
+    # OOV mass is below every seen unigram's probability -> higher nll
+    assert out[1]["nll"] > out[0]["nll"]
+
+
+def test_self_train_default(frames):
+    ref, _ = frames
+    explicit = sorted(
+        tuple(r) for r in lm.with_lm_score(ref, ref=ref).collect()
+    )
+    default = sorted(tuple(r) for r in lm.with_lm_score(ref).collect())
+    assert explicit == default
+    # self-trained scoring can never miss the vocabulary
+    assert all(r[2] == 0 for r in default)
+
+
+def test_perplexity_filter_schema_and_subset(spark, frames):
+    ref, tgt = frames
+    tgt2 = tgt.withColumn("extra", tgt.doc_id * 2)
+    scored = {
+        r["doc_id"]: r["nll"]
+        for r in lm.with_lm_score(tgt2, ref=ref).collect()
+    }
+    cut = sorted(scored.values())[1]  # keep exactly the two lowest
+    kept = lm.perplexity_filter(tgt2, ref, max_nll=cut).collect()
+    assert sorted(df_r["doc_id"] for df_r in kept) == sorted(
+        d for d, v in scored.items() if v <= cut
+    )
+    assert set(kept[0].asDict()) == {"doc_id", "text", "extra"}
+    assert len(kept) == 2
+
+
+def test_oov_ratio_gate(spark, frames):
+    ref, tgt = frames
+    kept = lm.perplexity_filter(
+        tgt, ref, max_nll=1e9, max_oov_ratio=0.5
+    ).collect()
+    # doc 1 is 2/3 OOV -> dropped; docs 0 and 2 survive
+    assert sorted(r["doc_id"] for r in kept) == [0, 2]
+
+
+def test_empty_text_scores_one_empty_token(spark, frames):
+    ref, _ = frames
+    weird = spark.createDataFrame([(7, "")], ["doc_id", "text"])
+    row = lm.with_lm_score(weird, ref=ref).collect()[0]
+    # split(trim('')) yields [''] in both engines: one OOV token
+    assert row["n_tokens"] == 1 and row["n_oov"] == 1

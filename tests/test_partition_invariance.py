@@ -68,6 +68,10 @@ ENTRIES = [
     "dedup_simhash_blocked",
     "q_skyline",
     "q_skyline_3d",
+    # tier-8: held-out LM scoring (vocab join miss path) and the
+    # perplexity curation cut
+    "text_lm_heldout",
+    "pipe_perplexity_filter",
 ]
 
 
