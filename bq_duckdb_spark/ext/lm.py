@@ -117,6 +117,20 @@ def with_lm_score(
     portable bit-for-bit.
     """
     vocab, oov = unigram_lm(ref if ref is not None else df, text_col, k)
+    return score_with_lm(df, vocab, oov, text_col, id_col)
+
+
+def score_with_lm(
+    df: DataFrame,
+    vocab: DataFrame,
+    oov: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``df`` against a PREBUILT ``(vocab, oov)`` model (from
+    :func:`unigram_lm`) — the shape for reusing one trained model
+    across many corpora / micro-batches: persist (or write at rest)
+    the vocab once instead of retraining per call."""
     toks = _explode_terms(df, text_col, id_col)
     return (
         toks.join(vocab, "term", "left")

@@ -385,6 +385,46 @@ def decontaminate_each_batch(
     return _write
 
 
+def perplexity_filter_each_batch(
+    ref: DataFrame,
+    max_nll: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_oov_ratio: float = 1.0,
+    k: float = 0.5,
+    out_dir: str = "",
+):
+    """foreachBatch writer running the held-out LM perplexity cut
+    (ext/lm.py) on every arriving micro-batch against a model trained
+    ONCE on the static reference corpus.
+
+    The per-doc score needs only the doc's own tokens plus the static
+    vocab, so shard-at-a-time gives exactly the batch answer — no
+    cross-batch state.  The vocab/oov frames are trained once here and
+    persisted so each micro-batch reuses the cached model instead of
+    re-aggregating the reference (at 100 TB, write the vocab to parquet
+    at rest instead and pass it through ext/lm.score_with_lm).  The
+    parquet sink keeps the output restart-safe (batch ids are
+    transactional)."""
+    from bq_duckdb_spark.ext.lm import score_with_lm, unigram_lm
+
+    vocab, oov = unigram_lm(ref, text_col, k)
+    vocab = vocab.persist()
+    oov = oov.persist()
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_with_lm(batch_df, vocab, oov, text_col, id_col)
+        keep = scored.filter(
+            (F.col("nll") <= F.lit(max_nll))
+            & (F.col("oov_ratio") <= F.lit(max_oov_ratio))
+        ).select(id_col)
+        batch_df.join(keep, id_col, "left_semi").write.mode("append").parquet(
+            out_dir
+        )
+
+    return _write
+
+
 def stream_near_dup_probe(
     doc_stream: DataFrame,
     corpus: DataFrame,

@@ -121,6 +121,44 @@ def test_oov_ratio_gate(spark, frames):
     assert sorted(r["doc_id"] for r in kept) == [0, 2]
 
 
+def test_stream_perplexity_filter_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bq_duckdb_spark.streaming import streams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 10 != 0)
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "kept_out")
+    ckpt = str(tmp_path / "ckpt")
+    # two files -> two micro-batches
+    docs.filter(F.col("doc_id") < 250).write.parquet(src)
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+
+    q = (
+        streams.read_document_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            streams.perplexity_filter_each_batch(
+                ref, max_nll=3.5, out_dir=out
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in lm.perplexity_filter(docs, ref, max_nll=3.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and 0 < len(got) < docs.count()
+
+
 def test_empty_text_scores_one_empty_token(spark, frames):
     ref, _ = frames
     weird = spark.createDataFrame([(7, "")], ["doc_id", "text"])

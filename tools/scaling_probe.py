@@ -125,7 +125,7 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r4.txt"
     spark = get_spark(app_name="scaling-probe", cpus="32")
 
-    from bq_duckdb_spark.ext import dedup, text
+    from bq_duckdb_spark.ext import dedup, lm, text
     from bq_duckdb_spark.ext.cluster import kmeans_assign
     from bq_duckdb_spark.ext.retrieval import train_logreg
     from bq_duckdb_spark.operators.budget import take_until_budget
@@ -148,6 +148,9 @@ def main() -> None:
             ),
             "tfidf": lambda: text.tf_idf(docs),
             "bigram_lm": lambda: text.ngram_lm_score(docs),
+            # self-train: two corpus passes (train groupBy(term) + score
+            # join/groupBy(doc)) — both linear, vocab join AQE-sized
+            "lm_heldout": lambda: lm.with_lm_score(docs),
             "quality": lambda: text.with_quality_scores(docs),
             "token_budget": lambda: take_until_budget(
                 text.with_token_count(docs).select("doc_id", "n_tokens"),
