@@ -5,6 +5,8 @@ self-train default."""
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from bq_duckdb_spark.ext import lm
 
@@ -119,6 +121,44 @@ def test_oov_ratio_gate(spark, frames):
     ).collect()
     # doc 1 is 2/3 OOV -> dropped; docs 0 and 2 survive
     assert sorted(r["doc_id"] for r in kept) == [0, 2]
+
+
+# small shared vocabulary so random corpora overlap (OOV and in-vocab
+# tokens both occur in most examples)
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "zz", "qq"])
+_texts = st.lists(_words, min_size=1, max_size=8).map(" ".join)
+
+
+@given(
+    ref_texts=st.lists(_texts, min_size=1, max_size=6),
+    tgt_texts=st.lists(_texts, min_size=1, max_size=6),
+    k=st.sampled_from([0.5, 1.0, 0.1]),
+)
+@settings(**{
+    "max_examples": 10,
+    "deadline": None,
+    "suppress_health_check": [
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+})
+def test_property_matches_python_reference(spark, ref_texts, tgt_texts, k):
+    """Arbitrary tiny corpora, any smoothing k: the distributed scorer
+    must equal the sequential reference bit-for-bit (integer micro-nat
+    sums leave no room for float re-association)."""
+    ref = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(ref_texts)], ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame(
+        list(enumerate(tgt_texts)), ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in lm.with_lm_score(tgt, ref=ref, k=k).collect()}
+    vocab, oov = _py_lm(ref_texts, k=k)
+    assert len(got) == len(tgt_texts)
+    for doc_id, text in enumerate(tgt_texts):
+        n, n_oov, ratio, nll = _py_score(text, vocab, oov)
+        row = got[doc_id]
+        assert (row["n_tokens"], row["n_oov"]) == (n, n_oov)
+        assert row["oov_ratio"] == ratio and row["nll"] == nll
 
 
 def test_stream_perplexity_filter_matches_batch(spark, tmp_path):
