@@ -8,6 +8,7 @@ Stages (each a named function so pieces can be lifted independently):
   2. exact + near dedup          (dedup.exact_dedup, minhash bands)
   3. quality + language gates    (text.with_quality_scores, with_lang_id)
   4. decontamination             (text.decontaminate)
+     + perplexity gate           (lm.perplexity_filter)
   5. target-aware selection      (retrieval.dsir_weights)
   6. balance + chunk + account   (pipeline.corpus_assembly_stats)
 
@@ -29,7 +30,7 @@ from pyspark.sql import functions as F
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     from bq_duckdb_spark import get_spark
-    from bq_duckdb_spark.ext import dedup, pipeline, retrieval, text
+    from bq_duckdb_spark.ext import dedup, lm, pipeline, retrieval, text
     from bq_duckdb_spark.testdata import load_table
 
     spark = get_spark(app_name="corpus-pipeline-example")
@@ -58,6 +59,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     contaminated = text.decontaminate(gated, ev, n=8).select("doc_id")
     clean = gated.join(contaminated, "doc_id", "left_anti")
+
+    # 4b. perplexity gate: drop documents far out of distribution under
+    #     a unigram LM trained on the surviving corpus itself (the
+    #     held-out CCNet shape trains on a curated reference instead —
+    #     same call, different `ref`)
+    clean = lm.perplexity_filter(clean, clean, max_nll=4.0)
 
     # 5. DSIR importance weights against the same target sample; keep
     #    the top half by weight. The cut uses a sketched quantile
