@@ -78,9 +78,24 @@ def unigram_lm(
     single row ``(oov_micro BIGINT)`` for unseen tokens.  ``denom`` is
     ``total + k*(V+1)``: V seen types plus one shared unseen type, so
     probabilities sum to <1 with mass k/denom reserved for OOV.
+
+    The term-count table feeds three consumers (vocab projection, the
+    totals aggregate, and the totals again under the OOV scalar), and
+    Spark does not reuse the exchange across those branches (measured:
+    4 corpus scans in the naive lineage).  ``counts`` is therefore
+    materialized with an EAGER localCheckpoint — the repo's standard
+    multi-consumer pattern (see ext/graph.py:pagerank): vocabulary-
+    sized, executor-local, reclaimed by the context cleaner when
+    unreferenced, no persist leak.  Training is then exactly ONE corpus
+    scan + one groupBy(term) shuffle; the branches rescan the
+    materialized vocab-sized table.
     """
     toks = _explode_terms(ref, text_col)
-    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(
         F.sum("c").alias("total"), F.count("*").alias("v")
     )

@@ -400,17 +400,16 @@ def perplexity_filter_each_batch(
 
     The per-doc score needs only the doc's own tokens plus the static
     vocab, so shard-at-a-time gives exactly the batch answer — no
-    cross-batch state.  The vocab/oov frames are trained once here and
-    persisted so each micro-batch reuses the cached model instead of
-    re-aggregating the reference (at 100 TB, write the vocab to parquet
-    at rest instead and pass it through ext/lm.score_with_lm).  The
-    parquet sink keeps the output restart-safe (batch ids are
-    transactional)."""
+    cross-batch state.  The model is trained once here — unigram_lm
+    eagerly materializes the term counts (localCheckpoint), so each
+    micro-batch re-derives the vocab from the checkpointed vocab-sized
+    table instead of re-aggregating the reference corpus (at 100 TB,
+    write the vocab to parquet at rest instead and pass it through
+    ext/lm.score_with_lm).  The parquet sink keeps the output
+    restart-safe (batch ids are transactional)."""
     from bq_duckdb_spark.ext.lm import score_with_lm, unigram_lm
 
     vocab, oov = unigram_lm(ref, text_col, k)
-    vocab = vocab.persist()
-    oov = oov.persist()
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         scored = score_with_lm(batch_df, vocab, oov, text_col, id_col)
