@@ -100,16 +100,24 @@ def unigram_lm(
         F.sum("c").alias("total"), F.count("*").alias("v")
     )
     kr = repr(float(k))
-    denom = f"(total + {kr} * (v + 1))"
+    # both operands are CAST to DOUBLE before the division: a bare
+    # `c + 0.5` resolves to DECIMAL arithmetic in Spark (DECIMAL(38,16)
+    # quotient) but DOUBLE in DuckDB — different values feeding ln(),
+    # which breaks the engine-identical micro-nat quantization for rare
+    # terms.  The casts are exact (c + k and the denominator are below
+    # 2^52), so both engines then perform the same IEEE division.
+    denom = f"CAST(total + {kr} * (v + 1) AS DOUBLE)"
     vocab = counts.crossJoin(F.broadcast(tot)).select(
         "term",
         F.expr(
-            f"CAST(round(ln((c + {kr}) / {denom}) * {_MICRO}) AS BIGINT)"
+            f"CAST(round(ln(CAST(c + {kr} AS DOUBLE) / {denom}) * {_MICRO}) "
+            "AS BIGINT)"
         ).alias("lp_micro"),
     )
     oov = tot.select(
         F.expr(
-            f"CAST(round(ln({kr} / {denom}) * {_MICRO}) AS BIGINT)"
+            f"CAST(round(ln(CAST({kr} AS DOUBLE) / {denom}) * {_MICRO}) "
+            "AS BIGINT)"
         ).alias("oov_micro")
     )
     return vocab, oov
@@ -186,8 +194,27 @@ def perplexity_filter(
     ``max_oov_ratio``) under the reference LM — the classic
     held-out-LM curation cut.  Semi-join back on ``id_col`` so the
     surviving rows keep their full original schema."""
+    vocab, oov = unigram_lm(ref, text_col, k)
+    return filter_with_model(
+        df, vocab, oov, max_nll, max_oov_ratio, text_col, id_col
+    )
+
+
+def filter_with_model(
+    df: DataFrame,
+    vocab: DataFrame,
+    oov: DataFrame,
+    max_nll: float,
+    max_oov_ratio: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation cut against a PREBUILT model — single definition of
+    the threshold semantics shared by the batch filter above and the
+    streaming per-micro-batch filter (streams.perplexity_filter_each_
+    batch), so the two paths cannot drift."""
     keep = (
-        with_lm_score(df, ref, text_col, id_col, k)
+        score_with_lm(df, vocab, oov, text_col, id_col)
         .filter(
             (F.col("nll") <= F.lit(max_nll))
             & (F.col("oov_ratio") <= F.lit(max_oov_ratio))

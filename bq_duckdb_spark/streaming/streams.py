@@ -407,19 +407,14 @@ def perplexity_filter_each_batch(
     write the vocab to parquet at rest instead and pass it through
     ext/lm.score_with_lm).  The parquet sink keeps the output
     restart-safe (batch ids are transactional)."""
-    from bq_duckdb_spark.ext.lm import score_with_lm, unigram_lm
+    from bq_duckdb_spark.ext.lm import filter_with_model, unigram_lm
 
     vocab, oov = unigram_lm(ref, text_col, k)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        scored = score_with_lm(batch_df, vocab, oov, text_col, id_col)
-        keep = scored.filter(
-            (F.col("nll") <= F.lit(max_nll))
-            & (F.col("oov_ratio") <= F.lit(max_oov_ratio))
-        ).select(id_col)
-        batch_df.join(keep, id_col, "left_semi").write.mode("append").parquet(
-            out_dir
-        )
+        filter_with_model(
+            batch_df, vocab, oov, max_nll, max_oov_ratio, text_col, id_col
+        ).write.mode("append").parquet(out_dir)
 
     return _write
 

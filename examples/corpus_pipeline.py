@@ -12,8 +12,9 @@ Stages (each a named function so pieces can be lifted independently):
   5. target-aware selection      (retrieval.dsir_weights)
   6. balance + chunk + account   (pipeline.corpus_assembly_stats)
 
-Every stage is lazy until the final actions; the whole pipeline is a
-handful of Spark jobs. At 100 TB the same code runs with the inputs
+Stages stay lazy until the perplexity gate, which materializes the
+surviving corpus once (localCheckpoint) because the LM trains on it and
+then scores it; everything downstream reads the materialized frame. At 100 TB the same code runs with the inputs
 swapped to the real corpus paths — stage shapes are documented in each
 operator's docstring.
 """
@@ -63,7 +64,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 4b. perplexity gate: drop documents far out of distribution under
     #     a unigram LM trained on the surviving corpus itself (the
     #     held-out CCNet shape trains on a curated reference instead —
-    #     same call, different `ref`)
+    #     same call, different `ref`).  `clean` is materialized first:
+    #     the gate consumes it three times (LM training, scoring, the
+    #     survivor semi-join) and the counts below read it again — an
+    #     un-cached lineage would re-run the dedup/gate/decontam chain
+    #     on every pass
+    clean = clean.localCheckpoint(eager=True)
     clean = lm.perplexity_filter(clean, clean, max_nll=4.0)
 
     # 5. DSIR importance weights against the same target sample; keep

@@ -22,10 +22,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F
+import hashlib
 
 import __spark_entry__ as entrymod
 from bq_duckdb_spark import get_spark
+from bq_duckdb_spark.testdata import load_table
 from tools.check_oracle import TABLES, value_hash
 
 # layout-dependent by DESIGN (documented, not bugs):
@@ -36,29 +37,40 @@ from tools.check_oracle import TABLES, value_hash
 EXCLUDE: dict[str, str] = {}
 
 
+def _src_fingerprint(src: str) -> str:
+    """(size, mtime) of every table file — a stale /tmp copy from a
+    previous testdata round must not be compared against fresh data."""
+    h = hashlib.sha256()
+    for t in TABLES:
+        st = os.stat(f"{src}/{t}.parquet")
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def relayout(spark, src: str, dst: str, n_files: int = 7) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         out = f"{dst}/{t}.parquet"
         if os.path.exists(out):
             continue
-        df = spark.read.parquet(f"{src}/{t}.parquet")
-        # deterministic row scramble: sort by a hash of the whole row's
-        # first column + round-robin into files — kills any accidental
-        # dependence on the generator's row order
-        first = df.columns[0]
-        (
-            df.orderBy(F.xxhash64(first))
-            .repartition(n_files)
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        # load_table, not a bare read: events.ts has shipped as
+        # TIMESTAMP(NANOS) in some driver rounds, and load_table is the
+        # one place that normalizes it (both layouts then read back
+        # through the same normalization, so types agree)
+        df = load_table(spark, src, t)
+        # repartition alone is the deterministic scramble: round-robin
+        # from a single-file single-partition source is reproducible
+        # (sortBeforeRepartition) and destroys the generator's row order
+        df.repartition(n_files).write.mode("overwrite").parquet(out)
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     prefix = sys.argv[2] if len(sys.argv) > 2 else ""
-    dst = f"/tmp/layoutinv_{os.path.basename(src.rstrip('/'))}"
+    dst = (
+        f"/tmp/layoutinv_{os.path.basename(src.rstrip('/'))}"
+        f"_{_src_fingerprint(src)}"
+    )
     spark = get_spark(app_name="layout-invariance", cpus=8, shuffle_partitions=8)
     relayout(spark, src, dst)
 
