@@ -523,9 +523,15 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bq_duckdb_spark.ext import validate as v
 
     li = _t(spark, sf_dir, "lineitem")
-    return v.profile_table(
+    out = v.profile_table(
         li, ["l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"]
     )
+    # the mean is a cross-order float aggregate — round it 4dp for the
+    # contract pin (the raw l_discount mean at sf0.01 lands within an
+    # ulp-reassociation of a 6dp rounding boundary, so an unrounded pin
+    # is layout- and engine-order-dependent; caught by
+    # tools/layout_invariance.py)
+    return out.withColumn("mean_value", F.round("mean_value", 4))
 
 
 _Q_PROFILE_ORACLE = """
@@ -534,21 +540,21 @@ SELECT 'l_orderkey' AS "column",
        count(DISTINCT l_orderkey) AS n_distinct,
        CAST(min(l_orderkey) AS VARCHAR) AS min_value,
        CAST(max(l_orderkey) AS VARCHAR) AS max_value,
-       avg(l_orderkey) AS mean_value
+       round(avg(l_orderkey), 4) AS mean_value
 FROM lineitem
 UNION ALL
 SELECT 'l_quantity',
        sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT l_quantity),
        CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
-       avg(l_quantity)
+       round(avg(l_quantity), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_discount',
        sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT l_discount),
        CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR),
-       avg(l_discount)
+       round(avg(l_discount), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_returnflag',

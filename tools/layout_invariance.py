@@ -30,11 +30,15 @@ from bq_duckdb_spark.testdata import load_table
 from tools.check_oracle import TABLES, value_hash
 
 # layout-dependent by DESIGN (documented, not bugs):
-#   - pipe_seeded_shuffle emits a physical row order; the ORDER is the
-#     contract and it hashes order-insensitively anyway, but its
-#     shard/offset columns encode position in the seeded order, which is
-#     derived from a hash — layout-independent. (keep it in the sweep)
-EXCLUDE: dict[str, str] = {}
+#   - q_percentiles_approx: the bounded-memory quantile sketch's merge
+#     tree follows the physical partitioning, and its guarantee is a
+#     bounded ERROR, not a deterministic value — results legitimately
+#     vary with layout on any cluster (the exact twin q_percentiles is
+#     swept and must not vary).  Same reason it is rows-only in the
+#     oracle contract.
+EXCLUDE: dict[str, str] = {
+    "q_percentiles_approx": "approx sketch: error-bounded, merge-order-dependent",
+}
 
 
 def _src_fingerprint(src: str) -> str:
