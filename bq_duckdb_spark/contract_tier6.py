@@ -105,9 +105,12 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre.join(hot.select("o_orderkey"), pre.l_orderkey == F.col("o_orderkey"), "semi")
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            # cross-order float sum: round 2dp like every other revenue
+            # pin (unrounded, the 1e9-scale sum's reassociation wobble
+            # flips the 6dp value hash with file layout)
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -115,7 +118,7 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_BLOOM_SEMI_ORACLE = """
 SELECT l_returnflag,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_orderkey IN (
