@@ -66,6 +66,28 @@ def _explode_terms(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
     )
 
 
+def unigram_counts(ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """The LM's sufficient statistic: ``(term, c)`` token counts.  This
+    is the frame to keep AT REST for incremental maintenance — counts
+    are mergeable state (see :func:`merge_counts`), so growing the
+    reference corpus is one delta aggregation + a vocab-sized merge,
+    never a full-corpus retrain."""
+    return _explode_terms(ref, text_col).groupBy("term").agg(
+        F.count("*").alias("c")
+    )
+
+
+def merge_counts(*count_frames: DataFrame) -> DataFrame:
+    """Merge unigram count states: union + one vocab-scale groupBy.
+    ``lm_from_counts(merge_counts(counts(A), counts(B)))`` equals
+    ``unigram_lm(A ∪ B)`` exactly — integer state, no drift (pinned by
+    test + property test)."""
+    out = count_frames[0]
+    for f in count_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("term").agg(F.sum("c").alias("c"))
+
+
 def unigram_lm(
     ref: DataFrame,
     text_col: str = "text",
@@ -90,12 +112,17 @@ def unigram_lm(
     scan + one groupBy(term) shuffle; the branches rescan the
     materialized vocab-sized table.
     """
-    toks = _explode_terms(ref, text_col)
-    counts = (
-        toks.groupBy("term")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    return lm_from_counts(unigram_counts(ref, text_col), k)
+
+
+def lm_from_counts(
+    counts: DataFrame, k: float = 0.5
+) -> tuple[DataFrame, DataFrame]:
+    """Smooth a ``(term, c)`` count state (from :func:`unigram_counts`,
+    a :func:`merge_counts` of several, or a count table read back from
+    rest) into the ``(vocab, oov)`` model.  See :func:`unigram_lm` for
+    the arithmetic and determinism contract."""
+    counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("c").alias("total"), F.count("*").alias("v")
     )

@@ -199,6 +199,49 @@ def test_stream_perplexity_filter_matches_batch(spark, tmp_path):
     assert got == want and 0 < len(got) < docs.count()
 
 
+def test_incremental_counts_equal_full_retrain(spark, frames):
+    """state(base) merged with state(delta) must equal a direct train
+    over the union — the warehouse incremental-maintenance contract
+    applied to the LM's count state (integer, so exactly)."""
+    ref, tgt = frames
+    base = ref.filter(ref.doc_id % 2 == 0)
+    delta = ref.filter(ref.doc_id % 2 == 1)
+    merged = lm.merge_counts(
+        lm.unigram_counts(base), lm.unigram_counts(delta)
+    )
+    direct = lm.unigram_counts(ref)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    vocab_m, oov_m = lm.lm_from_counts(merged)
+    got = sorted(
+        tuple(r) for r in lm.score_with_lm(tgt, vocab_m, oov_m).collect()
+    )
+    want = sorted(tuple(r) for r in lm.with_lm_score(tgt, ref=ref).collect())
+    assert got == want
+
+
+@given(split=st.integers(0, 5), k=st.sampled_from([0.5, 1.0]))
+@settings(**{
+    "max_examples": 6,
+    "deadline": None,
+    "suppress_health_check": [
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+})
+def test_property_merge_any_split(spark, frames, split, k):
+    """Any split point of the reference corpus: merged partial counts
+    give the identical model."""
+    ref, _ = frames
+    a = ref.filter(ref.doc_id < 100 + split)
+    b = ref.filter(ref.doc_id >= 100 + split)
+    merged = lm.merge_counts(lm.unigram_counts(a), lm.unigram_counts(b))
+    va, oa = lm.lm_from_counts(merged, k)
+    vb, ob = lm.unigram_lm(ref, k=k)
+    assert sorted(map(tuple, va.collect())) == sorted(map(tuple, vb.collect()))
+    assert oa.collect() == ob.collect()
+
+
 def test_empty_text_scores_one_empty_token(spark, frames):
     ref, _ = frames
     weird = spark.createDataFrame([(7, "")], ["doc_id", "text"])
