@@ -47,19 +47,24 @@ def _lm_ctes(pred: str) -> str:
 ),
 lm_counts AS (SELECT term, count(*) AS c FROM lm_ref_toks GROUP BY term),
 lm_tot AS (SELECT sum(c) AS total, count(*) AS v FROM lm_counts),
--- CAST both division operands to DOUBLE exactly as ext/lm.unigram_lm
--- does: bare decimal-literal arithmetic resolves to DECIMAL in Spark
--- but DOUBLE here, which would desynchronize the ln() input
+-- k and both division operands enter as explicit DOUBLEs exactly as
+-- ext/lm.lm_from_counts now builds them: every step is IEEE-double
+-- arithmetic (never exact-DECIMAL-then-round), so Spark, DuckDB, and
+-- a sequential float reference share the ln() input bit-for-bit
 lm_vocab AS (
     SELECT term,
-           CAST(round(ln(CAST(c + 0.5 AS DOUBLE)
-                   / CAST(total + 0.5 * (v + 1) AS DOUBLE)) * 1000000)
+           CAST(round(ln((CAST(c AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(total AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE) * CAST(v + 1 AS DOUBLE)))
+                * 1000000)
                AS BIGINT) AS lp_micro
     FROM lm_counts CROSS JOIN lm_tot
 ),
 lm_oov AS (
     SELECT CAST(round(ln(CAST(0.5 AS DOUBLE)
-                   / CAST(total + 0.5 * (v + 1) AS DOUBLE)) * 1000000)
+                   / (CAST(total AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE) * CAST(v + 1 AS DOUBLE)))
+                * 1000000)
                AS BIGINT) AS oov_micro
     FROM lm_tot
 )"""

@@ -82,6 +82,8 @@ def merge_counts(*count_frames: DataFrame) -> DataFrame:
     ``lm_from_counts(merge_counts(counts(A), counts(B)))`` equals
     ``unigram_lm(A ∪ B)`` exactly — integer state, no drift (pinned by
     test + property test)."""
+    if not count_frames:
+        raise ValueError("merge_counts requires at least one count frame")
     out = count_frames[0]
     for f in count_frames[1:]:
         out = out.unionByName(f)
@@ -126,24 +128,27 @@ def lm_from_counts(
     tot = counts.agg(
         F.sum("c").alias("total"), F.count("*").alias("v")
     )
-    kr = repr(float(k))
-    # both operands are CAST to DOUBLE before the division: a bare
-    # `c + 0.5` resolves to DECIMAL arithmetic in Spark (DECIMAL(38,16)
-    # quotient) but DOUBLE in DuckDB — different values feeding ln(),
-    # which breaks the engine-identical micro-nat quantization for rare
-    # terms.  The casts are exact (c + k and the denominator are below
-    # 2^52), so both engines then perform the same IEEE division.
-    denom = f"CAST(total + {kr} * (v + 1) AS DOUBLE)"
+    # k enters as an explicit DOUBLE and every subsequent step is pure
+    # IEEE-double arithmetic: a bare `c + 0.1` would resolve to exact
+    # DECIMAL addition then one round-to-double in SQL while a Python
+    # reference computes fl(c + fl(0.1)) — a 1-ulp divergence in the
+    # ln() input for non-dyadic k.  With the operands pre-cast, Spark,
+    # DuckDB, and a sequential float reference all evaluate
+    # fl(c + fl(k)) / fl(total + fl(fl(k) * (v+1))) identically (the
+    # integer casts are exact below 2^52; `1e-07`-style reprs also
+    # land on the same double either way).
+    kr = f"CAST({float(k)!r} AS DOUBLE)"
+    denom = f"(CAST(total AS DOUBLE) + {kr} * CAST(v + 1 AS DOUBLE))"
     vocab = counts.crossJoin(F.broadcast(tot)).select(
         "term",
         F.expr(
-            f"CAST(round(ln(CAST(c + {kr} AS DOUBLE) / {denom}) * {_MICRO}) "
+            f"CAST(round(ln((CAST(c AS DOUBLE) + {kr}) / {denom}) * {_MICRO}) "
             "AS BIGINT)"
         ).alias("lp_micro"),
     )
     oov = tot.select(
         F.expr(
-            f"CAST(round(ln(CAST({kr} AS DOUBLE) / {denom}) * {_MICRO}) "
+            f"CAST(round(ln({kr} / {denom}) * {_MICRO}) "
             "AS BIGINT)"
         ).alias("oov_micro")
     )

@@ -376,6 +376,12 @@ def decontaminate_each_batch(
     the idiomatic Structured Streaming shape for batch logic with joins
     + aggregations per shard (foreachBatch), and the parquet sink makes
     the output restart-safe (batch ids are transactional)."""
+    if not out_dir:
+        raise ValueError(
+            "decontaminate_each_batch requires out_dir= (the parquet sink "
+            "path) — validated eagerly so a forgotten kwarg fails here, "
+            "not with a confusing empty-path write at the first micro-batch"
+        )
     from bq_duckdb_spark.ext.pipeline import decontaminate
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -407,6 +413,12 @@ def perplexity_filter_each_batch(
     write the vocab to parquet at rest instead and pass it through
     ext/lm.score_with_lm).  The parquet sink keeps the output
     restart-safe (batch ids are transactional)."""
+    if not out_dir:
+        raise ValueError(
+            "perplexity_filter_each_batch requires out_dir= (the parquet "
+            "sink path) — validated eagerly so a forgotten kwarg fails "
+            "here, not at the first micro-batch"
+        )
     from bq_duckdb_spark.ext.lm import filter_with_model, unigram_lm
 
     vocab, oov = unigram_lm(ref, text_col, k)

@@ -70,18 +70,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     #     un-cached lineage would re-run the dedup/gate/decontam chain
     #     on every pass
     clean = clean.localCheckpoint(eager=True)
-    clean = lm.perplexity_filter(clean, clean, max_nll=4.0)
+    surviving_lm = lm.perplexity_filter(clean, clean, max_nll=4.0)
 
     # 5. DSIR importance weights against the same target sample; keep
     #    the top half by weight. The cut uses a sketched quantile
     #    broadcast as a scalar — NOT a global rank window, which would
     #    funnel the corpus through one partition.
-    weights = retrieval.dsir_weights(clean, ev)
+    weights = retrieval.dsir_weights(surviving_lm, ev)
     median = weights.agg(
         F.expr("percentile_approx(dsir, 0.5)").alias("__cut")
     )
     selected = (
-        clean.join(weights, "doc_id")
+        surviving_lm.join(weights, "doc_id")
         .crossJoin(F.broadcast(median))
         .filter(F.col("dsir") >= F.col("__cut"))
         .drop("__cut")
@@ -94,6 +94,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"after dedup:    {surviving.count()}")
     print(f"after gates:    {gated.count()}")
     print(f"after decontam: {clean.count()}")
+    print(f"after LM gate:  {surviving_lm.count()}")
     print(f"selected:       {selected.count()}")
     print("per-language dataset card:")
     for r in stats.orderBy("lang").collect():

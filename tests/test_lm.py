@@ -27,6 +27,17 @@ def _py_lm(ref_texts, k=0.5):
     return vocab, oov
 
 
+def _assert_nll_close(got, want, n_tokens):
+    """nll within ±1 micro-nat on the summed s_micro.  The sums are
+    integer so there is no float re-association, but the per-term
+    ln() input can differ by 1 ulp between JVM Math.log and libm (and
+    Python round() is half-to-even vs Spark/DuckDB half-away-from-zero)
+    — a micro-nat landing at a .5 boundary may flip the quantized
+    integer by one.  Tolerating one micro-nat on the SUM keeps the
+    pin tight (≪ any real divergence) without the boundary flake."""
+    assert abs(got - want) * n_tokens * 1_000_000.0 <= 1.0 + 1e-6
+
+
 def _py_score(text, vocab, oov):
     toks = text.strip().split()
     s = 0
@@ -75,7 +86,7 @@ def test_matches_python_reference(frames):
         assert row["n_tokens"] == n
         assert row["n_oov"] == n_oov
         assert row["oov_ratio"] == ratio
-        assert row["nll"] == nll  # exact-operand IEEE: bit-equal
+        _assert_nll_close(row["nll"], nll, n)
 
 
 def test_oov_counted_and_penalized(frames):
@@ -158,7 +169,8 @@ def test_property_matches_python_reference(spark, ref_texts, tgt_texts, k):
         n, n_oov, ratio, nll = _py_score(text, vocab, oov)
         row = got[doc_id]
         assert (row["n_tokens"], row["n_oov"]) == (n, n_oov)
-        assert row["oov_ratio"] == ratio and row["nll"] == nll
+        assert row["oov_ratio"] == ratio
+        _assert_nll_close(row["nll"], nll, n)
 
 
 def test_stream_perplexity_filter_matches_batch(spark, tmp_path):
