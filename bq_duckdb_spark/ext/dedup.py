@@ -211,6 +211,27 @@ def _minhash_sig_udf(num_hashes: int):
     ``num_hashes`` permutations happens in numpy with natural uint64
     wraparound — one multiply-add per (shingle, seed) instead of
     ``num_hashes`` interpreted re-hashes of every shingle string.
+
+    Why this stays a pandas UDF (measured, sf0.1 = 5k docs / 260k
+    shingles, 32 seeds, best-of-3 noop writes): every "move it
+    JVM-side" alternative is slower, because Spark higher-order
+    functions are CodegenFallback (interpreted), ANSI mode forbids the
+    wraparound ``a*h + b``, and numpy's SIMD uint64 multiply-add out-
+    runs scalar JVM limb arithmetic:
+
+    * ``transform``/``array_min`` fold with 16x32-bit limb products
+      (value-identical, verified): 8.85 s single-core vs 0.50 s here —
+      ~40 interpreted expr nodes per (shingle, seed); worse, Catalyst's
+      CollapseProject inlines the whole fold into each of the 8 band
+      ``element_at`` refs downstream, re-evaluating it 8x (full
+      dedup_minhash entry 2.36 s vs 0.79 s).
+    * explode + whole-stage-codegen limb columns + groupBy(min):
+      1.11 s single-core — 2x slower per core than numpy AND adds a
+      doc_id shuffle before the (band, bucket) shuffle.
+    * ``mapInArrow`` instead of pandas_udf: 0.531 s vs 0.531 s at the
+      stage level — the cost is the Python-exchange pipeline break
+      itself, not pandas conversion, and it is a per-batch constant
+      that amortizes at real corpus sizes.
     """
     coeffs = _minhash_coeffs(num_hashes)
     a_np: "np.ndarray" = np.array(coeffs[0], dtype=np.uint64)
