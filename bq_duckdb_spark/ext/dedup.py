@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
@@ -362,9 +363,21 @@ def minhash_candidate_pairs(
         id_col,
         F.explode_outer(F.expr(f"array({band_structs})")).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # cap BEFORE collecting: row_number over the same (band, bucket)
+    # key keeps the max_bucket smallest ids, so the collect_list state
+    # is bounded at max_bucket ids per group no matter how degenerate
+    # the bucket — a 10^9-copy duplicate block would otherwise build a
+    # multi-GB array in one aggregation buffer before the old
+    # slice(array_sort(...)) cap ever ran. The window shares the
+    # aggregation's partitioning (one exchange total, verified in
+    # tests/test_plans.py); result is identical (both keep the
+    # max_bucket smallest ids — the window adds only a bounded sort).
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
     bucketed = (
-        banded.groupBy("band", "bucket")
-        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     # _outer: the quadratic pair array must not be re-evaluated in an
@@ -411,13 +424,20 @@ def ngram_jaccard_pairs(
         return _ngram_jaccard_carry(
             df, text_col, id_col, threshold, num_hashes, bands, shingle_k
         )
-    # dedup=False: a pair co-bucketed in several bands arrives once per
-    # band, but the verify's groupBy(id_a, id_b) collapses duplicates
-    # anyway — requesting distinct here would pay a whole extra shuffle
-    # of the candidate set for nothing.
+    # dedup=True: a pair co-bucketed in several bands arrives once per
+    # band, and TRUE near-duplicates co-bucket in MOST bands by
+    # construction — exactly the corpora this operator exists for. On
+    # the adversarial corpus (tools/gen_adversarial.py: Zipfian
+    # near-dup clusters + exact-dup blocks) the raw feed is 12.4M
+    # pair-rows vs 2.57M distinct pairs (4.8x), and every duplicate
+    # row drags two full shingle arrays through the verify regroup —
+    # the distinct costs one skinny 16-byte/row shuffle and cuts the
+    # array-carrying shuffle by the duplication factor. (The verify's
+    # groupBy would collapse duplicates anyway, so this is plan-only;
+    # results are pinned identical either way.)
     df = widen_small_scan(df)
     cands = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_k, dedup=False
+        df, text_col, id_col, num_hashes, bands, shingle_k, dedup=True
     )
     # LONG-FORMAT verify: explode each candidate pair into its two member
     # ids, join the shingle table ONCE, then regroup per pair. One join

@@ -129,6 +129,32 @@ def test_dedup_exact_single_shuffle(q):
     assert a.exchanges <= 2
 
 
+def test_minhash_bucket_cap_prunes_map_side(q, spark):
+    """The max_bucket cap must run as a rank-limit window that (a)
+    shares the bucket aggregation's (band, bucket) exchange — no extra
+    shuffle — and (b) compiles to WindowGroupLimit on BOTH sides of
+    that exchange, so a degenerate bucket (e.g. a giant exact-duplicate
+    block) is pruned to max_bucket rows per map partition BEFORE it
+    ships. Without the map-side limit, a 10^9-copy block floods the
+    shuffle and the collect_list buffer no matter what the cap does
+    afterwards."""
+    from bq_duckdb_spark.ext.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = audit_plan(
+        minhash_candidate_pairs(docs, "text", "doc_id", dedup=False)
+    )
+    # widen repartition + ONE (band,bucket) exchange feeding both the
+    # window and the bucket aggregation (the audit counts each node
+    # twice: tree line + detail header, like the other pins here)
+    assert a.exchanges <= 4, f"window must share the agg shuffle\n{a.formatted}"
+    assert a.formatted.count("WindowGroupLimit") >= 2, (
+        f"rank-limit must prune on the map side\n{a.formatted}"
+    )
+
+
 def test_cosine_topk_no_shuffle_scan(q):
     """Brute-force top-k must be scan + TakeOrdered — no exchange."""
     a = audit_plan(q("sim_cosine_topk"))
