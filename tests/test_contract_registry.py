@@ -15,6 +15,8 @@ def _modules():
         contract_tier4,
         contract_tier5,
         contract_tier6,
+        contract_tier7,
+        contract_tier8,
         contract_tpch,
     )
     from bq_duckdb_spark.ext import contract as ext_contract
@@ -29,6 +31,8 @@ def _modules():
         "tier4": contract_tier4,
         "tier5": contract_tier5,
         "tier6": contract_tier6,
+        "tier7": contract_tier7,
+        "tier8": contract_tier8,
         "tpch": contract_tpch,
     }
 
@@ -55,9 +59,20 @@ def test_every_oracle_has_a_query_and_rows_only_floor_is_pinned():
     qs, os = entry.queries(), entry.oracle_sql()
     assert set(os) <= set(qs)
     rows_only = set(qs) - set(os)
-    # the THEORETICAL floor: sketches whose engine implementations
-    # legitimately differ; both have exact oracle-backed twins
-    assert rows_only == {"q_approx_distinct", "q_percentiles_approx"}
+    # every rows-only entry must be declared in ORACLE_EXCLUSIONS with
+    # a reason naming its oracle-backed twin — nothing lands rows-only
+    # silently, and stale exclusions (entry gained an oracle or was
+    # removed) fail just as loudly
+    assert rows_only == set(entry.ORACLE_EXCLUSIONS), (
+        f"rows-only set {sorted(rows_only)} != declared exclusions "
+        f"{sorted(entry.ORACLE_EXCLUSIONS)}"
+    )
+    for name, reason in entry.ORACLE_EXCLUSIONS.items():
+        assert len(reason.strip()) >= 40, f"{name}: reason too thin"
+        # each excluded sketch must point at a real oracle-green twin
+        twin = {"q_approx_distinct": "q_distinct_agg",
+                "q_percentiles_approx": "q_percentiles"}[name]
+        assert twin in reason and twin in os, (name, twin)
 
 
 def test_every_entry_documented():

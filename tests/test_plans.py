@@ -129,6 +129,18 @@ def test_dedup_exact_single_shuffle(q):
     assert a.exchanges <= 2
 
 
+def test_unpartitioned_window_list_is_closed():
+    """Every Window.orderBy (unpartitioned spec) in the source must be
+    on tools/audit_plans.py's closed, justified list — a new global
+    window cannot land silently (see the audit for per-file reasons)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from audit_plans import audit_unpartitioned_windows
+
+    assert audit_unpartitioned_windows("/root/repo") == []
+
+
 def test_minhash_bucket_cap_prunes_map_side(q, spark):
     """The max_bucket cap must run as a rank-limit window that (a)
     shares the bucket aggregation's (band, bucket) exchange — no extra

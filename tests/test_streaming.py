@@ -748,3 +748,100 @@ def test_stateful_ewma_matches_batch(spark, tmp_path):
     assert got.keys() == want.keys()
     for uid in want:
         assert got[uid] == want[uid], uid  # bit-identical sequential folds
+
+
+def test_stream_dedup_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the stateful dedup stream mid-run (a foreachBatch sink that
+    dies on its second micro-batch), restart the SAME checkpoint with a
+    healthy sink, and require (a) the failed batch is re-delivered and
+    applied exactly once, and (b) dedup state from batches committed
+    BEFORE the crash survives the restart — a duplicate key arriving
+    after recovery is still dropped. Final output must equal the batch
+    distinct-key result over all files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "crash_src"
+    src.mkdir()
+    out = tmp_path / "crash_out"
+    out.mkdir()
+    chk = str(tmp_path / "crash_chk")
+    base_us = 1_700_000_000_000_000
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [(base_us + r[1]) * 1000 for r in rows], pa.int64()
+                    ),
+                    "user_id": pa.array([7] * len(rows), pa.int64()),
+                    "event_type": pa.array(["e"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(src / name),
+        )
+
+    # three files -> three micro-batches (maxFilesPerTrigger=1).
+    # key 1 recurs in files 2 and 3: dropping it there requires the
+    # state written by batch 0 to survive the crash and the restart.
+    write_file("f0.parquet", [(1, 0), (2, 1_000_000)])
+    write_file("f1.parquet", [(1, 2_000_000), (3, 3_000_000)])
+    write_file("f2.parquet", [(1, 4_000_000), (3, 5_000_000), (4, 6_000_000)])
+
+    def dedup_stream():
+        stream = streaming.read_event_stream(
+            spark, str(src), max_files_per_trigger=1
+        )
+        return streaming.stream_dedup_exact(
+            stream, ["event_id"], watermark="2 hours"
+        )
+
+    def sink(crash_on_second: bool):
+        seen = []
+
+        def _write(batch_df, batch_id):
+            if crash_on_second and len(seen) == 1:
+                raise RuntimeError("injected sink crash")
+            seen.append(batch_id)
+            # overwrite-by-batch-id: idempotent under re-delivery
+            batch_df.write.mode("overwrite").parquet(
+                str(out / f"batch-{batch_id}")
+            )
+
+        return _write
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = (
+        dedup_stream()
+        .writeStream.foreachBatch(sink(crash_on_second=True))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected sink crash"):
+        q.awaitTermination()
+
+    # restart from the same checkpoint with a healthy sink
+    q2 = (
+        dedup_stream()
+        .writeStream.foreachBatch(sink(crash_on_second=False))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = sorted(
+        r.event_id
+        for r in spark.read.parquet(str(out / "batch-*")).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in spark.read.parquet(str(src)).dropDuplicates(["event_id"]).collect()
+    )
+    assert got == want == [1, 2, 3, 4]

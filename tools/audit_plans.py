@@ -45,6 +45,74 @@ _ALLOWED_GLOBAL = {
 # intentional nested-loop / cartesian entries (BNLJ theta joins)
 _ALLOWED_CARTESIAN = {"q_theta_join", "q_cross_join"}
 
+# CLOSED list of source files allowed to build an unpartitioned
+# DataFrame window (Window.orderBy without partitionBy), with the
+# bounded-input reason and the exact occurrence count. Every listed
+# window runs over a BOUNDED frame (per-partition count tables, a
+# fixed quantile grid, or a top-N truncation) — never the data. A new
+# `Window.orderBy` anywhere else (or an extra one here) fails the
+# audit until it is either partitioned or justified on this list;
+# stale entries (file refactored, count dropped) fail just as loudly.
+_ALLOWED_UNPARTITIONED_WINDOWS = {
+    # offsets windows over per-partition COUNT/TOTAL tables: the
+    # window input is 1 row per upstream partition, not the data
+    "bq_duckdb_spark/operators/ids.py": 1,
+    "bq_duckdb_spark/operators/ntile.py": 1,
+    "bq_duckdb_spark/operators/budget.py": 1,
+    "bq_duckdb_spark/ext/pipeline.py": 1,
+    # cumulative window over the fixed GRID-bucket aggregate (<= GRID
+    # rows) feeding the Mann-Whitney U statistic
+    "bq_duckdb_spark/ext/mleval.py": 1,
+    # rank window over the top_n survivors of TakeOrderedAndProject
+    "bq_duckdb_spark/ext/retrieval.py": 1,
+    # q_ntile: documented BQ-global-semantics parity entry; twin
+    # q_ntile_scalable is the distributed form (operators/ntile.py)
+    "__spark_entry__.py": 1,
+}
+
+
+def audit_unpartitioned_windows(repo_root: str) -> list[str]:
+    """Source-level sweep: every ``Window.orderBy`` (the unpartitioned
+    spec constructor) must appear exactly where the closed list above
+    says, with the listed multiplicity."""
+    import os
+
+    found: dict[str, int] = {}
+    roots = ["bq_duckdb_spark", "examples", "__spark_entry__.py", "bench.py"]
+    for root in roots:
+        p = os.path.join(repo_root, root)
+        files = (
+            [p]
+            if p.endswith(".py")
+            else [
+                os.path.join(d, f)
+                for d, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".py")
+            ]
+        )
+        for f in files:
+            with open(f, encoding="utf-8") as fh:
+                n = fh.read().count("Window.orderBy")
+            if n:
+                found[os.path.relpath(f, repo_root)] = n
+    problems = []
+    for f, n in sorted(found.items()):
+        want = _ALLOWED_UNPARTITIONED_WINDOWS.get(f, 0)
+        if n > want:
+            problems.append(
+                f"UNPARTITIONED_WINDOW {f}: {n} Window.orderBy "
+                f"(allowed {want}) — partition it or justify it on the "
+                "closed list"
+            )
+    for f, want in _ALLOWED_UNPARTITIONED_WINDOWS.items():
+        if found.get(f, 0) < want:
+            problems.append(
+                f"STALE_ALLOWLIST {f}: expected {want} Window.orderBy, "
+                f"found {found.get(f, 0)} — update the closed list"
+            )
+    return problems
+
 
 def main() -> int:
     import __spark_entry__ as entry
@@ -55,6 +123,9 @@ def main() -> int:
     prefix = sys.argv[2] if len(sys.argv) > 2 else ""
     spark = get_spark(app_name="plan-audit", cpus=8)
     bad = 0
+    for p in audit_unpartitioned_windows("/root/repo"):
+        print(f"FLAG {p}")
+        bad += 1
     for name, fn in sorted(entry.queries().items()):
         if not name.startswith(prefix):
             continue

@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [only_query_prefix]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -52,7 +53,7 @@ def main():
     import __spark_entry__ as entrymod
     from bq_duckdb_spark import get_spark
 
-    spark = get_spark(cpus=8)
+    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
