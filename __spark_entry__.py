@@ -349,26 +349,39 @@ FROM events
 
 
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running SUM with explicit ROWS frame (W4)."""
+    """Running SUM with explicit ROWS frame (W4).
+
+    The accumulation is EXACT: prices quantize to integer cents via
+    ``floor(x*100 + 0.5)`` — pure double ops plus floor, so both
+    engines compute the identical BIGINT from the identical double (no
+    engine rounding-mode involved) — the window sums integers, and one
+    final ``/100.0`` maps back (the cent sum stays far below 2^53, so
+    that division is one exact-operand float op). A double prefix sum
+    is NOT portable at scale: the adversarial corpus's mega-customer
+    holds ~150k orders, and at magnitude ~4e9 a 150k-element prefix
+    accumulates association-order drift above the 6dp hash floor
+    (DuckDB evaluates windowed sums with a re-associating segment
+    tree; Spark streams the frame linearly)."""
     orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # frame-ordered running sums accumulate in the same defined order in
-    # every engine → bitwise-deterministic, no rounding needed
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum("o_totalprice").over(w).alias("running_spend"),
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_spend"),
     )
 
 
 _Q_RUNNING_TOTAL_ORACLE = """
 SELECT o_orderkey, o_custkey,
-       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / 100.0 AS running_spend
 FROM orders
 """
 
