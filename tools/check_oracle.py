@@ -60,15 +60,63 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_weak = 0
+    # Optional per-entry wall budget for unattended sweeps on large /
+    # adversarial inputs (CHECK_ORACLE_TIMEOUT_S, off by default so the
+    # driver-gate behavior is unchanged). On expiry the running side is
+    # interrupted (duckdb con.interrupt() / Spark cancelAllJobs) and the
+    # entry records as an explicit TIMEOUT line — a wedged oracle (e.g.
+    # an O(n^2)-by-design bit-parity fold meeting a 150k-event hot key)
+    # can no longer stall the whole sweep.
+    budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT_S", "0") or 0)
+
+    def run_with_budget(label, name, work, interrupt):
+        if not budget:
+            return work(), None
+        import threading
+
+        box: dict = {}
+
+        def _target():
+            try:
+                box["out"] = work()
+            except Exception as e:  # noqa: BLE001 - reported by caller
+                box["err"] = e
+
+        th = threading.Thread(target=_target, daemon=True)
+        th.start()
+        th.join(budget)
+        if th.is_alive():
+            interrupt()
+            th.join(30)
+            return None, f"{label} side exceeded {budget:.0f}s budget"
+        if "err" in box:
+            raise box["err"]
+        return box["out"], None
+
+    # resume support for long sweeps: skip entries already recorded
+    # (comma-separated names in CHECK_ORACLE_SKIP)
+    skip = {
+        s for s in os.environ.get("CHECK_ORACLE_SKIP", "").split(",") if s
+    }
+    n_pass = n_fail = n_weak = n_timeout = 0
     for name, fn in qs.items():
         if prefix and not name.startswith(prefix):
+            continue
+        if name in skip:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = list(sdf.columns)
-            srows = [tuple(r) for r in sdf.collect()]
+            srows, why = run_with_budget(
+                "spark", name,
+                lambda: [tuple(r) for r in sdf.collect()],
+                lambda: spark.sparkContext.cancelAllJobs(),
+            )
+            if why:
+                print(f"TIMEOUT  {name}: {why}")
+                n_timeout += 1
+                continue
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             n_fail += 1
@@ -78,9 +126,16 @@ def main():
             n_weak += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            def _duck():
+                res = con.execute(oracles[name])
+                return [d[0] for d in res.description], res.fetchall()
+
+            out, why = run_with_budget("duckdb", name, _duck, con.interrupt)
+            if why:
+                print(f"TIMEOUT  {name}: {why}")
+                n_timeout += 1
+                continue
+            ocols, orows = out
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
@@ -113,7 +168,10 @@ def main():
         else:
             print(f"pass  {name} ({dt:.1f}s, {len(srows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    summary = f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only"
+    if n_timeout:
+        summary += f", {n_timeout} timeout"
+    print(summary)
     return 1 if n_fail else 0
 
 
