@@ -55,6 +55,18 @@ def main():
 
     spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     con = duckdb.connect()
+    # Optional resource fences for adversarial-scale sweeps: a hostile
+    # oracle (e.g. the SQL minhash re-computation meeting a 62k-doc
+    # corpus with 1 MB documents) can otherwise grow past half the box
+    # before its time budget fires. A memory_limit makes it fail fast
+    # and loud instead of destabilizing the concurrently-running Spark
+    # side; both are off by default so the driver-gate path is unchanged.
+    duck_mem = os.environ.get("CHECK_ORACLE_DUCKDB_MEM", "")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
+    duck_threads = os.environ.get("CHECK_ORACLE_DUCKDB_THREADS", "")
+    if duck_threads:
+        con.execute(f"SET threads TO {int(duck_threads)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
@@ -132,12 +144,30 @@ def main():
 
             out, why = run_with_budget("duckdb", name, _duck, con.interrupt)
             if why:
-                print(f"TIMEOUT  {name}: {why}")
+                # The Spark side already completed — keep its result as
+                # a rows-only record rather than discarding both sides:
+                # at adversarial scale "Spark finished, the single-node
+                # oracle could not" is itself the finding.
+                print(
+                    f"weak  {name}: rows={len(srows)} "
+                    f"(oracle timeout: {why}; spark side completed)"
+                )
+                n_weak += 1
                 n_timeout += 1
                 continue
             ocols, orows = out
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            msg = str(e)
+            if "memory limit" in msg.lower() or "out of memory" in msg.lower():
+                # oracle hit the CHECK_ORACLE_DUCKDB_MEM fence — a
+                # single-node-oracle capacity limit, not a Spark defect
+                print(
+                    f"weak  {name}: rows={len(srows)} "
+                    f"(oracle out of memory; spark side completed)"
+                )
+                n_weak += 1
+                continue
+            print(f"FAIL  {name}: duckdb error: {msg[:300]}")
             n_fail += 1
             continue
         problems = []
