@@ -30,8 +30,12 @@ parquet, one file per table, same schemas as /root/testdata/sf*, so
 every contract entry, oracle, bench query, and tool runs unchanged
 with sf_dir pointed here.
 
-Usage: python tools/gen_adversarial.py [out_dir] [base_sf_dir]
-Defaults: /root/repo/.advdata  /root/testdata/sf0.1
+Usage: python tools/gen_adversarial.py [out_dir] [base_sf_dir] [scale]
+Defaults: /root/repo/.advdata  /root/testdata/sf0.1  1.0
+``scale`` < 1 shrinks the hostile blocks (see apply_scale) for the
+reduced, oracle-tractable variant:
+    python tools/gen_adversarial.py /root/repo/.advsmall \\
+        /root/testdata/sf0.01 0.2
 """
 
 from __future__ import annotations
@@ -57,6 +61,27 @@ NEAR_DUP_CLUSTERS = [3000, 800] + [200] * 5 + [50] * 20 + [10] * 100
 EXACT_DUP_BLOCKS = [2000] + [100] * 30
 N_HUGE_DOCS = 5
 HUGE_DOC_TOKENS = 160_000  # ~1.2 MB of text each
+EMB_DUP_COPIES = 300
+EMB_TIGHT_CLUSTER = 500
+
+
+def apply_scale(scale: float) -> None:
+    """Shrink every hostile block by ``scale`` while keeping each one
+    qualitatively intact: the head near-dup cluster still dwarfs the
+    smaller ones, exact blocks stay verbatim, huge docs stay the
+    row-size tail. Used to build the reduced dataset (.advsmall) where
+    the single-node DuckDB oracle can actually FINISH the dedup
+    entries — the full .advdata proves scale behavior, the reduced set
+    proves hostile-input correctness end to end."""
+    global NEAR_DUP_CLUSTERS, EXACT_DUP_BLOCKS, HUGE_DOC_TOKENS
+    global EMB_DUP_COPIES, EMB_TIGHT_CLUSTER
+    if scale >= 1:
+        return
+    NEAR_DUP_CLUSTERS = [max(3, int(c * scale)) for c in NEAR_DUP_CLUSTERS]
+    EXACT_DUP_BLOCKS = [max(2, int(b * scale)) for b in EXACT_DUP_BLOCKS]
+    HUGE_DOC_TOKENS = max(2_000, int(HUGE_DOC_TOKENS * scale))
+    EMB_DUP_COPIES = max(5, int(EMB_DUP_COPIES * scale))
+    EMB_TIGHT_CLUSTER = max(5, int(EMB_TIGHT_CLUSTER * scale))
 
 
 def gen_relational(out: str, base: str) -> None:
@@ -213,13 +238,16 @@ def gen_embeddings(out: str, base: str) -> None:
             noise = rng.standard_normal((nb, dim)).astype(np.float32) * 0.2
             parts.append(vecs + noise)
         lparts.append(labels)
-    # 300-copy exact-duplicate vector block
-    parts.append(np.tile(vecs[17], (300, 1)))
-    lparts.append(np.full(300, labels[17], dtype=np.int32))
-    # 500-vector dense cluster (tiny radius around one point)
-    tight = vecs[42] + rng.standard_normal((500, dim)).astype(np.float32) * 1e-3
+    # exact-duplicate vector block
+    parts.append(np.tile(vecs[17], (EMB_DUP_COPIES, 1)))
+    lparts.append(np.full(EMB_DUP_COPIES, labels[17], dtype=np.int32))
+    # dense cluster (tiny radius around one point)
+    tight = (
+        vecs[42]
+        + rng.standard_normal((EMB_TIGHT_CLUSTER, dim)).astype(np.float32) * 1e-3
+    )
     parts.append(tight)
-    lparts.append(np.full(500, labels[42], dtype=np.int32))
+    lparts.append(np.full(EMB_TIGHT_CLUSTER, labels[42], dtype=np.int32))
 
     allv = np.concatenate(parts)
     alll = np.concatenate(lparts)
@@ -240,6 +268,8 @@ def gen_embeddings(out: str, base: str) -> None:
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.advdata"
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 3:
+        apply_scale(float(sys.argv[3]))
     os.makedirs(out, exist_ok=True)
     gen_relational(out, base)
     gen_documents(out, base)
