@@ -46,6 +46,30 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def _oracle_child(sql: str, sf_dir: str, mem: str, threads: str, q) -> None:
+    """Child-process oracle runner (CHECK_ORACLE_ISOLATE=1): a hostile
+    oracle that ignores duckdb's interrupt can wedge — observed on the
+    adversarial sweep: one worker thread kept a core and the connection
+    lock for 30+ minutes after con.interrupt(), deadlocking every later
+    entry on the shared connection. A child process can be kill()ed for
+    real, and its memory dies with it."""
+    try:
+        con = duckdb.connect()
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
+        if threads:
+            con.execute(f"SET threads TO {int(threads)}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        res = con.execute(sql)
+        q.put(([d[0] for d in res.description], res.fetchall()))
+    except Exception as e:  # noqa: BLE001 - re-raised in the parent
+        q.put(("__oracle_error__", str(e)))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     prefix = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -110,6 +134,32 @@ def main():
     skip = {
         s for s in os.environ.get("CHECK_ORACLE_SKIP", "").split(",") if s
     }
+
+    isolate = os.environ.get("CHECK_ORACLE_ISOLATE", "") not in ("", "0")
+
+    def run_oracle_isolated(sql: str):
+        """(cols, rows), why — oracle in a kill()-able child process."""
+        import multiprocessing as mp
+        import queue as queue_mod
+
+        ctx = mp.get_context("fork")
+        qch = ctx.Queue()
+        proc = ctx.Process(
+            target=_oracle_child,
+            args=(sql, sf_dir, duck_mem, duck_threads, qch),
+            daemon=True,
+        )
+        proc.start()
+        try:
+            out = qch.get(timeout=budget or None)
+        except queue_mod.Empty:
+            proc.kill()
+            proc.join(10)
+            return None, f"duckdb side exceeded {budget:.0f}s budget"
+        proc.join(10)
+        if isinstance(out, tuple) and out and out[0] == "__oracle_error__":
+            raise RuntimeError(out[1])
+        return out, None
     n_pass = n_fail = n_weak = n_timeout = 0
     for name, fn in qs.items():
         if prefix and not name.startswith(prefix):
@@ -138,11 +188,14 @@ def main():
             n_weak += 1
             continue
         try:
-            def _duck():
-                res = con.execute(oracles[name])
-                return [d[0] for d in res.description], res.fetchall()
+            if isolate:
+                out, why = run_oracle_isolated(oracles[name])
+            else:
+                def _duck():
+                    res = con.execute(oracles[name])
+                    return [d[0] for d in res.description], res.fetchall()
 
-            out, why = run_with_budget("duckdb", name, _duck, con.interrupt)
+                out, why = run_with_budget("duckdb", name, _duck, con.interrupt)
             if why:
                 # The Spark side already completed — keep its result as
                 # a rows-only record rather than discarding both sides:
