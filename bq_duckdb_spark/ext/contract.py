@@ -76,7 +76,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact baseline (oracle-checked:
     the double fold dot product is bitwise-deterministic)."""
     return dedup.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, dim=64
     )
 
 

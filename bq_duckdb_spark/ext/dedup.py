@@ -622,11 +622,23 @@ def embedding_near_dup_pairs(
     shuffle), never a nested-loop over all pairs; a pair at distance d
     matches on exactly one probe (mask = a⊕b), so no duplicates. Exact
     cosine verifies the candidates.
+
+    ``dim`` (the exact embedding length) is required for the LSH path
+    (hyperplane construction). The verify-side dot product stays the
+    sequential fold — measured fastest available form; see
+    similarity.dot_expr for the unrolled-codegen dead end.
     """
     from bq_duckdb_spark.ext.similarity import dot_expr, with_lsh_signature
 
-    norm = f"sqrt({dot_expr(vec_col, vec_col)})"
-    base = df.select(F.col(id_col), F.col(vec_col), F.expr(norm).alias("__n"))
+    norm = f"sqrt({dot_expr(vec_col, vec_col, dim)})"
+    # candidate expansion + verify parallelism must not depend on the
+    # input's file-split count: a 7 MB single-file embeddings table
+    # scans as ONE task, serializing the (quadratic-ish) pair stage onto
+    # one core — the adversarial 20.8k-vector sweep measured 2 of 32
+    # cores busy for 7+ minutes. Metadata-only decision, no-op at scale.
+    base = widen_small_scan(
+        df.select(F.col(id_col), F.col(vec_col), F.expr(norm).alias("__n"))
+    )
     if use_lsh:
         if dim is None:
             # inferring dim would cost a driver-side .first() Spark job in
@@ -656,7 +668,7 @@ def embedding_near_dup_pairs(
         a, b = base.alias("a"), base.alias("b")
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     cos = F.expr(
-        dot_expr(f"a.{vec_col}", f"b.{vec_col}")
+        dot_expr(f"a.{vec_col}", f"b.{vec_col}", dim)
     ) / (F.col("a.__n") * F.col("b.__n"))
     return (
         a.join(b, cond)
@@ -1008,12 +1020,17 @@ def semantic_dedup(
     """
     from bq_duckdb_spark.ext.similarity import dot_expr, ivf_assign
 
-    norm = f"sqrt({dot_expr(vec_col, vec_col)})"
+    dim = len(centroids[0])
+    norm = f"sqrt({dot_expr(vec_col, vec_col, dim)})"
+    # see embedding_near_dup_pairs: in-cell pair verification must not
+    # inherit a tiny file's single scan split (no-op at scale)
     assigned = ivf_assign(
-        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col=vec_col
+        widen_small_scan(df.select(F.col(id_col), F.col(vec_col))),
+        centroids,
+        vec_col=vec_col,
     ).withColumn("__n", F.expr(norm))
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.expr(dot_expr(f"a.{vec_col}", f"b.{vec_col}")) / (
+    cos = F.expr(dot_expr(f"a.{vec_col}", f"b.{vec_col}", dim)) / (
         F.col("a.__n") * F.col("b.__n")
     )
     dropped = (

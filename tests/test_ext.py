@@ -980,3 +980,41 @@ def test_hard_negatives_band(spark):
     plain = similarity.ann_join(qs, idx, cents, k=1000, nprobe=2).collect()
     assert len(plain) >= len(banded)
     assert any(r.cosine >= 0.8 or r.cosine < 0.1 for r in plain)
+
+
+def test_embedding_pair_paths_widen_single_file_scans(spark, tmp_path):
+    """Pair-expansion parallelism must not inherit a tiny single-file
+    table's one scan split: the adversarial 20.8k-vector sweep measured
+    the LSH verify join running on 2 of 32 cores for 7+ minutes before
+    embedding_near_dup_pairs widened its input. Pin that both embedding
+    pair paths put a repartition (round-robin Exchange) between a
+    single-file scan and the join, and that results are unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 8)).round(3).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "emb_single_file")
+    df.coalesce(1).write.parquet(path)
+    single = spark.read.parquet(path)
+
+    lsh = dedup.embedding_near_dup_pairs(
+        single, threshold=0.3, use_lsh=True, dim=8
+    )
+    sem = dedup.semantic_dedup(single, centroids=vecs[:3], threshold=0.3)
+    for frame in (lsh, sem):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
+
+    # widening is pure parallelism: same pairs as the in-memory frame
+    expect = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(
+            df, threshold=0.3, use_lsh=True, dim=8
+        ).collect()
+    )
+    got = sorted((r.id_a, r.id_b) for r in lsh.collect())
+    assert got == expect and len(got) > 0
