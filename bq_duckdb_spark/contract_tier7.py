@@ -42,19 +42,31 @@ _ALPHA = 0.3
 # a hand-written 0.7 literal would be a *different* double — the fold
 # results would drift apart in the last ulps
 _BETA = 1.0 - _ALPHA
+# bounded-lookback horizon: (1 - _ALPHA)^128 ~ 1.4e-20, ~8 orders below
+# the result ulp (see q_ewma docstring)
+_EWMA_K = 128
 
 
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values in time order. One shuffle on
     user_id; per-prefix sequential folds (see operators/timeseries.py
     for why the fold — not a weighted window sum — is the portable,
-    overflow-free formulation)."""
+    overflow-free formulation).
+
+    Bounded lookback K=128: at alpha=0.3 a weight (1-a)^128 ~ 1.4e-20
+    is ~8 orders below the result's ulp, so the bounded fold is
+    numerically indistinguishable from the exact one — while the
+    per-key cost drops from O(n^2) to O(n*128), which is what makes the
+    adversarial mega-user (~150k events on one key) computable at all.
+    The oracle runs the IDENTICAL bounded fold, so values stay
+    bit-identical between engines."""
     out = timeseries.ewma(
         _t(spark, sf_dir, "events"),
         ["user_id"],
         ["ts", "event_id"],
         "value",
         _ALPHA,
+        max_lookback=_EWMA_K,
     )
     return out.select("user_id", "event_id", "value", "ewma")
 
@@ -69,7 +81,7 @@ WITH ev AS (
 SELECT user_id,
        ids[u.i] AS event_id,
        vals[u.i] AS value,
-       list_reduce(list_slice(vals, 1, u.i),
+       list_reduce(list_slice(vals, greatest(1, u.i + 1 - {_EWMA_K}), u.i),
                    (acc, x) -> {_ALPHA!r} * x + {_BETA!r} * acc) AS ewma
 FROM ev, UNNEST(range(1, len(vals) + 1)) AS u(i)
 """

@@ -61,6 +61,28 @@ def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+# Exact-cents revenue term for entries whose aggregate exceeds the 6dp
+# hash floor at adversarial row counts (q07/q09/q15: the r5 sf1 sweep
+# measured Spark/DuckDB 2dp-rounded sums straddling a cent at ~450k
+# doubles per group, and q15's revenue = max(revenue) equality missing
+# entirely under DuckDB's re-associating parallel sum). floor(x*100+0.5)
+# is pure double arithmetic plus floor — both engines compute the
+# IDENTICAL bigint from the identical double product (no engine
+# rounding-mode involved); the integer sum is exact and order-free, and
+# one final /100.0 maps back (cent totals stay far below 2^53, so the
+# division is a single exact-operand float op). Same convention as
+# q_running_total (__spark_entry__.py).
+def _rev_cents() -> F.Column:
+    return F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+    )
+
+
+_REV_CENTS_SQL = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+)
+
+
 # ---------------------------------------------------------------------------
 # q02 — min-within-group + join-back (original: min ps_supplycost in EUROPE)
 # ---------------------------------------------------------------------------
@@ -264,17 +286,19 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        # exact cents (see _rev_cents): portable at any group size
+        .agg((F.sum(_rev_cents()) / F.lit(100.0)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
-_Q07_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+_Q07_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       sum(volume_cents) / 100.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         {_REV_CENTS_SQL} AS volume_cents
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -402,25 +426,30 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            (_rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")).alias(
-                "amount"
-            ),
+            # exact cents of the full profit term (see _rev_cents);
+            # floor(x+0.5) on a possibly-negative amount is still the
+            # same pure-double computation in both engines
+            F.expr(
+                "CAST(floor((l_extendedprice * (1 - l_discount)"
+                " - 0.1 * p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT)"
+            ).alias("amount_cents"),
         )
     )
     return (
         profit.groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg((F.sum("amount_cents") / F.lit(100.0)).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 _Q09_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year, sum(amount_cents) / 100.0 AS sum_profit
 FROM (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS INTEGER) AS o_year,
-         l_extendedprice * (1 - l_discount)
-           - 0.1 * p_retailprice * l_quantity AS amount
+         CAST(floor((l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT)
+           AS amount_cents
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
@@ -688,36 +717,41 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
     )
     supp = _t(spark, sf_dir, "supplier")
+    # exact cents (see _rev_cents): the revenue = max(revenue) equality
+    # is INTEGER equality — a double sum misses it entirely once the
+    # engines' association orders drift (observed: DuckDB's parallel
+    # re-associating sum returned 0 rows at the adversarial 6M-lineitem
+    # scale while Spark returned 1)
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev()).alias("raw_revenue")
+        F.sum(_rev_cents()).alias("revenue_cents")
     )
-    max_rev = revenue.agg(F.max("raw_revenue").alias("max_revenue"))
+    max_rev = revenue.agg(F.max("revenue_cents").alias("max_cents"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
-        .filter(F.col("raw_revenue") == F.col("max_revenue"))
+        .filter(F.col("revenue_cents") == F.col("max_cents"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("raw_revenue"), 2).alias("total_revenue"),
+            (F.col("revenue_cents") / F.lit(100.0)).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
 
 
-_Q15_ORACLE = """
+_Q15_ORACLE = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         sum(l_extendedprice * (1 - l_discount)) AS raw_revenue
+         sum({_REV_CENTS_SQL}) AS revenue_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-04-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(raw_revenue, 2) AS total_revenue
+SELECT s_suppkey, s_name, revenue_cents / 100.0 AS total_revenue
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no
-WHERE raw_revenue = (SELECT max(raw_revenue) FROM revenue)
+WHERE revenue_cents = (SELECT max(revenue_cents) FROM revenue)
 ORDER BY s_suppkey
 """
 

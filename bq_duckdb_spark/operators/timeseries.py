@@ -62,30 +62,36 @@ def ewma(
         .agg(F.array_sort(F.collect_list(ev)).alias("__evs"))
         .withColumn("__vals", F.expr("transform(__evs, e -> e.__v)"))
     )
+    # fold seed = first element of the (possibly lookback-truncated)
+    # window, fold body = the rest; start index s is 1 for the exact
+    # form and max(1, i - K + 1) for the bounded form (i = 1-based
+    # prefix index)
+    s = (
+        "1" if max_lookback is None else f"greatest(1, i + 1 - {int(max_lookback)})"
+    )
+    # All per-prefix folds run INSIDE the grouped row, so the explode
+    # emits only scalar fields. The previous formulation carried the
+    # full __vals array on every exploded row; a hostile key (the
+    # adversarial mega-user: ~150k events) then pushed O(n^2) BYTES
+    # through the pipeline — 150k rows x 1.2 MB array each — and took
+    # the whole local JVM down with it (java.lang.OutOfMemoryError,
+    # ORACLE_adv_r5.log round 5).
+    ewmas = (
+        f"transform(sequence(1, size(__vals)), i -> "
+        f"aggregate(slice(__vals, ({s}) + 1, i - ({s})), "
+        f"element_at(__vals, {s}), "
+        f"(acc, x) -> CAST({alpha} AS DOUBLE) * x + CAST({1.0 - alpha} AS DOUBLE) * acc))"
+    )
     # posexplode_outer (never plain posexplode on a computed array:
     # InferFiltersFromGenerate would inline the collect+transform into a
     # pre-Generate filter and re-evaluate it)
-    rows = g.select(
+    rows = g.withColumn("__ewmas", F.expr(ewmas)).select(
         *key_cols,
-        F.posexplode_outer("__evs").alias("__pos", "__ev"),
-        "__vals",
-    )
-    # fold seed = first element of the (possibly lookback-truncated)
-    # window, fold body = the rest; start index s is 1 for the exact
-    # form and max(1, prefix_len - K + 1) for the bounded form
-    s = (
-        "1"
-        if max_lookback is None
-        else f"greatest(1, __pos + 2 - {int(max_lookback)})"
-    )
-    fold: Column = F.expr(
-        f"aggregate(slice(__vals, ({s}) + 1, __pos + 1 - ({s})), "
-        f"element_at(__vals, {s}), "
-        f"(acc, x) -> CAST({alpha} AS DOUBLE) * x + CAST({1.0 - alpha} AS DOUBLE) * acc)"
+        F.posexplode_outer(F.arrays_zip("__evs", "__ewmas")).alias("__pos", "__z"),
     )
     return rows.select(
         *key_cols,
-        *[F.col(f"__ev.{c}").alias(c) for c in order_cols],
-        F.col("__ev.__v").alias(value_col),
-        fold.alias(out),
+        *[F.col(f"__z.__evs.{c}").alias(c) for c in order_cols],
+        F.col("__z.__evs.__v").alias(value_col),
+        F.col("__z.__ewmas").alias(out),
     )
