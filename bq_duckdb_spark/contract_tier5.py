@@ -406,7 +406,16 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact epoch-microsecond integers, so the arithmetic is bitwise-
     reproducible in any engine (no rounding needed). Boundary gaps
     carry the single available neighbor. Both window specs partition by
-    user_id: ONE exchange of events, two in-partition sorts."""
+    user_id: ONE exchange of events, two in-partition sorts.
+
+    The look-AHEAD neighbors come from a DESCENDING-order running frame,
+    not ``rowsBetween(1, unboundedFollowing)``: Spark evaluates an
+    unbounded-FOLLOWING frame by re-scanning from each row to the
+    partition end — O(rows²) per key, which the adversarial mega-user
+    (~150k events on one key) turned into a 420 s+ stall. A growing
+    unbounded-PRECEDING frame updates incrementally (O(rows)), and
+    ``last(...) IGNORE NULLS`` over the reversed order is exactly
+    "first non-null after"."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -418,10 +427,10 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    after = (
+    after_rev = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     marked = (
         ev.withColumn("prev_v", F.last("v", ignorenulls=True).over(before))
@@ -429,10 +438,10 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_ts",
             F.last(F.when(F.col("v").isNotNull(), F.unix_micros("ts")), ignorenulls=True).over(before),
         )
-        .withColumn("next_v", F.first("v", ignorenulls=True).over(after))
+        .withColumn("next_v", F.last("v", ignorenulls=True).over(after_rev))
         .withColumn(
             "next_ts",
-            F.first(F.when(F.col("v").isNotNull(), F.unix_micros("ts")), ignorenulls=True).over(after),
+            F.last(F.when(F.col("v").isNotNull(), F.unix_micros("ts")), ignorenulls=True).over(after_rev),
         )
     )
     fill = (

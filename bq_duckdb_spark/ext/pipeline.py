@@ -145,7 +145,10 @@ def pack_sequences(
         toks.filter(F.col("__nt") > 0)
         .withColumn(
             "seq_no",
-            F.explode(
+            # _outer: computed array (repo convention — plain explode
+            # invites InferFiltersFromGenerate to evaluate the sequence
+            # twice); never empty since __nt > 0 makes stop >= start
+            F.explode_outer(
                 F.expr(
                     f"sequence(__start div {seq_len}, "
                     f"(__start + __nt - 1) div {seq_len})"
@@ -254,8 +257,14 @@ def with_repetition_stats(
       single most frequent one.
 
     Map-only JVM higher-order expressions; per-doc cost is
-    O(distinct-grams x grams) which is bounded by document length —
-    fine for web-scale docs, and zero shuffles at any corpus size.
+    O(grams log grams): gram multiplicities are read off a SORTED gram
+    array (a gram is a duplicate iff it equals a sorted neighbor; the
+    top gram's count is the longest run, one sequential fold). The
+    first formulation counted via ``transform(array_distinct(g), d ->
+    size(filter(g, x -> x = d)))`` — O(distinct x grams), quadratic in
+    document length — and a single adversarial 160k-token document
+    (~2e10 string comparisons) stalled the whole stage past its budget.
+    Zero shuffles at any corpus size.
     """
     toks = f"split(trim({text_col}), '\\\\s+')"
     # build grams from the MATERIALIZED __t attribute, not the inline
@@ -266,29 +275,38 @@ def with_repetition_stats(
         f"ELSE transform(sequence(1, size(__t) - {ngram - 1}), "
         f"i -> concat_ws(' ', slice(__t, i, {ngram}))) END"
     )
-    gcounts = (
-        f"transform(array_distinct(__g), d -> size(filter(__g, x -> x = d)))"
+    # grams that occur more than once == sorted grams equal to a neighbor
+    dup_members = (
+        "size(filter(sequence(1, size(__gs)), i -> "
+        "(i > 1 AND element_at(__gs, i) = element_at(__gs, i - 1)) "
+        "OR (i < size(__gs) AND element_at(__gs, i) = element_at(__gs, i + 1))))"
+    )
+    # longest run in the sorted array = the top gram's count
+    top_run = (
+        "aggregate(__gs, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(s, x) -> IF(s.prev IS NOT NULL AND x = s.prev, "
+        "named_struct('prev', x, 'run', s.run + 1L, "
+        "             'best', greatest(s.best, s.run + 1L)), "
+        "named_struct('prev', x, 'run', 1L, 'best', greatest(s.best, 1L)))"
+        ").best"
     )
     return (
         df.withColumn("__t", F.expr(toks))
-        .withColumn("__g", F.expr(grams))
-        .withColumn("__gc", F.expr(gcounts))
+        .withColumn("__gs", F.expr(f"array_sort({grams})"))
         .withColumn(
             "dup_token_frac",
             F.expr("1.0 - CAST(size(array_distinct(__t)) AS DOUBLE) / size(__t)"),
         )
         .withColumn(
             "dup_ngram_frac",
-            F.expr(
-                "CAST(aggregate(__gc, 0, (a, c) -> a + IF(c > 1, c, 0)) AS DOUBLE)"
-                " / size(__g)"
-            ),
+            F.expr(f"CAST({dup_members} AS DOUBLE) / size(__gs)"),
         )
         .withColumn(
             "top_ngram_frac",
-            F.expr("CAST(array_max(__gc) AS DOUBLE) / size(__g)"),
+            F.expr(f"CAST({top_run} AS DOUBLE) / size(__gs)"),
         )
-        .drop("__t", "__g", "__gc")
+        .drop("__t", "__gs")
     )
 
 
@@ -423,8 +441,15 @@ def span_dedup(
     ).select(
         F.col(id_col), F.expr(nsp).alias("n_spans"), F.expr(spans).alias("__spans")
     )
+    # posexplode_OUTER: __spans is computed, and plain posexplode lets
+    # InferFiltersFromGenerate push a size()>0 filter below the
+    # projections, inlining the whole span construction — slice(split(
+    # text)) PER SPAN, O(tokens x spans) per doc. One adversarial
+    # 160k-token document stalled the stage past a 7-minute budget;
+    # with _outer the tokenizer runs once per doc (split('') yields
+    # [''], so the array is never empty and _outer adds no rows).
     exploded = base.select(
-        id_col, "n_spans", F.posexplode("__spans").alias("span_pos", "span")
+        id_col, "n_spans", F.posexplode_outer("__spans").alias("span_pos", "span")
     )
     key = F.xxhash64("span") if hash_spans else F.col("span")
     w = Window.partitionBy(key).orderBy(id_col, "span_pos")

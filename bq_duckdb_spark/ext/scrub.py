@@ -81,7 +81,12 @@ def strip_boilerplate(
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+        # _outer: computed array (repo convention — plain posexplode
+        # lets InferFiltersFromGenerate re-run the split in a pushed
+        # filter); split never returns an empty array
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "__idx", "__line"
+        ),
     )
     line_df = lines.groupBy("__line").agg(
         F.countDistinct(id_col).alias("__line_docs")

@@ -39,7 +39,10 @@ def range_join(
     bw = float(bucket_width)
     exploded = intervals.withColumn(
         "__bucket",
-        F.explode(
+        # _outer: computed array (repo convention — plain explode lets
+        # InferFiltersFromGenerate evaluate the sequence twice); a
+        # sequence is never empty (it counts down when hi < lo)
+        F.explode_outer(
             F.sequence(
                 F.floor(F.col(lo_col) / bw).cast("long"),
                 # hi is exclusive: a bucket containing only hi itself is

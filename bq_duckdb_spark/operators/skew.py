@@ -36,7 +36,8 @@ def salted_join(
         "__salt", F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(num_salts))
     )
     salted_r = other.withColumn(
-        "__salt", F.explode(F.array([F.lit(i) for i in range(num_salts)]))
+        # _outer: computed (constant) array, repo convention; never empty
+        "__salt", F.explode_outer(F.array([F.lit(i) for i in range(num_salts)]))
     )
     out = salted_l.join(salted_r, on=[*keys, "__salt"], how=how)
     return out.drop("__salt")

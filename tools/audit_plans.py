@@ -71,6 +71,68 @@ _ALLOWED_UNPARTITIONED_WINDOWS = {
 }
 
 
+# CLOSED list of source files allowed to call plain F.explode /
+# F.posexplode (no _outer), with the occurrence count. Plain explode is
+# only safe on a bare ATTRIBUTE column: on a COMPUTED array,
+# InferFiltersFromGenerate pushes a size()>0 filter below the
+# projections and re-evaluates the generating expression there — for
+# span_dedup that inlined slice(split(text)) PER SPAN, O(tokens x
+# spans) per document, which one adversarial 160k-token doc turned
+# into a 7-minute stall (round 5). Everything else uses the _outer
+# forms per the repo convention.
+_ALLOWED_PLAIN_EXPLODE = {
+    "bq_duckdb_spark/ext/cluster.py": 1,     # posexplode(attribute vec col)
+    "bq_duckdb_spark/ext/similarity.py": 2,  # posexplode(attribute vec col) x2
+    "bq_duckdb_spark/ext/retrieval.py": 1,   # explode(attribute buckets col)
+}
+
+
+def audit_plain_explodes(repo_root: str) -> list[str]:
+    """Source-level sweep: every plain ``F.explode(`` / ``F.posexplode(``
+    must appear exactly where the closed list above says (bare-attribute
+    arguments only); new call sites must use the _outer forms or justify
+    themselves on the list."""
+    import os
+    import re as re_mod
+
+    pat = re_mod.compile(r"F\.(?:pos)?explode\(")
+    found: dict[str, int] = {}
+    roots = ["bq_duckdb_spark", "examples", "__spark_entry__.py", "bench.py"]
+    for root in roots:
+        p = os.path.join(repo_root, root)
+        files = (
+            [p]
+            if p.endswith(".py")
+            else [
+                os.path.join(d, f)
+                for d, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".py")
+            ]
+        )
+        for f in files:
+            with open(f, encoding="utf-8") as fh:
+                n = len(pat.findall(fh.read()))
+            if n:
+                found[os.path.relpath(f, repo_root)] = n
+    problems = []
+    for f, n in sorted(found.items()):
+        want = _ALLOWED_PLAIN_EXPLODE.get(f, 0)
+        if n > want:
+            problems.append(
+                f"PLAIN_EXPLODE {f}: {n} F.(pos)explode( (allowed {want})"
+                " — use the _outer form (computed arrays) or justify a"
+                " bare-attribute site on the closed list"
+            )
+    for f, want in _ALLOWED_PLAIN_EXPLODE.items():
+        if found.get(f, 0) < want:
+            problems.append(
+                f"STALE_ALLOWLIST {f}: expected {want} plain explodes, "
+                f"found {found.get(f, 0)} — update the closed list"
+            )
+    return problems
+
+
 def audit_unpartitioned_windows(repo_root: str) -> list[str]:
     """Source-level sweep: every ``Window.orderBy`` (the unpartitioned
     spec constructor) must appear exactly where the closed list above
@@ -124,6 +186,9 @@ def main() -> int:
     spark = get_spark(app_name="plan-audit", cpus=8)
     bad = 0
     for p in audit_unpartitioned_windows("/root/repo"):
+        print(f"FLAG {p}")
+        bad += 1
+    for p in audit_plain_explodes("/root/repo"):
         print(f"FLAG {p}")
         bad += 1
     for name, fn in sorted(entry.queries().items()):
