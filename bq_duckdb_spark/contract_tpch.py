@@ -61,25 +61,30 @@ def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-# Exact-cents revenue term for entries whose aggregate exceeds the 6dp
-# hash floor at adversarial row counts (q07/q09/q15: the r5 sf1 sweep
+# Exact fixed-point revenue term for entries whose aggregate exceeds the
+# 6dp hash floor at adversarial row counts (q07/q09/q15: the r5 sf1 sweep
 # measured Spark/DuckDB 2dp-rounded sums straddling a cent at ~450k
 # doubles per group, and q15's revenue = max(revenue) equality missing
-# entirely under DuckDB's re-associating parallel sum). floor(x*100+0.5)
-# is pure double arithmetic plus floor — both engines compute the
-# IDENTICAL bigint from the identical double product (no engine
-# rounding-mode involved); the integer sum is exact and order-free, and
-# one final /100.0 maps back (cent totals stay far below 2^53, so the
-# division is a single exact-operand float op). Same convention as
+# entirely under DuckDB's re-associating parallel sum). The scale is
+# 10000, not 100: extendedprice carries 2dp and discount 2dp, so the
+# per-row product carries exactly 4 decimal digits — floor(x*10000+0.5)
+# recovers that 4dp decimal EXACTLY from the double, so the integer sum
+# equals the true decimal total (a cents scale would quantize each row
+# and let group totals drift ~0.003*sqrt(n) dollars from the canonical
+# value). Both engines compute the IDENTICAL bigint from the identical
+# double product (pure double arithmetic + floor, no engine rounding
+# mode); the integer sum is exact and order-free, and one final /10000.0
+# maps back (4dp totals stay far below 2^53 per group, so the division
+# is a single exact-operand float op). Same convention as
 # q_running_total (__spark_entry__.py).
 def _rev_cents() -> F.Column:
     return F.expr(
-        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
     )
 
 
 _REV_CENTS_SQL = (
-    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
 )
 
 
@@ -287,14 +292,14 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         # exact cents (see _rev_cents): portable at any group size
-        .agg((F.sum(_rev_cents()) / F.lit(100.0)).alias("revenue"))
+        .agg((F.sum(_rev_cents()) / F.lit(10000.0)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 _Q07_ORACLE = f"""
 SELECT supp_nation, cust_nation, l_year,
-       sum(volume_cents) / 100.0 AS revenue
+       sum(volume_cents) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -431,24 +436,24 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # same pure-double computation in both engines
             F.expr(
                 "CAST(floor((l_extendedprice * (1 - l_discount)"
-                " - 0.1 * p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT)"
+                " - 0.1 * p_retailprice * l_quantity) * 10000 + 0.5) AS BIGINT)"
             ).alias("amount_cents"),
         )
     )
     return (
         profit.groupBy("nation", "o_year")
-        .agg((F.sum("amount_cents") / F.lit(100.0)).alias("sum_profit"))
+        .agg((F.sum("amount_cents") / F.lit(10000.0)).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 _Q09_ORACLE = """
-SELECT nation, o_year, sum(amount_cents) / 100.0 AS sum_profit
+SELECT nation, o_year, sum(amount_cents) / 10000.0 AS sum_profit
 FROM (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS INTEGER) AS o_year,
          CAST(floor((l_extendedprice * (1 - l_discount)
-           - 0.1 * p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT)
+           - 0.1 * p_retailprice * l_quantity) * 10000 + 0.5) AS BIGINT)
            AS amount_cents
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
@@ -733,7 +738,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            (F.col("revenue_cents") / F.lit(100.0)).alias("total_revenue"),
+            (F.col("revenue_cents") / F.lit(10000.0)).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -748,7 +753,7 @@ WITH revenue AS (
     AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, revenue_cents / 100.0 AS total_revenue
+SELECT s_suppkey, s_name, revenue_cents / 10000.0 AS total_revenue
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no
 WHERE revenue_cents = (SELECT max(revenue_cents) FROM revenue)

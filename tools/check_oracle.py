@@ -151,11 +151,15 @@ def main():
         )
         proc.start()
         try:
-            out = qch.get(timeout=budget or None)
+            # Isolation exists to guarantee a wedged oracle can be killed;
+            # without a budget, qch.get(timeout=None) would block forever
+            # on exactly that wedge. Fall back to a large default so the
+            # kill guarantee holds even when no explicit budget was set.
+            out = qch.get(timeout=budget or 1800.0)
         except queue_mod.Empty:
             proc.kill()
             proc.join(10)
-            return None, f"duckdb side exceeded {budget:.0f}s budget"
+            return None, f"duckdb side exceeded {budget or 1800:.0f}s budget"
         proc.join(10)
         if isinstance(out, tuple) and out and out[0] == "__oracle_error__":
             raise RuntimeError(out[1])
@@ -211,9 +215,12 @@ def main():
             ocols, orows = out
         except Exception as e:
             msg = str(e)
-            if "memory limit" in msg.lower() or "out of memory" in msg.lower():
-                # oracle hit the CHECK_ORACLE_DUCKDB_MEM fence — a
-                # single-node-oracle capacity limit, not a Spark defect
+            oom = "memory limit" in msg.lower() or "out of memory" in msg.lower()
+            if oom and duck_mem:
+                # oracle hit the deliberately-configured
+                # CHECK_ORACLE_DUCKDB_MEM fence — a single-node-oracle
+                # capacity limit, not a Spark defect. Without the fence
+                # set, an OOM on standard test data stays a FAIL.
                 print(
                     f"weak  {name}: rows={len(srows)} "
                     f"(oracle out of memory; spark side completed)"
