@@ -900,6 +900,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _merge(q, contract_tier8.queries(), "contract_tier8")
     except ImportError:
         pass
+    try:
+        from bq_duckdb_spark import contract_tier9
+
+        _merge(q, contract_tier9.queries(), "contract_tier9")
+    except ImportError:
+        pass
     return q
 
 
@@ -998,6 +1004,12 @@ def oracle_sql() -> dict[str, str]:
         from bq_duckdb_spark import contract_tier8
 
         _merge(o, contract_tier8.oracle_sql(), "contract_tier8")
+    except ImportError:
+        pass
+    try:
+        from bq_duckdb_spark import contract_tier9
+
+        _merge(o, contract_tier9.oracle_sql(), "contract_tier9")
     except ImportError:
         pass
     return o

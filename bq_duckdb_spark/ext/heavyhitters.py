@@ -1,0 +1,104 @@
+"""Two-phase EXACT heavy hitters: Misra-Gries candidates + exact verify.
+
+The problem at 100 TB: "every item with frequency > n/s" cannot be
+answered by a plain groupBy + HAVING without shuffling the FULL key
+space — for n-gram domains that is a shuffle comparable to the corpus
+itself, almost all of it tail keys that cannot possibly qualify. The
+classical two-phase answer:
+
+- Phase 1 (candidates): one streaming pass per partition maintaining a
+  Misra-Gries summary of ``s`` counters (Misra & Gries 1982). Summaries
+  shrink by subtracting the (s+1)-th largest counter from all and
+  dropping non-positives — the merge rule of Agarwal et al., "Mergeable
+  Summaries" (PODS 2012), which bounds every item's undercount by
+  n_partition/(s+1). The UNION of the partition summaries' supports is
+  therefore a SUPERSET of every global heavy hitter: an item absent
+  from all summaries has local count <= n_i/(s+1) in every partition,
+  so its global count <= n/(s+1) < n/s. Only candidate keys —
+  at most s per partition — ever leave their partition.
+- Phase 2 (verify): join the candidate set back (broadcast when small;
+  Spark falls back to a shuffle join past the threshold) and keep items
+  whose EXACT count clears the integer-exact threshold cnt * s > n.
+
+The OUTPUT is exact and partitioning-invariant (the candidate set
+varies with the partition layout; the exact verify makes the final
+result independent of it) — which is what lets the contract entry carry
+a full value-level DuckDB oracle, unlike the estimate-valued sketches
+(HLL / CMS / KLL) that are rows-only by nature.
+
+The MG fold is a pandas mapInPandas over the item column only: the
+summary must stream the whole partition (inherently sequential), batch
+counts come from vectorized ``value_counts``, and the shrink is one
+``np.partition`` — the same measured rationale as the MinHash signature
+fold (ext/dedup.py): per-partition Python state with Arrow batch
+transfer, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(items: DataFrame, item_col: str, s: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys (column: ``item_col``).
+
+    Emits the union-of-supports superset described in the module
+    docstring: every item with global count > n/s appears. NULL items
+    are ignored (they cannot be group keys downstream; filter upstream
+    if NULL frequency matters). Output rows per partition <= s.
+    """
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    out_schema = items.select(item_col).schema
+
+    def fold(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].dropna().value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > s:
+                vals = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                # (s+1)-th largest: subtracting it zeroes out at least
+                # (len - s) entries, and at least s+1 entries lose the
+                # full cut — total mass removed >= (s+1) * cut, hence
+                # sum-of-cuts <= n_partition / (s+1)
+                cut = int(np.partition(vals, len(vals) - s - 1)[len(vals) - s - 1])
+                counters = {k: v - cut for k, v in counters.items() if v > cut}
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return items.select(item_col).mapInPandas(fold, out_schema)
+
+
+def heavy_hitters(items: DataFrame, item_col: str, s: int) -> DataFrame:
+    """All items with count * s > n (strictly more than n/s of ``items``),
+    with EXACT counts. Output: (item_col, cnt), deterministic and
+    partitioning-invariant.
+
+    Scale: three corpus passes (total count, MG candidates, verify),
+    but the only full-key-space shuffle a naive groupBy would pay is
+    replaced by (a) the candidate distinct — at most s rows per
+    partition — and (b) the verify groupBy over candidate-matching
+    rows only. The threshold compares integers (cnt * s > n), so the
+    boundary is exact in any engine — no float division.
+
+    The total count rides as a broadcast 1-row cross join instead of a
+    driver-side ``.count()``: no eager driver action, the whole result
+    stays one lazy plan.
+    """
+    items = items.select(item_col)
+    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    cand = mg_candidates(items, item_col, s).distinct()
+    return (
+        items.join(F.broadcast(cand), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(s) > F.col("__n"))
+        .drop("__n")
+    )

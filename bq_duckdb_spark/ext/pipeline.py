@@ -466,6 +466,105 @@ def span_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    hash_windows: bool = False,
+) -> DataFrame:
+    """Exact substring dedup at ARBITRARY token offsets — the
+    overlapping-window practical form of Lee et al. 2022
+    (arXiv:2107.06499): their suffix array finds duplicated byte runs
+    anywhere in the corpus; here every OVERLAPPING k-token window is a
+    probe, so any duplicated run of >= k tokens is caught at token
+    granularity. :func:`span_dedup`'s non-overlapping C4 grid misses
+    duplicates that straddle span boundaries or start mid-span; this
+    operator does not.
+
+    Semantics: the FIRST occurrence of each distinct window — ordered
+    by (id, position) — is canonical; every other occurrence marks its
+    k tokens as duplicated. Per document the duplicated windows merge
+    into maximal intervals and those token ranges are cut; survivors
+    re-join with single spaces (whitespace normalizes, as in
+    span_dedup). Docs shorter than k tokens emit no windows and pass
+    through re-joined. Output: (id, text, n_tokens, removed_tokens).
+
+    Scale: corpus-linear, never all-pairs. Window probes are T-k+1
+    rows per doc — ONE shuffle keyed on the window (``hash_windows=
+    True`` keys on xxhash64: 8-byte shuffle keys carrying only
+    (id, pos), the 100 TB path; the value key is the oracle-portable
+    default), where a STREAMING row_number picks first occurrences —
+    a boilerplate window duplicated 10^6 times is rank-streamed on one
+    reducer key, never buffered. One groupBy ships only DUPLICATE
+    positions (two ints/row); one join on the id reassembles (the
+    same corpus-by-id shuffle span_dedup pays). Interval merge and
+    the cut are per-row array expressions — map-only. The per-token
+    coverage test is O(T x merged-intervals) per doc; merged
+    intervals are bounded by T/k, and in real corpora collapse to a
+    handful of maximal runs.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    base = df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    # sequence() counts DOWN when start > stop (see span_dedup), so the
+    # short-doc case must be guarded to an explicit empty array
+    wins_arr = (
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(0, size(__toks) - {k}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {k}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    # posexplode_OUTER + post-filter: plain posexplode would let
+    # InferFiltersFromGenerate inline the window construction into a
+    # pre-Generate size()>0 filter (re-tokenizing per doc 3x — the
+    # span_dedup hazard); _outer emits one NULL row for the empty
+    # array, dropped by the post-Generate attribute filter.
+    wins = base.select(
+        id_col, F.posexplode_outer(F.expr(wins_arr)).alias("pos", "w")
+    ).filter(F.col("pos").isNotNull())
+    if hash_windows:
+        # 8-byte shuffle key, window text never ships
+        wins = wins.select(id_col, "pos", F.xxhash64("w").alias("__wk"))
+        key = "__wk"
+    else:
+        key = "w"
+    rw = Window.partitionBy(key).orderBy(id_col, "pos")
+    dups = (
+        wins.withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__dup_pos"))
+    )
+    # merge sorted duplicate starts into maximal [s, e) intervals: all
+    # windows have equal length k, so p + k is always the running end
+    merged = (
+        f"aggregate(coalesce(__dup_pos, CAST(array() AS array<int>)), "
+        f"CAST(array() AS array<struct<s:int,e:int>>), "
+        f"(acc, p) -> CASE WHEN size(acc) = 0 OR p > element_at(acc, -1).e "
+        f"THEN concat(acc, array(named_struct('s', p, 'e', p + {k}))) "
+        f"ELSE concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('s', element_at(acc, -1).s, 'e', p + {k}))) END)"
+    )
+    kept = (
+        "concat_ws(' ', transform(filter("
+        "transform(__toks, (t, i) -> named_struct('t', t, 'i', i)), "
+        "x -> NOT exists(__iv, v -> x.i >= v.s AND x.i < v.e)), "
+        "x -> x.t))"
+    )
+    return (
+        base.join(dups, id_col, "left")
+        .withColumn("__iv", F.expr(merged))
+        .select(
+            id_col,
+            F.expr(kept).alias(text_col),
+            F.size("__toks").alias("n_tokens"),
+            F.expr("aggregate(__iv, 0, (a, v) -> a + (v.e - v.s))").alias(
+                "removed_tokens"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-mixture materialization (epoch-weighted sampling)
 # ---------------------------------------------------------------------------
