@@ -42,10 +42,45 @@ class TableEntry:
     union_depth: int = 0  # lazy-union inserts since last rebase
     insert_dir: str | None = None  # parquet dir backing appended inserts
     insert_files: int = 0  # appended batches since last compaction
+    partition_by: str | None = None  # BQ PARTITION BY column/expression
+    cluster_by: list[str] = field(default_factory=list)  # BQ CLUSTER BY cols
 
 
 def _sanitize(name: str) -> str:
     return re.sub(r"\W", "_", name)
+
+
+def _find_balanced(s: str, open_at: int) -> int:
+    """Index of the ')' matching the '(' at ``open_at`` (type lists never
+    nest quotes, so a plain depth counter suffices — ``rfind`` would
+    shear on a trailing ``PARTITION BY DATE(ts)`` clause)."""
+    depth = 0
+    for i in range(open_at, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"Unbalanced parentheses in statement: {s[:120]}")
+
+
+def _cluster_sort(df: DataFrame, cols: list[str]) -> DataFrame:
+    """CLUSTER BY layout: contiguous, sorted key ranges per output file
+    so parquet row-group min/max stats skip at read time. One column is
+    a plain range sort; several interleave into a Morton key
+    (operators/zorder.py) so ALL clustered dimensions get tight
+    bounding boxes."""
+    if len(cols) == 1:
+        return df.repartitionByRange(cols[0]).sortWithinPartitions(cols[0])
+    from bq_duckdb_spark.operators.zorder import with_zvalue
+
+    return (
+        with_zvalue(df, cols, out_col="__z")
+        .repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
 
 
 class Session:
@@ -122,8 +157,21 @@ class Session:
             self.tables[name.lower()] = entry
             return entry
 
-    def create_table(self, name: str, columns: list[dict], if_not_exists: bool = False) -> None:
-        """``bq.createTable`` (reference src/rpc/methods.rs:99-111)."""
+    def create_table(
+        self,
+        name: str,
+        columns: list[dict],
+        if_not_exists: bool = False,
+        partition_by: str | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> None:
+        """``bq.createTable`` (reference src/rpc/methods.rs:99-111).
+
+        ``partition_by`` / ``cluster_by`` record the BigQuery DDL
+        storage spec; the layout applies whenever the table is next
+        materialized as a physical snapshot (CTAS, MERGE/UPDATE/DELETE
+        rewrite, insert compaction) — see :meth:`materialize`.
+        """
         with self._lock:
             if self._resolve_key(name):
                 if if_not_exists:
@@ -132,7 +180,10 @@ class Session:
             schema = bqtypes.schema_from_columns(columns)
             df = self.spark.createDataFrame([], schema)
             self.register_dataframe(name, df)
-            self.tables[name.lower()].columns = list(columns)
+            entry = self.tables[name.lower()]
+            entry.columns = list(columns)
+            entry.partition_by = partition_by
+            entry.cluster_by = list(cluster_by or [])
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         with self._lock:
@@ -468,6 +519,15 @@ class Session:
     _DROP_RE = re.compile(
         r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$", re.IGNORECASE
     )
+    # BQ storage clauses: PARTITION BY <col | fn(args)>, CLUSTER BY c1, c2
+    _PARTITION_BY_RE = re.compile(
+        r"^PARTITION\s+BY\s+(\w+\s*\([^)]*\)|[\w`.]+)\s*", re.IGNORECASE
+    )
+    _CLUSTER_BY_RE = re.compile(
+        r"^CLUSTER\s+BY\s+([\w`.]+(?:\s*,\s*[\w`.]+)*)\s*", re.IGNORECASE
+    )
+    # EXPORT DATA OPTIONS(uri='…/*.ext', format='…', …) AS SELECT …
+    _EXPORT_RE = re.compile(r"^\s*EXPORT\s+DATA\s+OPTIONS\s*\(", re.IGNORECASE)
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+([\w.`]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
     )
@@ -498,13 +558,9 @@ class Session:
             name, rest = m.group(3).strip("`"), m.group(4).strip().rstrip(";").strip()
             if replace:
                 self.drop_table(name, if_exists=True)
-            if rest.upper().startswith("AS"):
-                # CTAS: materialized snapshot of the query result (D3/G8)
-                df = self.query(rest[2:].strip())
-                self.materialize(name, df)
-                return self._empty_result()
+            columns: list[dict] | None = None
             if rest.startswith("("):
-                close = rest.rfind(")")
+                close = _find_balanced(rest, 0)
                 columns = []
                 # angle-bracket-aware split: 'b STRUCT<x INT64, y STRING>'
                 # is ONE column (the expression splitter tracks ()/[]
@@ -512,9 +568,55 @@ class Session:
                 for part in bqtypes._split_top_level(rest[1:close]):
                     cname, _, ctype = part.strip().partition(" ")
                     columns.append({"name": cname.strip("`"), "type": ctype.strip()})
-                self.create_table(name, columns, if_not_exists=if_not_exists)
+                rest = rest[close + 1 :].strip()
+            partition_by: str | None = None
+            cluster_by: list[str] = []
+            pm = self._PARTITION_BY_RE.match(rest)
+            if pm:
+                partition_by = pm.group(1).strip()
+                rest = rest[pm.end() :].strip()
+            cm = self._CLUSTER_BY_RE.match(rest)
+            if cm:
+                cluster_by = [c.strip().strip("`") for c in cm.group(1).split(",")]
+                rest = rest[cm.end() :].strip()
+            if rest.upper().startswith("AS"):
+                # CTAS: materialized snapshot of the query result (D3/G8);
+                # a declared column list (if any) casts the result
+                df = self.query(rest[2:].strip())
+                if columns:
+                    schema = bqtypes.schema_from_columns(columns)
+                    df = df.select(
+                        [
+                            df[c].cast(f.dataType).alias(f.name)
+                            for c, f in zip(df.columns, schema.fields)
+                        ]
+                    )
+                self.materialize(
+                    name, df, partition_by=partition_by, cluster_by=cluster_by
+                )
+                if columns:
+                    self.tables[name.lower()].columns = list(columns)
+                return self._empty_result()
+            if columns is not None and not rest:
+                self.create_table(
+                    name,
+                    columns,
+                    if_not_exists=if_not_exists,
+                    partition_by=partition_by,
+                    cluster_by=cluster_by,
+                )
                 return self._empty_result()
             raise ValueError(f"Unsupported CREATE TABLE form: {sql[:120]}")
+
+        m = self._EXPORT_RE.match(sql)
+        if m:
+            close = _find_balanced(sql, m.end() - 1)
+            options_src = sql[m.end() : close]
+            tail = sql[close + 1 :].strip()
+            if not tail.upper().startswith("AS"):
+                raise ValueError("EXPORT DATA OPTIONS(...) must be followed by AS <query>")
+            self._execute_export(options_src, tail[2:].strip().rstrip(";"))
+            return self._empty_result()
 
         m = self._INSERT_RE.match(sql)
         if m:
@@ -594,6 +696,73 @@ class Session:
 
         return None
 
+    def _execute_export(self, options_src: str, query_sql: str) -> None:
+        """``EXPORT DATA OPTIONS(...) AS <query>`` — the BigQuery bulk
+        export statement, mapped onto Spark's native writers.
+
+        BigQuery semantics kept: ``uri`` must contain a ``*`` wildcard
+        (BigQuery shards on it; Spark's part-files ARE the shards — the
+        directory of the wildcard is the write target), ``format`` is
+        required, ``overwrite=false`` refuses an existing target. Cloud
+        URIs surface the same clean connector boundary as the loader
+        (S6): on a real cluster the identical writer call serves
+        ``gs://`` once the connector jar is present.
+        """
+        opts: dict[str, str] = {}
+        for part in _split_top_level_commas(options_src):
+            k, eq, v = part.partition("=")
+            if not eq:
+                raise ValueError(f"Malformed EXPORT DATA option: {part!r}")
+            v = v.strip()
+            if v[:1] in ("'", '"') and v[-1:] == v[:1]:
+                v = v[1:-1]
+            opts[k.strip().lower()] = v
+        uri = opts.get("uri")
+        if not uri:
+            raise ValueError("EXPORT DATA requires the uri option")
+        fmt = opts.get("format", "").upper()
+        if not fmt:
+            raise ValueError("EXPORT DATA requires the format option")
+        if uri.startswith(("gs://", "s3://", "s3a://", "abfs://", "abfss://")):
+            raise FileNotFoundError(
+                f"Cloud storage path {uri!r} requires the matching "
+                "filesystem connector jar and credentials, which are not "
+                "available in this environment"
+            )
+        if "*" not in os.path.basename(uri):
+            raise ValueError(
+                "EXPORT DATA uri must contain a '*' wildcard in the file "
+                "component (BigQuery sharded export); the wildcard "
+                "directory is the write target"
+            )
+        out_dir = os.path.dirname(uri)
+        overwrite = opts.get("overwrite", "false").lower() == "true"
+        if not overwrite and os.path.exists(out_dir):
+            raise ValueError(
+                f"EXPORT DATA target {out_dir!r} already exists and "
+                "overwrite=false"
+            )
+        df = self.query(query_sql)
+        writer = df.write.mode("overwrite" if overwrite else "errorifexists")
+        if "compression" in opts:
+            writer = writer.option("compression", opts["compression"].lower())
+        if fmt == "PARQUET":
+            writer.parquet(out_dir)
+        elif fmt == "CSV":
+            writer.option("header", opts.get("header", "false").lower()).option(
+                "sep", opts.get("field_delimiter", ",")
+            ).csv(out_dir)
+        elif fmt in ("JSON", "NEWLINE_DELIMITED_JSON"):
+            writer.json(out_dir)
+        elif fmt == "AVRO":
+            raise ValueError(
+                "AVRO export requires the spark-avro module on the "
+                "cluster classpath, which is not available in this "
+                "environment"
+            )
+        else:
+            raise ValueError(f"Unsupported EXPORT DATA format: {fmt}")
+
     def table(self, name: str) -> DataFrame:
         key = self._resolve_key(name)
         if key is None:
@@ -602,7 +771,14 @@ class Session:
 
     # -- materialization (snapshot semantics, SURVEY §2.10 G8) -------------
 
-    def materialize(self, name: str, df: DataFrame, mode: str = "table") -> int:
+    def materialize(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "table",
+        partition_by: str | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Replace ``name`` with a physical snapshot of ``df``.
 
         mode="table": write parquet under the session warehouse and re-read
@@ -610,20 +786,86 @@ class Session:
         ``saveAsTable(mode="overwrite")``). mode="view": register the
         DataFrame lazily (fast for tiny DAG tables; not a snapshot).
         Returns the snapshot row count.
+
+        When the table carries a BigQuery storage spec (``PARTITION
+        BY`` / ``CLUSTER BY`` DDL, or explicit arguments here), the
+        snapshot is written accordingly — and a REWRITE of an existing
+        table (UPDATE/DELETE/MERGE, insert compaction) inherits the
+        spec recorded on its entry:
+
+        - a plain-COLUMN partition writes hive-style directories on
+          that column; filters on it then prune at the directory level
+          (``PartitionFilters`` in the scan — the Spark analogue of
+          BigQuery partition pruning, asserted in tests);
+        - an EXPRESSION partition (e.g. ``DATE(ts)``) writes
+          directories on a derived hidden key. That organizes storage
+          (time-sized files, partition-wise lifecycle) but Spark does
+          not map base-column filters onto the derived key, so scans
+          don't auto-prune — the documented gap vs BigQuery's
+          metadata-backed expression pruning;
+        - ``CLUSTER BY`` range-partitions + sorts (one column: plain
+          range sort; several: Morton z-order via operators/zorder.py)
+          so row groups carry tight min/max stats on every clustered
+          dimension — parquet stats skipping at read time.
         """
         with self._lock:
+            prev = self.tables.get(name.lower())
+            if partition_by is None and cluster_by is None and prev is not None:
+                partition_by, cluster_by = prev.partition_by, prev.cluster_by
+            cluster_by = list(cluster_by or [])
             if mode == "view":
                 entry = self.register_dataframe(name, df)
+                entry.partition_by = partition_by
+                entry.cluster_by = cluster_by
                 return self.spark.table(entry.view).count()
             path = os.path.join(self._warehouse, _sanitize(name.lower()))
             tmp = path + "__tmp"
-            df.write.mode("overwrite").parquet(tmp)
+            out = df
+            part_col = None
+            if partition_by:
+                part_col, out = self._partition_column(out, partition_by)
+            if cluster_by:
+                out = _cluster_sort(out, cluster_by)
+            writer = out.write.mode("overwrite")
+            if part_col:
+                writer = writer.partitionBy(part_col)
+            writer.parquet(tmp)
             if os.path.exists(path):
                 shutil.rmtree(path, ignore_errors=True)
             os.replace(tmp, path)
             snap = self.spark.read.parquet(path)
-            self.register_dataframe(name, snap)
-            return snap.count()
+            if part_col:
+                # partitionBy moves the partition column last and
+                # re-infers its type from directory names; restore the
+                # declared order/types (a hidden expression key drops
+                # out here — filters on the visible columns still push
+                # into the scan through this projection)
+                from pyspark.sql import functions as _F
+
+                snap = snap.select(
+                    [
+                        _F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in df.schema.fields
+                    ]
+                )
+            entry = self.register_dataframe(name, snap)
+            entry.partition_by = partition_by
+            entry.cluster_by = cluster_by
+            return self.spark.table(entry.view).count()
+
+    def _partition_column(
+        self, df: DataFrame, spec: str
+    ) -> tuple[str, DataFrame]:
+        """Resolve a BQ PARTITION BY spec: a plain column partitions on
+        itself (prunable); an expression derives a hidden key."""
+        plain = spec.strip().strip("`")
+        if re.fullmatch(r"[\w`.]+", plain) and plain in df.columns:
+            return plain, df
+        from pyspark.sql import functions as _F
+
+        return "__bq_part", df.withColumn(
+            "__bq_part", _F.expr(transpile(spec, None))
+        )
 
     # -- information_schema emulation (D7, yachtsql.rs:119-141) ------------
 

@@ -1,0 +1,168 @@
+"""BigQuery storage DDL (PARTITION BY / CLUSTER BY) and EXPORT DATA."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def _src(spark):
+    return spark.range(200).select(
+        F.col("id"),
+        F.expr("date_add(date'2024-01-01', cast(id % 5 as int))").alias("d"),
+        (F.col("id") % 13).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+
+
+def _warehouse_path(session, name):
+    return os.path.join(session._warehouse, name.lower().replace(".", "_"))
+
+
+def test_ctas_partitioned_by_column_prunes(session):
+    session.register_dataframe("src", _src(session.spark))
+    session.query("CREATE TABLE part_t PARTITION BY d CLUSTER BY k AS SELECT * FROM src")
+    # hive-style partition directories on disk
+    path = _warehouse_path(session, "part_t")
+    assert sorted(os.path.basename(p) for p in glob.glob(f"{path}/d=*"))
+    # filters on the partition column reach the scan as PartitionFilters
+    df = session.query("SELECT k, v FROM part_t WHERE d = DATE '2024-01-03'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "2024-01-03" in plan, plan
+    assert df.count() == 40
+    # schema order and types survive the partitionBy round trip
+    full = session.query("SELECT * FROM part_t")
+    assert full.columns == ["id", "d", "k", "v"]
+    assert dict(full.dtypes)["d"] == "date"
+    assert full.count() == 200
+
+
+def test_ctas_expression_partition_hidden_key(session):
+    session.register_dataframe("src", _src(session.spark))
+    session.query(
+        "CREATE TABLE exp_t PARTITION BY DATE_ADD(d, 1) AS SELECT * FROM src"
+    )
+    path = _warehouse_path(session, "exp_t")
+    assert glob.glob(f"{path}/__bq_part=*"), os.listdir(path)
+    out = session.query("SELECT * FROM exp_t")
+    # the derived key never surfaces in the visible schema
+    assert out.columns == ["id", "d", "k", "v"]
+    assert out.count() == 200
+
+
+def test_cluster_by_single_column_sorts_file_ranges(session):
+    session.register_dataframe("src", _src(session.spark))
+    # AQE rightly coalesces a 200-row range exchange into ONE size-
+    # targeted file (the at-scale behavior we want); disable it here so
+    # the range partitioner's layout is observable across several files
+    session.spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        session.query("CREATE TABLE clus_t CLUSTER BY k AS SELECT * FROM src")
+    finally:
+        session.spark.conf.set("spark.sql.adaptive.enabled", "true")
+    path = _warehouse_path(session, "clus_t")
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        ranges.append((min(t), max(t)))
+    assert len(ranges) > 1  # range partitioner actually split the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # contiguous, non-overlapping key ranges
+
+
+def test_create_then_insert_then_rewrite_keeps_layout(session):
+    session.query(
+        "CREATE TABLE decl_t (d DATE, k INT64, v STRING) PARTITION BY d CLUSTER BY k"
+    )
+    entry = session.tables["decl_t"]
+    assert entry.partition_by == "d" and entry.cluster_by == ["k"]
+    session.query(
+        "INSERT INTO decl_t VALUES (DATE '2024-01-01', 1, 'a'), (DATE '2024-01-02', 2, 'b')"
+    )
+    assert session.query("SELECT count(*) AS c FROM decl_t").collect()[0]["c"] == 2
+    # a DML rewrite goes through materialize() and inherits the spec
+    session.query("UPDATE decl_t SET v = 'z' WHERE k = 2")
+    path = _warehouse_path(session, "decl_t")
+    assert glob.glob(f"{path}/d=*"), os.listdir(path)
+    got = {
+        (str(r["d"]), r["k"], r["v"])
+        for r in session.query("SELECT * FROM decl_t").collect()
+    }
+    assert got == {("2024-01-01", 1, "a"), ("2024-01-02", 2, "z")}
+
+
+def test_export_data_parquet_roundtrip(session, tmp_path):
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "exp_parquet"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/part-*.parquet', format='PARQUET') "
+        "AS SELECT id, k, v FROM src WHERE k < 3"
+    )
+    back = session.spark.read.parquet(str(out))
+    want = _src(session.spark).filter("k < 3").select("id", "k", "v")
+    assert back.count() == want.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_export_data_csv_header_delimiter(session, tmp_path):
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "exp_csv"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.csv', format='CSV', header=true, "
+        "field_delimiter='|') AS SELECT id, v FROM src WHERE id < 3"
+    )
+    files = glob.glob(f"{out}/*.csv")
+    assert files
+    lines = sorted(
+        line for f in files for line in open(f).read().splitlines() if line
+    )
+    assert "id|v" in lines
+    assert "0|v0" in lines and "2|v2" in lines
+
+
+def test_export_data_json(session, tmp_path):
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "exp_json"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.json', format='JSON') "
+        "AS SELECT id FROM src WHERE id = 7"
+    )
+    back = session.spark.read.json(str(out))
+    assert [r["id"] for r in back.collect()] == [7]
+
+
+def test_export_data_errors(session, tmp_path):
+    session.register_dataframe("src", _src(session.spark))
+    q = "AS SELECT id FROM src"
+    with pytest.raises(FileNotFoundError, match="connector"):
+        session.query(
+            f"EXPORT DATA OPTIONS(uri='gs://bkt/x/*.csv', format='CSV') {q}"
+        )
+    with pytest.raises(ValueError, match="wildcard"):
+        session.query(
+            f"EXPORT DATA OPTIONS(uri='{tmp_path}/plain.csv', format='CSV') {q}"
+        )
+    with pytest.raises(ValueError, match="format"):
+        session.query(f"EXPORT DATA OPTIONS(uri='{tmp_path}/a/*.csv') {q}")
+    with pytest.raises(ValueError, match="AVRO"):
+        session.query(
+            f"EXPORT DATA OPTIONS(uri='{tmp_path}/a/*.avro', format='AVRO') {q}"
+        )
+    out = tmp_path / "dup"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.json', format='JSON') {q}"
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        session.query(
+            f"EXPORT DATA OPTIONS(uri='{out}/*.json', format='JSON') {q}"
+        )
+    # overwrite=true succeeds over the existing target
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.json', format='JSON', overwrite=true) {q}"
+    )
