@@ -28,7 +28,11 @@ from bq_duckdb_spark.ext import heavyhitters, pipeline
 from bq_duckdb_spark.testdata import load_table as _t
 
 _SUB_K = 8
-_HH_S = 5000
+# bigrams at s=1000: non-trivial heavy-hitter sets at every test SF
+# (601 / 636 / 861 rows at sf0.001 / 0.01 / 0.1 — measured; trigrams
+# flatten below any fixed 1/s threshold past sf0.01)
+_HH_K = 2
+_HH_S = 1000
 
 # ---------------------------------------------------------------------------
 # substring dedup (overlapping k-token windows, interval merge + cut)
@@ -86,13 +90,13 @@ FROM t LEFT JOIN agg a USING (doc_id)
 # ---------------------------------------------------------------------------
 
 
-def _trigram_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     grams = (
-        "CASE WHEN size(__toks) >= 3 THEN "
-        "transform(sequence(0, size(__toks) - 3), "
-        "i -> concat_ws(' ', slice(__toks, i + 1, 3))) "
-        "ELSE CAST(array() AS array<string>) END"
+        f"CASE WHEN size(__toks) >= {_HH_K} THEN "
+        f"transform(sequence(0, size(__toks) - {_HH_K}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {_HH_K}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     # explode_outer + post-filter: see ext/dedup.py banding comment
     # (plain explode inlines the generator into an inferred pre-filter)
@@ -104,10 +108,10 @@ def _trigram_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-3-grams covering strictly more than 1/5000 of the corpus
-    3-gram stream, exact counts, via MG candidates + exact verify."""
+    """Token-2-grams covering strictly more than 1/1000 of the corpus
+    bigram stream, exact counts, via MG candidates + exact verify."""
     return heavyhitters.heavy_hitters(
-        _trigram_items(spark, sf_dir), "gram", s=_HH_S
+        _ngram_items(spark, sf_dir), "gram", s=_HH_S
     )
 
 
@@ -117,8 +121,9 @@ WITH t AS (
 ),
 g AS (
   SELECT array_to_string(list_slice(tk, CAST(gs.i + 1 AS INT),
-                                    CAST(gs.i + 3 AS INT)), ' ') AS gram
-  FROM t, UNNEST(range(0, CAST(greatest(len(tk) - 2, 0) AS BIGINT))) AS gs(i)
+                                    CAST(gs.i + {_HH_K} AS INT)), ' ') AS gram
+  FROM t, UNNEST(range(0, CAST(greatest(len(tk) - {_HH_K} + 1, 0) AS BIGINT)))
+       AS gs(i)
 ),
 tot AS (SELECT count(*) AS n FROM g)
 SELECT gram, count(*) AS cnt
