@@ -50,6 +50,19 @@ def _sanitize(name: str) -> str:
     return re.sub(r"\W", "_", name)
 
 
+def _check_cloud_path(path: str) -> None:
+    """Cloud URIs need connector jars + credentials absent here (S6);
+    surface the boundary as a clean loader error, not a JVM trace. On a
+    real cluster the identical read/write call serves these schemes
+    once the connector is on the classpath."""
+    if path.startswith(("gs://", "s3://", "s3a://", "abfs://", "abfss://")):
+        raise FileNotFoundError(
+            f"Cloud storage path {path!r} requires the matching "
+            "filesystem connector jar and credentials, which are not "
+            "available in this environment"
+        )
+
+
 def _find_balanced(s: str, open_at: int) -> int:
     """Index of the ')' matching the '(' at ``open_at`` (type lists never
     nest quotes, so a plain depth counter suffices — ``rfind`` would
@@ -723,12 +736,7 @@ class Session:
         fmt = opts.get("format", "").upper()
         if not fmt:
             raise ValueError("EXPORT DATA requires the format option")
-        if uri.startswith(("gs://", "s3://", "s3a://", "abfs://", "abfss://")):
-            raise FileNotFoundError(
-                f"Cloud storage path {uri!r} requires the matching "
-                "filesystem connector jar and credentials, which are not "
-                "available in this environment"
-            )
+        _check_cloud_path(uri)
         if "*" not in os.path.basename(uri):
             raise ValueError(
                 "EXPORT DATA uri must contain a '*' wildcard in the file "
@@ -952,12 +960,7 @@ class Session:
         On a real cluster the same ``spark.read.parquet`` call serves
         ``gs://`` once the connector is on the classpath.
         """
-        if path.startswith(("gs://", "s3://", "s3a://", "abfs://", "abfss://")):
-            raise FileNotFoundError(
-                f"Cloud storage path {path!r} requires the matching "
-                "filesystem connector jar and credentials, which are not "
-                "available in this environment"
-            )
+        _check_cloud_path(path)
         df = self.spark.read.parquet(path)
         if columns:
             schema = bqtypes.schema_from_columns(columns)
@@ -969,6 +972,57 @@ class Session:
         if columns:
             entry.columns = list(columns)
         return self.spark.table(entry.view).count()
+
+    def _load_via(self, name: str, df: DataFrame, columns: list[dict] | None) -> int:
+        entry = self.register_dataframe(name, df)
+        if columns:
+            entry.columns = list(columns)
+        return self.spark.table(entry.view).count()
+
+    def load_csv(
+        self,
+        name: str,
+        path: str,
+        columns: list[dict] | None = None,
+        header: bool = True,
+        delimiter: str = ",",
+    ) -> int:
+        """``bq.loadCsv`` — BigQuery load jobs accept CSV alongside
+        parquet (the reference implements parquet only; this widens the
+        loader surface with the same declared-schema coercion). With a
+        declared schema the text scan parses straight into the target
+        types — no inference pass, which at 100 TB is a full extra read.
+        """
+        from bq_duckdb_spark.sources import readers
+
+        _check_cloud_path(path)
+        return self._load_via(
+            name, readers.read_csv(self.spark, path, columns, header, delimiter), columns
+        )
+
+    def load_json(
+        self, name: str, path: str, columns: list[dict] | None = None
+    ) -> int:
+        """``bq.loadJson`` — newline-delimited JSON (the BigQuery load
+        format), declared schema skips the inference scan."""
+        from bq_duckdb_spark.sources import readers
+
+        _check_cloud_path(path)
+        return self._load_via(
+            name, readers.read_json(self.spark, path, columns), columns
+        )
+
+    def load_orc(
+        self, name: str, path: str, columns: list[dict] | None = None
+    ) -> int:
+        """``bq.loadOrc`` — ORC load with declared-schema coercion
+        (columnar scan; pushdown and pruning as with parquet)."""
+        from bq_duckdb_spark.sources import readers
+
+        _check_cloud_path(path)
+        return self._load_via(
+            name, readers.read_orc(self.spark, path, columns), columns
+        )
 
     def discover_files(self, root: str) -> tuple[list[dict], list[dict]]:
         """Walk exactly ``<root>/<project>/<dataset>/<file>``

@@ -62,6 +62,9 @@ class RpcServer:
             "bq.getDag": self.get_dag,
             "bq.clearDag": self.clear_dag,
             "bq.loadParquet": self.load_parquet,
+            "bq.loadCsv": self.load_csv,
+            "bq.loadJson": self.load_json,
+            "bq.loadOrc": self.load_orc,
             "bq.listTables": self.list_tables,
             "bq.describeTable": self.describe_table,
             "bq.setDefaultProject": self.set_default_project,
@@ -228,6 +231,40 @@ class RpcServer:
         s = self._session(params)
         try:
             count = s.load_parquet(
+                params["tableName"], params["path"], params.get("schema")
+            )
+        except FileNotFoundError as e:
+            raise RpcError(LOADER_ERROR, str(e))
+        return {"success": True, "rowCount": count}
+
+    def load_csv(self, params: dict) -> dict:
+        s = self._session(params)
+        try:
+            count = s.load_csv(
+                params["tableName"],
+                params["path"],
+                params.get("schema"),
+                header=bool(params.get("header", True)),
+                delimiter=params.get("fieldDelimiter", ","),
+            )
+        except FileNotFoundError as e:
+            raise RpcError(LOADER_ERROR, str(e))
+        return {"success": True, "rowCount": count}
+
+    def load_json(self, params: dict) -> dict:
+        s = self._session(params)
+        try:
+            count = s.load_json(
+                params["tableName"], params["path"], params.get("schema")
+            )
+        except FileNotFoundError as e:
+            raise RpcError(LOADER_ERROR, str(e))
+        return {"success": True, "rowCount": count}
+
+    def load_orc(self, params: dict) -> dict:
+        s = self._session(params)
+        try:
+            count = s.load_orc(
                 params["tableName"], params["path"], params.get("schema")
             )
         except FileNotFoundError as e:

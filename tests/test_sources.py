@@ -123,3 +123,65 @@ def test_compact_parquet_sort_within_keeps_stats_selective(spark, tmp_path):
     # sorted within the single output file: first rows ascend
     got = [r.id for r in spark.read.parquet(dst).limit(50).collect()]
     assert got == sorted(got)
+
+
+# -- RPC loader surface: bq.loadCsv / bq.loadJson / bq.loadOrc -------------
+
+
+def _rpc(server, method, params):
+    import json as _json
+
+    resp = server.handle_message(
+        _json.dumps({"jsonrpc": "2.0", "id": 1, "method": method, "params": params})
+    )
+    return resp
+
+
+def test_rpc_load_csv_json_orc(spark, sample, tmp_path):
+    from bq_duckdb_spark.engine import SessionManager
+    from bq_duckdb_spark.server import RpcServer
+
+    server = RpcServer(SessionManager(spark))
+    sid = _rpc(server, "bq.createSession", {})["result"]["sessionId"]
+    try:
+        paths = {}
+        paths["bq.loadCsv"] = str(tmp_path / "t_csv")
+        sample.write.option("header", "true").csv(paths["bq.loadCsv"])
+        paths["bq.loadJson"] = str(tmp_path / "t_json")
+        sample.write.json(paths["bq.loadJson"])
+        paths["bq.loadOrc"] = str(tmp_path / "t_orc")
+        sample.write.orc(paths["bq.loadOrc"])
+        for i, (method, path) in enumerate(paths.items()):
+            name = f"rpc_t{i}"
+            out = _rpc(
+                server,
+                method,
+                {"sessionId": sid, "tableName": name, "path": path, "schema": COLUMNS},
+            )
+            assert out["result"] == {"success": True, "rowCount": 3}, out
+            q = _rpc(
+                server,
+                "bq.query",
+                {"sessionId": sid, "sql": f"SELECT count(*) AS c FROM {name} WHERE id >= 1"},
+            )
+            assert str(q["result"]["rows"][0]["f"][0]["v"]) == "3"
+    finally:
+        _rpc(server, "bq.destroySession", {"sessionId": sid})
+
+
+def test_rpc_load_csv_cloud_path_loader_error(spark):
+    from bq_duckdb_spark.engine import SessionManager
+    from bq_duckdb_spark.server import LOADER_ERROR, RpcServer
+
+    server = RpcServer(SessionManager(spark))
+    sid = _rpc(server, "bq.createSession", {})["result"]["sessionId"]
+    try:
+        out = _rpc(
+            server,
+            "bq.loadCsv",
+            {"sessionId": sid, "tableName": "x", "path": "gs://bkt/t.csv"},
+        )
+        assert out["error"]["code"] == LOADER_ERROR
+        assert "connector" in out["error"]["message"]
+    finally:
+        _rpc(server, "bq.destroySession", {"sessionId": sid})
