@@ -504,8 +504,26 @@ def substring_dedup(
     intervals are bounded by T/k, and in real corpora collapse to a
     handful of maximal runs.
     """
+    base = _substr_tok_base(df, text_col, id_col)
+    wins, key = _substr_windows(base, id_col, k, hash_windows)
+    rw = Window.partitionBy(key).orderBy(id_col, "pos")
+    dup_pos = (
+        wins.withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    return _substr_cut(base, dup_pos, text_col, id_col, k)
+
+
+def _substr_tok_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = f"split(trim({text_col}), '\\\\s+')"
-    base = df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    return df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+
+
+def _substr_windows(
+    base: DataFrame, id_col: str, k: int, hash_windows: bool
+) -> tuple[DataFrame, str]:
+    """(id, pos, window-key) probe rows over ``base`` (id, __toks)."""
     # sequence() counts DOWN when start > stop (see span_dedup), so the
     # short-doc case must be guarded to an explicit empty array
     wins_arr = (
@@ -524,16 +542,17 @@ def substring_dedup(
     ).filter(F.col("pos").isNotNull())
     if hash_windows:
         # 8-byte shuffle key, window text never ships
-        wins = wins.select(id_col, "pos", F.xxhash64("w").alias("__wk"))
-        key = "__wk"
-    else:
-        key = "w"
-    rw = Window.partitionBy(key).orderBy(id_col, "pos")
-    dups = (
-        wins.withColumn("__rn", F.row_number().over(rw))
-        .filter(F.col("__rn") > 1)
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("__dup_pos"))
+        return wins.select(id_col, "pos", F.xxhash64("w").alias("__wk")), "__wk"
+    return wins, "w"
+
+
+def _substr_cut(
+    base: DataFrame, dup_pos: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Cut the duplicated token ranges out of ``base`` given the
+    duplicate window start positions (id, pos)."""
+    dups = dup_pos.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__dup_pos")
     )
     # merge sorted duplicate starts into maximal [s, e) intervals: all
     # windows have equal length k, so p + k is always the running end

@@ -485,6 +485,79 @@ def stream_near_dup_probe(
     )
 
 
+def substring_dedup_each_batch(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    out_dir: str = "",
+    state_dir: str = "",
+):
+    """foreachBatch writer for ingestion-time SUBSTRING dedup
+    (ext/pipeline.substring_dedup): each arriving shard is cut against
+    every window key seen in earlier shards AND within itself, then the
+    shard's keys join the seen-set.
+
+    Streamed == batch when shards arrive in ascending id order (the
+    same contract as the incremental-dedup entry): the global first
+    occurrence of a window then lands in the earliest shard holding it,
+    and the within-shard rank reproduces the global (id, pos) order
+    restricted to unseen keys — pinned against the batch operator in
+    tests.
+
+    State is a parquet table of xxhash64 window keys (8 bytes/key at
+    rest, the hash_windows=True trade): per batch it costs one join of
+    the shard's probes against the key table and one anti-join append
+    of the shard's new keys — the shard never reshuffles, and the
+    state table grows with DISTINCT corpus windows, not occurrences. A
+    retried micro-batch can re-append keys it already wrote; duplicate
+    state keys cost space only (membership semantics are unchanged),
+    while the OUTPUT parquet stays exactly-once via the streaming
+    commit protocol's batch-id transactionality.
+    """
+    if not out_dir or not state_dir:
+        raise ValueError(
+            "substring_dedup_each_batch requires out_dir= and state_dir= "
+            "(parquet sink + seen-window-key table) — validated eagerly "
+            "so a forgotten kwarg fails here, not at the first micro-batch"
+        )
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from bq_duckdb_spark.ext.pipeline import (
+        _substr_cut,
+        _substr_tok_base,
+        _substr_windows,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = _substr_tok_base(batch_df, text_col, id_col)
+        wins, key = _substr_windows(base, id_col, k, hash_windows=True)
+        try:
+            seen = spark.read.parquet(state_dir).withColumn("__seen", F.lit(True))
+        except AnalysisException:
+            seen = None
+        if seen is not None:
+            marked = wins.join(seen, key, "left")
+        else:
+            marked = wins.withColumn("__seen", F.lit(None).cast("boolean"))
+        w = Window.partitionBy(key).orderBy(id_col, "pos")
+        dup_pos = (
+            marked.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__seen").isNotNull() | (F.col("__rn") > 1))
+            .select(id_col, "pos")
+        )
+        _substr_cut(base, dup_pos, text_col, id_col, k).write.mode(
+            "append"
+        ).parquet(out_dir)
+        new_keys = wins.select(key).distinct()
+        if seen is not None:
+            new_keys = new_keys.join(seen, key, "left_anti")
+        new_keys.write.mode("append").parquet(state_dir)
+
+    return _write
+
+
 def merge_each_batch(session, merge_sql: str, source_name: str = "stream_src"):
     """foreachBatch writer: streaming CDC upsert into an engine table.
 

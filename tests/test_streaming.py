@@ -845,3 +845,50 @@ def test_stream_dedup_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
         for r in spark.read.parquet(str(src)).dropDuplicates(["event_id"]).collect()
     )
     assert got == want == [1, 2, 3, 4]
+
+
+def test_stream_substring_dedup_matches_batch(spark, tmp_path):
+    from bq_duckdb_spark.ext.pipeline import substring_dedup
+    from bq_duckdb_spark.streaming import streams
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = str(tmp_path / "sub_src")
+    out = str(tmp_path / "sub_out")
+    state = str(tmp_path / "sub_state")
+    ckpt = str(tmp_path / "sub_ckpt")
+    # three id-ordered shards → three micro-batches (the streamed==batch
+    # contract requires ascending-id shard arrival)
+    docs.filter(F.col("doc_id") < 150).write.parquet(src)
+    docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 320)).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") >= 320).write.mode("append").parquet(src)
+
+    stream = streams.read_document_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            streams.substring_dedup_each_batch(
+                "text", "doc_id", k=8, out_dir=out, state_dir=state
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["doc_id"], r["text"], r["n_tokens"], r["removed_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["text"], r["n_tokens"], r["removed_tokens"])
+        for r in substring_dedup(docs, "text", "doc_id", k=8).collect()
+    }
+    assert got == want and len(got) == 500
+    # cross-batch state actually fired: later shards lost tokens to
+    # windows first seen in earlier shards
+    assert any(r[3] > 0 for r in got)
