@@ -916,11 +916,19 @@ class Session:
             raise ValueError(f"Table not found: {name}")
         entry = self.tables[key]
         df = self.spark.table(entry.view)
-        return {
+        out = {
             "name": entry.name,
             "columns": bqtypes.columns_from_schema(df.schema),
             "rowCount": df.count(),
         }
+        # storage spec, when declared (BigQuery INFORMATION_SCHEMA
+        # exposes partitioning/clustering in TABLE_OPTIONS; keep the
+        # reference's flat shape and only add keys when present)
+        if entry.partition_by:
+            out["partitionBy"] = entry.partition_by
+        if entry.cluster_by:
+            out["clusterBy"] = list(entry.cluster_by)
+        return out
 
     def get_projects(self) -> list[str]:
         # project names are reported upper-cased (manager.rs:1115-1119)

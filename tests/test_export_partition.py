@@ -166,3 +166,15 @@ def test_export_data_errors(session, tmp_path):
     session.query(
         f"EXPORT DATA OPTIONS(uri='{out}/*.json', format='JSON', overwrite=true) {q}"
     )
+
+
+def test_describe_table_reports_storage_spec(session):
+    session.query(
+        "CREATE TABLE spec_t (d DATE, k INT64) PARTITION BY d CLUSTER BY k"
+    )
+    desc = session.describe_table("spec_t")
+    assert desc["partitionBy"] == "d" and desc["clusterBy"] == ["k"]
+    # tables without a spec keep the reference's flat shape
+    session.query("CREATE TABLE plain_t (x INT64)")
+    desc2 = session.describe_table("plain_t")
+    assert "partitionBy" not in desc2 and "clusterBy" not in desc2

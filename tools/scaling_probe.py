@@ -125,7 +125,7 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r4.txt"
     spark = get_spark(app_name="scaling-probe", cpus="32")
 
-    from bq_duckdb_spark.ext import dedup, lm, text
+    from bq_duckdb_spark.ext import dedup, heavyhitters, lm, pipeline, text
     from bq_duckdb_spark.ext.cluster import kmeans_assign
     from bq_duckdb_spark.ext.retrieval import train_logreg
     from bq_duckdb_spark.operators.budget import take_until_budget
@@ -152,6 +152,18 @@ def main() -> None:
             # join/groupBy(doc)) — both linear, vocab join AQE-sized
             "lm_heldout": lambda: lm.with_lm_score(docs),
             "quality": lambda: text.with_quality_scores(docs),
+            # tier-9: overlapping-window substring dedup (hash keys —
+            # the at-scale path) and two-phase exact heavy hitters
+            "substring_dedup": lambda: pipeline.substring_dedup(
+                docs, "text", "doc_id", k=8, hash_windows=True
+            ),
+            "heavy_hitters": lambda: heavyhitters.heavy_hitters(
+                docs.select(
+                    F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("t")
+                ),
+                "t",
+                s=1000,
+            ),
             "token_budget": lambda: take_until_budget(
                 text.with_token_count(docs).select("doc_id", "n_tokens"),
                 [F.col("n_tokens").desc(), F.col("doc_id")],
