@@ -183,7 +183,8 @@ class Session:
         ``partition_by`` / ``cluster_by`` record the BigQuery DDL
         storage spec; the layout applies whenever the table is next
         materialized as a physical snapshot (CTAS, MERGE/UPDATE/DELETE
-        rewrite, insert compaction) — see :meth:`materialize`.
+        rewrite) — see :meth:`materialize`. Appended inserts buffer
+        unpartitioned until then.
         """
         with self._lock:
             if self._resolve_key(name):
@@ -798,8 +799,10 @@ class Session:
         When the table carries a BigQuery storage spec (``PARTITION
         BY`` / ``CLUSTER BY`` DDL, or explicit arguments here), the
         snapshot is written accordingly — and a REWRITE of an existing
-        table (UPDATE/DELETE/MERGE, insert compaction) inherits the
-        spec recorded on its entry:
+        table (UPDATE/DELETE/MERGE) inherits the spec recorded on its
+        entry. Appended inserts live in a separate unpartitioned buffer
+        until the next snapshot rewrite (the BigQuery streaming-buffer
+        analogy: its buffer is also unpartitioned until flushed):
 
         - a plain-COLUMN partition writes hive-style directories on
           that column; filters on it then prune at the directory level
