@@ -64,17 +64,26 @@ def _check_cloud_path(path: str) -> None:
 
 
 def _find_balanced(s: str, open_at: int) -> int:
-    """Index of the ')' matching the '(' at ``open_at`` (type lists never
-    nest quotes, so a plain depth counter suffices — ``rfind`` would
-    shear on a trailing ``PARTITION BY DATE(ts)`` clause)."""
-    depth = 0
-    for i in range(open_at, len(s)):
-        if s[i] == "(":
+    """Index of the ')' matching the '(' at ``open_at``. Quote-aware: a
+    ')' inside a string literal (e.g. ``EXPORT DATA OPTIONS(...,
+    field_delimiter=')')``) must not close the group — and ``rfind``
+    would shear a column list on a trailing ``PARTITION BY DATE(ts)``
+    clause."""
+    from bq_duckdb_spark.dialect import _skip_string
+
+    depth, i = 0, open_at
+    while i < len(s):
+        c = s[i]
+        if c in "'\"`":
+            i = _skip_string(s, i)
+            continue
+        if c == "(":
             depth += 1
-        elif s[i] == ")":
+        elif c == ")":
             depth -= 1
             if depth == 0:
                 return i
+        i += 1
     raise ValueError(f"Unbalanced parentheses in statement: {s[:120]}")
 
 

@@ -178,3 +178,19 @@ def test_describe_table_reports_storage_spec(session):
     session.query("CREATE TABLE plain_t (x INT64)")
     desc2 = session.describe_table("plain_t")
     assert "partitionBy" not in desc2 and "clusterBy" not in desc2
+
+
+def test_export_data_quoted_paren_delimiter(session, tmp_path):
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "exp_paren"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.csv', format='CSV', "
+        "field_delimiter=')') AS SELECT id, v FROM src WHERE id = 1"
+    )
+    lines = [
+        line
+        for f in glob.glob(f"{out}/*.csv")
+        for line in open(f).read().splitlines()
+        if line
+    ]
+    assert lines == ["1)v1"]
