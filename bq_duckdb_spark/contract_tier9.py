@@ -8,9 +8,10 @@ offsets and two-phase exact heavy hitters.
   straddling or mid-span duplicates. Full value oracle (the window key
   is the window TEXT, so DuckDB reproduces winners exactly;
   ``hash_windows=True`` is the 8-byte-key scale path, pinned equal in
-  tests).
-- ``sketch_heavy_hitters``: all token-3-grams covering more than n/s of
-  the corpus stream, found via per-partition Misra-Gries candidate
+  tests at test scale — at 100 TB it carries the standard
+  2^-64-per-pair hash-collision trade, see the operator docstring).
+- ``sketch_heavy_hitters``: all token-2-grams covering more than n/s of
+  the corpus bigram stream, found via per-partition Misra-Gries candidate
   summaries + an exact verify (ext/heavyhitters.py). The output is
   EXACT (candidates are a guaranteed superset; the verify recounts), so
   unlike the HLL/CMS/KLL estimate sketches this entry carries a full

@@ -63,28 +63,11 @@ def _check_cloud_path(path: str) -> None:
         )
 
 
-def _find_balanced(s: str, open_at: int) -> int:
-    """Index of the ')' matching the '(' at ``open_at``. Quote-aware: a
-    ')' inside a string literal (e.g. ``EXPORT DATA OPTIONS(...,
-    field_delimiter=')')``) must not close the group — and ``rfind``
-    would shear a column list on a trailing ``PARTITION BY DATE(ts)``
-    clause."""
-    from bq_duckdb_spark.dialect import _skip_string
-
-    depth, i = 0, open_at
-    while i < len(s):
-        c = s[i]
-        if c in "'\"`":
-            i = _skip_string(s, i)
-            continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return i
-        i += 1
-    raise ValueError(f"Unbalanced parentheses in statement: {s[:120]}")
+# quote-aware paren matcher: a ')' inside a string literal (e.g.
+# EXPORT DATA OPTIONS(..., field_delimiter=')')) must not close the
+# group — and rfind would shear a column list on a trailing
+# PARTITION BY DATE(ts) clause. The dialect already has exactly this.
+from bq_duckdb_spark.dialect import _find_matching_paren as _find_balanced
 
 
 def _cluster_sort(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -605,9 +588,19 @@ class Session:
             if rest.upper().startswith("AS"):
                 # CTAS: materialized snapshot of the query result (D3/G8);
                 # a declared column list (if any) casts the result
+                if if_not_exists and self._resolve_key(name):
+                    # BigQuery semantics: the whole statement is a no-op
+                    # when the table exists — the SELECT never runs
+                    return self._empty_result()
                 df = self.query(rest[2:].strip())
                 if columns:
                     schema = bqtypes.schema_from_columns(columns)
+                    if len(df.columns) != len(schema.fields):
+                        raise ValueError(
+                            f"CTAS column-count mismatch for {name}: "
+                            f"{len(schema.fields)} declared vs "
+                            f"{len(df.columns)} in the query result"
+                        )
                     df = df.select(
                         [
                             df[c].cast(f.dataType).alias(f.name)
@@ -755,11 +748,29 @@ class Session:
             )
         out_dir = os.path.dirname(uri)
         overwrite = opts.get("overwrite", "false").lower() == "true"
-        if not overwrite and os.path.exists(out_dir):
-            raise ValueError(
-                f"EXPORT DATA target {out_dir!r} already exists and "
-                "overwrite=false"
-            )
+        if os.path.exists(out_dir):
+            if not overwrite:
+                raise ValueError(
+                    f"EXPORT DATA target {out_dir!r} already exists and "
+                    "overwrite=false"
+                )
+            # BigQuery's overwrite replaces only files matching the uri
+            # pattern; Spark's mode("overwrite") clears the whole
+            # directory. Refuse when the target holds anything that is
+            # not a previous Spark write (part files / markers), so an
+            # overwrite export can never destroy unrelated user files.
+            stray = [
+                f
+                for f in os.listdir(out_dir)
+                if not (f.startswith("part-") or f.startswith("_") or f.startswith("."))
+            ]
+            if stray:
+                raise ValueError(
+                    f"EXPORT DATA overwrite=true would clear {out_dir!r}, "
+                    f"which contains files not from a previous export "
+                    f"(e.g. {stray[0]!r}); refusing — point the uri at a "
+                    "dedicated export directory"
+                )
         df = self.query(query_sql)
         writer = df.write.mode("overwrite" if overwrite else "errorifexists")
         if "compression" in opts:
@@ -829,7 +840,15 @@ class Session:
           dimension — parquet stats skipping at read time.
         """
         with self._lock:
-            prev = self.tables.get(name.lower())
+            # resolve through the catalog so a rewrite addressed by a
+            # default-project 2-level name finds (and replaces) the
+            # SAME entry the data lives under — a .get(name.lower())
+            # here would lose the recorded storage spec AND register a
+            # second, diverging entry beside the canonical one
+            prev_key = self._resolve_key(name)
+            prev = self.tables[prev_key] if prev_key else None
+            if prev is not None:
+                name = prev.name
             if partition_by is None and cluster_by is None and prev is not None:
                 partition_by, cluster_by = prev.partition_by, prev.cluster_by
             cluster_by = list(cluster_by or [])

@@ -94,8 +94,15 @@ def heavy_hitters(items: DataFrame, item_col: str, s: int) -> DataFrame:
     items = items.select(item_col)
     total = items.agg(F.count(F.lit(1)).alias("__n"))
     cand = mg_candidates(items, item_col, s).distinct()
+    # NO broadcast hint on the candidate join: at the scales this
+    # module targets the candidate union can reach s x partitions rows
+    # and a forced broadcast would collect it all to the driver. AQE
+    # converts the join to broadcast at runtime when the ACTUAL
+    # candidate set is small (the test-SF case), and keeps a shuffle
+    # join when it isn't — exactly the fallback the two-phase design
+    # wants. The 1-row total stays an explicit broadcast.
     return (
-        items.join(F.broadcast(cand), item_col)
+        items.join(cand, item_col)
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))

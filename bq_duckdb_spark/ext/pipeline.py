@@ -493,7 +493,10 @@ def substring_dedup(
     Scale: corpus-linear, never all-pairs. Window probes are T-k+1
     rows per doc — ONE shuffle keyed on the window (``hash_windows=
     True`` keys on xxhash64: 8-byte shuffle keys carrying only
-    (id, pos), the 100 TB path; the value key is the oracle-portable
+    (id, pos), the 100 TB path — with the standard hashed-dedup trade:
+    a 2^-64-per-pair key collision wrongly cuts one k-token run from a
+    non-duplicate doc, the same trade span_dedup's hash_spans and C4
+    itself make; the value key is the collision-free, oracle-portable
     default), where a STREAMING row_number picks first occurrences —
     a boilerplate window duplicated 10^6 times is rank-streamed on one
     reducer key, never buffered. One groupBy ships only DUPLICATE

@@ -506,13 +506,19 @@ def substring_dedup_each_batch(
 
     State is a parquet table of xxhash64 window keys (8 bytes/key at
     rest, the hash_windows=True trade): per batch it costs one join of
-    the shard's probes against the key table and one anti-join append
-    of the shard's new keys — the shard never reshuffles, and the
-    state table grows with DISTINCT corpus windows, not occurrences. A
-    retried micro-batch can re-append keys it already wrote; duplicate
-    state keys cost space only (membership semantics are unchanged),
-    while the OUTPUT parquet stays exactly-once via the streaming
-    commit protocol's batch-id transactionality.
+    the shard's probes against the key table and one overwrite of the
+    shard's new keys — the shard never reshuffles, and the state table
+    grows with DISTINCT corpus windows, not occurrences.
+
+    Retry safety (a foreachBatch function must provide its own
+    idempotence — plain appends would duplicate on a batch retry, and
+    a state write landing before the checkpoint commit would make the
+    retry see the batch's OWN keys as 'seen' and wrongly cut every
+    first occurrence): both sinks write to fixed per-batch
+    subdirectories (``batch=<id>``, overwritten on retry), and the
+    seen-set read filters to batches STRICTLY EARLIER than the current
+    one. Output and state are therefore hive-partitioned by ``batch``;
+    readers of the output can drop that column.
     """
     if not out_dir or not state_dir:
         raise ValueError(
@@ -534,7 +540,14 @@ def substring_dedup_each_batch(
         base = _substr_tok_base(batch_df, text_col, id_col)
         wins, key = _substr_windows(base, id_col, k, hash_windows=True)
         try:
-            seen = spark.read.parquet(state_dir).withColumn("__seen", F.lit(True))
+            # only batches strictly EARLIER than this one are 'seen' —
+            # a retried batch then ignores its own partial state write
+            seen = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch") < batch_id)
+                .select(key)
+                .withColumn("__seen", F.lit(True))
+            )
         except AnalysisException:
             seen = None
         if seen is not None:
@@ -547,13 +560,15 @@ def substring_dedup_each_batch(
             .filter(F.col("__seen").isNotNull() | (F.col("__rn") > 1))
             .select(id_col, "pos")
         )
+        # fixed per-batch subdirectories, overwritten on retry —
+        # idempotent without any append bookkeeping
         _substr_cut(base, dup_pos, text_col, id_col, k).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
         new_keys = wins.select(key).distinct()
         if seen is not None:
             new_keys = new_keys.join(seen, key, "left_anti")
-        new_keys.write.mode("append").parquet(state_dir)
+        new_keys.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
 
     return _write
 

@@ -194,3 +194,50 @@ def test_export_data_quoted_paren_delimiter(session, tmp_path):
         if line
     ]
     assert lines == ["1)v1"]
+
+
+def test_ctas_if_not_exists_is_noop(session):
+    session.register_dataframe("src", _src(session.spark))
+    session.query("CREATE TABLE ine_t AS SELECT id FROM src WHERE id < 5")
+    session.query(
+        "CREATE TABLE IF NOT EXISTS ine_t AS SELECT id FROM src WHERE id < 100"
+    )
+    # the second statement is a no-op: the original 5-row snapshot stays
+    assert session.query("SELECT count(*) AS c FROM ine_t").collect()[0]["c"] == 5
+
+
+def test_ctas_declared_column_count_mismatch_raises(session):
+    session.register_dataframe("src", _src(session.spark))
+    with pytest.raises(ValueError, match="column-count mismatch"):
+        session.query(
+            "CREATE TABLE bad_t (a INT64, b STRING) AS SELECT id FROM src"
+        )
+
+
+def test_export_overwrite_refuses_stray_files(session, tmp_path):
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "not_an_export_dir"
+    out.mkdir()
+    (out / "precious.txt").write_text("user data")
+    with pytest.raises(ValueError, match="precious.txt"):
+        session.query(
+            f"EXPORT DATA OPTIONS(uri='{out}/*.csv', format='CSV', "
+            "overwrite=true) AS SELECT id FROM src"
+        )
+    assert (out / "precious.txt").read_text() == "user data"
+
+
+def test_default_project_rewrite_keeps_spec(session):
+    session.register_dataframe("src", _src(session.spark))
+    session.query(
+        "CREATE TABLE proj.ds.q_t PARTITION BY d AS SELECT * FROM src"
+    )
+    session.default_project = "proj"
+    # 2-level name resolves through the default project; the rewrite
+    # must find the SAME entry and keep its storage spec
+    session.query("UPDATE ds.q_t SET v = 'x' WHERE k = 1")
+    assert [k for k in session.tables if "q_t" in k] == ["proj.ds.q_t"]
+    entry = session.tables["proj.ds.q_t"]
+    assert entry.partition_by == "d"
+    path = _warehouse_path(session, "proj.ds.q_t")
+    assert glob.glob(f"{path}/d=*"), os.listdir(path)

@@ -880,10 +880,15 @@ def test_stream_substring_dedup_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
 
-    got = {
-        (r["doc_id"], r["text"], r["n_tokens"], r["removed_tokens"])
-        for r in spark.read.parquet(out).collect()
-    }
+    def read_out():
+        return {
+            (r["doc_id"], r["text"], r["n_tokens"], r["removed_tokens"])
+            for r in spark.read.parquet(out)
+            .select("doc_id", "text", "n_tokens", "removed_tokens")
+            .collect()
+        }
+
+    got = read_out()
     want = {
         (r["doc_id"], r["text"], r["n_tokens"], r["removed_tokens"])
         for r in substring_dedup(docs, "text", "doc_id", k=8).collect()
@@ -892,3 +897,14 @@ def test_stream_substring_dedup_matches_batch(spark, tmp_path):
     # cross-batch state actually fired: later shards lost tokens to
     # windows first seen in earlier shards
     assert any(r[3] > 0 for r in got)
+
+    # retry idempotence: re-running an already-committed batch (its
+    # state write included) must leave the output unchanged — the
+    # seen-set read filters to batches strictly earlier, so the batch
+    # does not see its own keys, and the per-batch subdir overwrite
+    # replaces rather than duplicates
+    writer = streams.substring_dedup_each_batch(
+        "text", "doc_id", k=8, out_dir=out, state_dir=state
+    )
+    writer(docs.filter(F.col("doc_id") < 150), 0)
+    assert read_out() == want
