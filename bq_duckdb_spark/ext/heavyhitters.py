@@ -40,19 +40,32 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def mg_candidates(items: DataFrame, item_col: str, s: int) -> DataFrame:
+def mg_candidates(
+    items: DataFrame, item_col: str, s: int, with_counts: bool = False
+) -> DataFrame:
     """Per-partition Misra-Gries candidate keys (column: ``item_col``).
 
     Emits the union-of-supports superset described in the module
     docstring: every item with global count > n/s appears. NULL items
     are ignored (they cannot be group keys downstream; filter upstream
     if NULL frequency matters). Output rows per partition <= s.
+
+    ``with_counts=True`` adds the per-partition MG estimate as
+    ``__mg_est`` (a lower bound on the partition-local count) — what
+    the streaming summary maintainer merges across batches.
     """
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
-    out_schema = items.select(item_col).schema
+    base = items.select(item_col)
+    # a fresh StructType: StructType.add mutates in place, and mutating
+    # base.schema's instance would hand the CHILD plan a phantom column
+    fields = list(base.schema.fields)
+    if with_counts:
+        fields = fields + [T.StructField("__mg_est", T.LongType())]
+    out_schema = T.StructType(fields)
 
     def fold(batches):
         counters: dict = {}
@@ -70,9 +83,29 @@ def mg_candidates(items: DataFrame, item_col: str, s: int) -> DataFrame:
                 # sum-of-cuts <= n_partition / (s+1)
                 cut = int(np.partition(vals, len(vals) - s - 1)[len(vals) - s - 1])
                 counters = {k: v - cut for k, v in counters.items() if v > cut}
-        yield pd.DataFrame({item_col: list(counters.keys())})
+        out = {item_col: list(counters.keys())}
+        if with_counts:
+            out["__mg_est"] = list(counters.values())
+        yield pd.DataFrame(out)
 
-    return items.select(item_col).mapInPandas(fold, out_schema)
+    return base.mapInPandas(fold, out_schema)
+
+
+def merge_summaries(
+    prev: "dict | None", batch_counts: dict, s: int
+) -> dict:
+    """Merge exact batch counts into a Misra-Gries summary of size <= s
+    (Agarwal et al., Mergeable Summaries: add, then subtract the
+    (s+1)-th largest and drop non-positives). Estimates only ever
+    UNDERCOUNT, by at most n_total/(s+1) after any merge sequence."""
+    counters = dict(prev or {})
+    for item, c in batch_counts.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > s:
+        vals = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
+        cut = int(np.partition(vals, len(vals) - s - 1)[len(vals) - s - 1])
+        counters = {k: v - cut for k, v in counters.items() if v > cut}
+    return counters
 
 
 def heavy_hitters(items: DataFrame, item_col: str, s: int) -> DataFrame:

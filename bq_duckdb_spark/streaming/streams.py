@@ -573,6 +573,71 @@ def substring_dedup_each_batch(
     return _write
 
 
+def heavy_hitter_summary_each_batch(
+    item_col: str = "term", s: int = 1000, state_dir: str = ""
+):
+    """foreachBatch writer maintaining a corpus-wide Misra-Gries
+    heavy-hitter summary over an ITEM stream (project/explode the
+    document stream to one item column upstream).
+
+    Per batch: per-partition MG summaries (ext/heavyhitters.
+    mg_candidates with counts) collect at most s x partitions rows to
+    the driver, merge into the previous batch's summary with the
+    mergeable-summaries rule, and the result — at most ``s`` rows —
+    is written whole. State is therefore BOUNDED at s entries no
+    matter how long the stream runs, and every item whose total
+    stream count exceeds n/(s+1) is guaranteed present (undercount
+    <= n/(s+1) after any merge sequence). An exact-count readout, when
+    needed, is one batch verify join against the archived corpus —
+    the same two-phase split as the batch operator.
+
+    Retry safety: the summary for batch N is a pure function of the
+    summary for the latest batch < N plus batch N's own rows; it
+    writes to a fixed ``batch=<id>`` subdir (overwritten on retry) and
+    reads only strictly-earlier batches — same idempotence scheme as
+    substring_dedup_each_batch.
+    """
+    if not state_dir:
+        raise ValueError(
+            "heavy_hitter_summary_each_batch requires state_dir= — "
+            "validated eagerly so a forgotten kwarg fails here, not at "
+            "the first micro-batch"
+        )
+    from pyspark.sql.utils import AnalysisException
+
+    from bq_duckdb_spark.ext.heavyhitters import merge_summaries, mg_candidates
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = None
+        try:
+            state = spark.read.parquet(state_dir).filter(F.col("batch") < batch_id)
+            latest = state.agg(F.max("batch").alias("b")).collect()[0]["b"]
+            if latest is not None:
+                prev = {
+                    r[item_col]: r["est"]
+                    for r in state.filter(F.col("batch") == latest).collect()
+                }
+        except AnalysisException:
+            pass
+        parts = mg_candidates(
+            batch_df.select(item_col), item_col, s, with_counts=True
+        ).collect()
+        batch_counts: dict = {}
+        for r in parts:
+            batch_counts[r[item_col]] = (
+                batch_counts.get(r[item_col], 0) + r["__mg_est"]
+            )
+        summary = merge_summaries(prev, batch_counts, s)
+        spark.createDataFrame(
+            list(summary.items()), f"{item_col} string, est long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    return _write
+
+
 def merge_each_batch(session, merge_sql: str, source_name: str = "stream_src"):
     """foreachBatch writer: streaming CDC upsert into an engine table.
 

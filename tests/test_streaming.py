@@ -908,3 +908,82 @@ def test_stream_substring_dedup_matches_batch(spark, tmp_path):
     )
     writer(docs.filter(F.col("doc_id") < 150), 0)
     assert read_out() == want
+
+
+def test_stream_heavy_hitter_summary_guarantee(spark, tmp_path):
+    from bq_duckdb_spark.streaming import streams
+
+    # planted-skew item stream: 3 heavy items among 400 tail types,
+    # split into 3 shard files
+    rows = [(f"heavy{i}",) for i in range(3) for _ in range(300)]
+    rows += [(f"tail{i}",) for i in range(400) for _ in range(2)]
+    import random
+
+    rnd = random.Random(7)
+    rnd.shuffle(rows)
+    n = len(rows)
+    third = len(rows) // 3
+    src = str(tmp_path / "hh_src")
+    state = str(tmp_path / "hh_state")
+    ckpt = str(tmp_path / "hh_ckpt")
+    df = spark.createDataFrame(rows, "term: string")
+    df.limit(third).write.parquet(src)
+    spark.createDataFrame(rows[third : 2 * third], "term: string").write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[2 * third :], "term: string").write.mode(
+        "append"
+    ).parquet(src)
+
+    s = 20
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streams.heavy_hitter_summary_each_batch("term", s=s, state_dir=state)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import functions as F
+
+    final = spark.read.parquet(state)
+    last = final.agg(F.max("batch").alias("b")).collect()[0]["b"]
+    summary = {r["term"]: r["est"] for r in final.filter(F.col("batch") == last).collect()}
+    # bounded state
+    assert len(summary) <= s
+    # guarantee: every item with count > n/(s+1) is present
+    assert {"heavy0", "heavy1", "heavy2"} <= set(summary)  # 300 > n/(s+1)
+    assert 300 * (s + 1) > n
+    # estimates only ever undercount, by at most n/(s+1)
+    for h in ("heavy0", "heavy1", "heavy2"):
+        assert 300 - n / (s + 1) <= summary[h] <= 300
+
+    # retry idempotence, unit-level (the streaming file source does not
+    # guarantee which shard landed in which batch id, so replay with
+    # KNOWN shards): drive the writer manually for batches 0..2, then
+    # re-run batch 2 — its state write included — and assert the
+    # summary is unchanged (the seen-state read filters to strictly
+    # earlier batches, and the per-batch subdir overwrite replaces)
+    state2 = str(tmp_path / "hh_state_manual")
+    writer = streams.heavy_hitter_summary_each_batch("term", s=s, state_dir=state2)
+    shards = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, shard in enumerate(shards):
+        writer(spark.createDataFrame(shard, "term: string"), i)
+    manual = {
+        r["term"]: r["est"]
+        for r in spark.read.parquet(state2).filter(F.col("batch") == 2).collect()
+    }
+    writer(spark.createDataFrame(shards[2], "term: string"), 2)
+    retried = {
+        r["term"]: r["est"]
+        for r in spark.read.parquet(state2).filter(F.col("batch") == 2).collect()
+    }
+    assert retried == manual
+    assert {"heavy0", "heavy1", "heavy2"} <= set(manual)
