@@ -278,7 +278,12 @@ class RpcServer:
     def describe_table(self, params: dict) -> dict:
         s = self._session(params)
         d = s.describe_table(params["tableName"])
-        return {"name": d["name"], "schema": d["columns"], "rowCount": d["rowCount"]}
+        out = {"name": d["name"], "schema": d["columns"], "rowCount": d["rowCount"]}
+        # storage spec keys only when declared (flat reference shape kept)
+        for k in ("partitionBy", "clusterBy"):
+            if k in d:
+                out[k] = d[k]
+        return out
 
     def set_default_project(self, params: dict) -> dict:
         s = self._session(params)

@@ -179,3 +179,47 @@ def test_parallel_dag_runs_across_sessions(server):
     finally:
         for sid in sids:
             call(server, "bq.destroySession", {"sessionId": sid})
+
+
+def test_parallel_partitioned_ctas_and_export(server, tmp_path):
+    """N sessions concurrently run partitioned+clustered CTAS, a pruned
+    read-back, and an EXPORT DATA — the round-6 storage surface under
+    the same interleaving the query/DAG tests pin."""
+
+    def work(i: int):
+        sid = call(server, "bq.createSession")["sessionId"]
+        call(server, "bq.query", {
+            "sessionId": sid,
+            "sql": "CREATE TABLE src (d INT64, k INT64, v STRING)",
+        })
+        call(server, "bq.insert", {
+            "sessionId": sid, "tableName": "src",
+            "rows": [[d, k, f"v{i}_{d}_{k}"] for d in range(3) for k in range(4)],
+        })
+        call(server, "bq.query", {
+            "sessionId": sid,
+            "sql": "CREATE TABLE laid PARTITION BY d CLUSTER BY k AS SELECT * FROM src",
+        })
+        one = call(server, "bq.query", {
+            "sessionId": sid, "sql": "SELECT count(*) AS c FROM laid WHERE d = 1",
+        })
+        assert str(_scalar(one)) == "4"
+        # session-unique marker must be the one this session wrote
+        probe = call(server, "bq.query", {
+            "sessionId": sid,
+            "sql": "SELECT v FROM laid WHERE d = 0 AND k = 0",
+        })
+        assert probe["rows"][0]["f"][0]["v"] == f"v{i}_0_0"
+        out = tmp_path / f"exp_{i}"
+        call(server, "bq.query", {
+            "sessionId": sid,
+            "sql": f"EXPORT DATA OPTIONS(uri='{out}/*.json', format='JSON') "
+                   "AS SELECT d, k FROM laid WHERE d = 2",
+        })
+        desc = call(server, "bq.describeTable", {"sessionId": sid, "tableName": "laid"})
+        assert desc.get("partitionBy") == "d" and desc.get("clusterBy") == ["k"]
+        call(server, "bq.destroySession", {"sessionId": sid})
+        return i
+
+    with ThreadPoolExecutor(max_workers=N_THREADS) as ex:
+        assert sorted(ex.map(work, range(N_THREADS))) == list(range(N_THREADS))

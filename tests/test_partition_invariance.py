@@ -31,6 +31,10 @@ ENTRIES = [
     "pipe_token_budget",
     "pipe_weighted_sample",
     "dedup_keep_best",
+    # tier-9: window-key rank over a shuffled corpus; MG candidates
+    # vary with partitioning but the exact verify must not
+    "pipe_substring_dedup",
+    "sketch_heavy_hitters",
     # TPC-H: tie-broken LIMIT top-k, one-row-broadcast scalar threshold,
     # count-distinct + anti blacklist, semi over groupBy-HAVING
     "q02_min_acctbal_supplier",
