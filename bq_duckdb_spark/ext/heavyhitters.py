@@ -73,16 +73,7 @@ def mg_candidates(
             vc = pdf[item_col].dropna().value_counts()
             for item, c in vc.items():
                 counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > s:
-                vals = np.fromiter(
-                    counters.values(), dtype=np.int64, count=len(counters)
-                )
-                # (s+1)-th largest: subtracting it zeroes out at least
-                # (len - s) entries, and at least s+1 entries lose the
-                # full cut — total mass removed >= (s+1) * cut, hence
-                # sum-of-cuts <= n_partition / (s+1)
-                cut = int(np.partition(vals, len(vals) - s - 1)[len(vals) - s - 1])
-                counters = {k: v - cut for k, v in counters.items() if v > cut}
+            counters = _mg_shrink(counters, s)
         out = {item_col: list(counters.keys())}
         if with_counts:
             out["__mg_est"] = list(counters.values())
@@ -91,21 +82,28 @@ def mg_candidates(
     return base.mapInPandas(fold, out_schema)
 
 
-def merge_summaries(
-    prev: "dict | None", batch_counts: dict, s: int
-) -> dict:
-    """Merge exact batch counts into a Misra-Gries summary of size <= s
-    (Agarwal et al., Mergeable Summaries: add, then subtract the
-    (s+1)-th largest and drop non-positives). Estimates only ever
-    UNDERCOUNT, by at most n_total/(s+1) after any merge sequence."""
+def _mg_shrink(counters: dict, s: int) -> dict:
+    """The Misra-Gries shrink rule: subtract the (s+1)-th largest value
+    from every counter and drop non-positives. At least s+1 entries lose
+    the full cut, so total mass removed >= (s+1) * cut and the running
+    sum-of-cuts (every item's undercount) stays <= n_total / (s+1)."""
+    if len(counters) <= s:
+        return counters
+    vals = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
+    cut = int(np.partition(vals, len(vals) - s - 1)[len(vals) - s - 1])
+    return {k: v - cut for k, v in counters.items() if v > cut}
+
+
+def merge_summaries(prev: "dict | None", batch_counts: dict, s: int) -> dict:
+    """Merge per-batch counts (exact counts or MG lower-bound partials —
+    both only ever undercount) into a Misra-Gries summary of size <= s
+    (Agarwal et al., Mergeable Summaries: add, then one shrink).
+    Estimates undercount by at most n_total/(s+1) after any merge
+    sequence."""
     counters = dict(prev or {})
     for item, c in batch_counts.items():
         counters[item] = counters.get(item, 0) + int(c)
-    if len(counters) > s:
-        vals = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
-        cut = int(np.partition(vals, len(vals) - s - 1)[len(vals) - s - 1])
-        counters = {k: v - cut for k, v in counters.items() if v > cut}
-    return counters
+    return _mg_shrink(counters, s)
 
 
 def heavy_hitters(items: DataFrame, item_col: str, s: int) -> DataFrame:

@@ -485,6 +485,23 @@ def stream_near_dup_probe(
     )
 
 
+def _read_earlier_state(spark: SparkSession, state_dir: str, batch_id: int):
+    """Shared state read for idempotent foreachBatch writers: rows of
+    batches STRICTLY earlier than the current one (so a retried batch
+    never sees its own partial write), or None when no state exists
+    yet. Only the initial read is guarded (missing-dir on the first
+    batch); any later failure propagates so the streaming query retries
+    the batch — swallowing it would silently reset accumulated state.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        state = spark.read.parquet(state_dir)
+    except AnalysisException:
+        return None
+    return state.filter(F.col("batch") < batch_id)
+
+
 def substring_dedup_each_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -527,7 +544,6 @@ def substring_dedup_each_batch(
             "so a forgotten kwarg fails here, not at the first micro-batch"
         )
     from pyspark.sql import Window
-    from pyspark.sql.utils import AnalysisException
 
     from bq_duckdb_spark.ext.pipeline import (
         _substr_cut,
@@ -539,17 +555,12 @@ def substring_dedup_each_batch(
         spark = batch_df.sparkSession
         base = _substr_tok_base(batch_df, text_col, id_col)
         wins, key = _substr_windows(base, id_col, k, hash_windows=True)
-        try:
-            # only batches strictly EARLIER than this one are 'seen' —
-            # a retried batch then ignores its own partial state write
-            seen = (
-                spark.read.parquet(state_dir)
-                .filter(F.col("batch") < batch_id)
-                .select(key)
-                .withColumn("__seen", F.lit(True))
-            )
-        except AnalysisException:
-            seen = None
+        state = _read_earlier_state(spark, state_dir, batch_id)
+        seen = (
+            state.select(key).withColumn("__seen", F.lit(True))
+            if state is not None
+            else None
+        )
         if seen is not None:
             marked = wins.join(seen, key, "left")
         else:
@@ -584,8 +595,11 @@ def heavy_hitter_summary_each_batch(
     mg_candidates with counts) collect at most s x partitions rows to
     the driver, merge into the previous batch's summary with the
     mergeable-summaries rule, and the result — at most ``s`` rows —
-    is written whole. State is therefore BOUNDED at s entries no
-    matter how long the stream runs, and every item whose total
+    is written whole. The LIVE summary is therefore bounded at s
+    entries no matter how long the stream runs (and the state
+    directory holds at most the last two batch summaries — older
+    ``batch=<id>`` subdirs are pruned after each successful write,
+    keeping the predecessor for retry safety). Every item whose total
     stream count exceeds n/(s+1) is guaranteed present (undercount
     <= n/(s+1) after any merge sequence). An exact-count readout, when
     needed, is one batch verify join against the archived corpus —
@@ -603,23 +617,24 @@ def heavy_hitter_summary_each_batch(
             "validated eagerly so a forgotten kwarg fails here, not at "
             "the first micro-batch"
         )
-    from pyspark.sql.utils import AnalysisException
-
+    if item_col in ("est", "batch"):
+        raise ValueError(
+            f"item_col {item_col!r} collides with the summary's own "
+            "'est'/'batch' columns — rename the item column upstream"
+        )
     from bq_duckdb_spark.ext.heavyhitters import merge_summaries, mg_candidates
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = None
-        try:
-            state = spark.read.parquet(state_dir).filter(F.col("batch") < batch_id)
+        state = _read_earlier_state(spark, state_dir, batch_id)
+        if state is not None:
             latest = state.agg(F.max("batch").alias("b")).collect()[0]["b"]
             if latest is not None:
                 prev = {
                     r[item_col]: r["est"]
                     for r in state.filter(F.col("batch") == latest).collect()
                 }
-        except AnalysisException:
-            pass
         parts = mg_candidates(
             batch_df.select(item_col), item_col, s, with_counts=True
         ).collect()
@@ -629,11 +644,35 @@ def heavy_hitter_summary_each_batch(
                 batch_counts.get(r[item_col], 0) + r["__mg_est"]
             )
         summary = merge_summaries(prev, batch_counts, s)
-        spark.createDataFrame(
-            list(summary.items()), f"{item_col} string, est long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}"
+        # type-generic state schema: the item column keeps its stream
+        # type (a hardcoded 'string' DDL would crash the first batch of
+        # any numeric item stream)
+        out_schema = T.StructType(
+            [
+                T.StructField(item_col, batch_df.schema[item_col].dataType),
+                T.StructField("est", T.LongType()),
+            ]
         )
+        spark.createDataFrame(list(summary.items()), out_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+        # prune history: reads only ever touch the latest earlier batch,
+        # so keep batch_id-1 (retry safety) and drop everything older —
+        # without this a long-running stream accumulates one subdir per
+        # trigger and every read relists the whole history. (os-level:
+        # local-FS state dirs; on an object store this is a no-op and an
+        # external lifecycle rule does the pruning.)
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        for d in _glob.glob(_os.path.join(state_dir, "batch=*")):
+            try:
+                b = int(d.rsplit("=", 1)[1])
+            except ValueError:
+                continue
+            if b < batch_id - 1:
+                _shutil.rmtree(d, ignore_errors=True)
 
     return _write
 

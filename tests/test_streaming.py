@@ -987,3 +987,7 @@ def test_stream_heavy_hitter_summary_guarantee(spark, tmp_path):
     }
     assert retried == manual
     assert {"heavy0", "heavy1", "heavy2"} <= set(manual)
+    # history pruning: only the latest batch and its predecessor remain
+    import glob as _glob
+
+    assert len(_glob.glob(state2 + "/batch=*")) <= 2
