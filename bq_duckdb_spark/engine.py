@@ -526,9 +526,9 @@ class Session:
         r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$", re.IGNORECASE
     )
     # BQ storage clauses: PARTITION BY <col | fn(args)>, CLUSTER BY c1, c2
-    _PARTITION_BY_RE = re.compile(
-        r"^PARTITION\s+BY\s+(\w+\s*\([^)]*\)|[\w`.]+)\s*", re.IGNORECASE
-    )
+    _PARTITION_BY_KW_RE = re.compile(r"^PARTITION\s+BY\s+", re.IGNORECASE)
+    _PARTITION_BY_FN_RE = re.compile(r"^(\w+)\s*\(")
+    _PARTITION_BY_COL_RE = re.compile(r"^[\w`.]+")
     _CLUSTER_BY_RE = re.compile(
         r"^CLUSTER\s+BY\s+([\w`.]+(?:\s*,\s*[\w`.]+)*)\s*", re.IGNORECASE
     )
@@ -562,6 +562,16 @@ class Session:
         if m:
             replace, if_not_exists = bool(m.group(1)), bool(m.group(2))
             name, rest = m.group(3).strip("`"), m.group(4).strip().rstrip(";").strip()
+            # canonicalize BEFORE any drop/materialize so a 2-level
+            # default-project alias addresses (and re-creates) the SAME
+            # catalog entry the data lives under — otherwise OR REPLACE
+            # via the alias would drop the canonical entry and register a
+            # fresh one under the alias spelling (ADVICE round 6)
+            ckey = self._resolve_key(name)
+            if ckey is not None:
+                name = self.tables[ckey].name
+            elif self.default_project and name.count(".") == 1:
+                name = f"{self.default_project}.{name}"
             if replace:
                 self.drop_table(name, if_exists=True)
             columns: list[dict] | None = None
@@ -577,10 +587,25 @@ class Session:
                 rest = rest[close + 1 :].strip()
             partition_by: str | None = None
             cluster_by: list[str] = []
-            pm = self._PARTITION_BY_RE.match(rest)
+            pm = self._PARTITION_BY_KW_RE.match(rest)
             if pm:
-                partition_by = pm.group(1).strip()
-                rest = rest[pm.end() :].strip()
+                tail = rest[pm.end() :]
+                fm = self._PARTITION_BY_FN_RE.match(tail)
+                if fm:
+                    # balanced-paren extraction so nested expressions —
+                    # PARTITION BY DATE(TIMESTAMP_MILLIS(x)) — take the
+                    # whole call, not just up to the first ')'
+                    close = _find_balanced(tail, fm.end() - 1)
+                    partition_by = tail[: close + 1].strip()
+                    rest = tail[close + 1 :].strip()
+                else:
+                    cm0 = self._PARTITION_BY_COL_RE.match(tail)
+                    if not cm0:
+                        raise ValueError(
+                            f"Malformed PARTITION BY clause: {tail[:60]!r}"
+                        )
+                    partition_by = cm0.group(0).strip()
+                    rest = tail[cm0.end() :].strip()
             cm = self._CLUSTER_BY_RE.match(rest)
             if cm:
                 cluster_by = [c.strip().strip("`") for c in cm.group(1).split(",")]
@@ -592,6 +617,10 @@ class Session:
                     # BigQuery semantics: the whole statement is a no-op
                     # when the table exists — the SELECT never runs
                     return self._empty_result()
+                if not replace and not if_not_exists and self._resolve_key(name):
+                    # BigQuery errors here too; silently replacing would
+                    # also diverge from plain CREATE TABLE on this engine
+                    raise ValueError(f"Table already exists: {name}")
                 df = self.query(rest[2:].strip())
                 if columns:
                     schema = bqtypes.schema_from_columns(columns)
@@ -611,7 +640,13 @@ class Session:
                     name, df, partition_by=partition_by, cluster_by=cluster_by
                 )
                 if columns:
-                    self.tables[name.lower()].columns = list(columns)
+                    # materialize() registers under the CANONICAL name of a
+                    # pre-existing entry (default-project aliasing), which
+                    # may differ from the statement's spelling — resolve
+                    # through the catalog, not name.lower()
+                    key = self._resolve_key(name)
+                    assert key is not None
+                    self.tables[key].columns = list(columns)
                 return self._empty_result()
             if columns is not None and not rest:
                 self.create_table(
@@ -731,7 +766,11 @@ class Session:
                 raise ValueError(f"Malformed EXPORT DATA option: {part!r}")
             v = v.strip()
             if v[:1] in ("'", '"') and v[-1:] == v[:1]:
-                v = v[1:-1]
+                q = v[0]
+                # un-double escaped quotes inside the literal, so
+                # field_delimiter='''' yields one apostrophe (the splitter
+                # preserved the escape; we must collapse it)
+                v = v[1:-1].replace(q * 2, q)
             opts[k.strip().lower()] = v
         uri = opts.get("uri")
         if not uri:

@@ -241,3 +241,81 @@ def test_default_project_rewrite_keeps_spec(session):
     assert entry.partition_by == "d"
     path = _warehouse_path(session, "proj.ds.q_t")
     assert glob.glob(f"{path}/d=*"), os.listdir(path)
+
+
+def test_partition_by_nested_expression(session):
+    """Round-7 ADVICE fix: PARTITION BY DATE(TIMESTAMP_MILLIS(x)) must
+    parse the WHOLE nested call (balanced parens), not stop at the first
+    ')' and reject the statement."""
+    session.register_dataframe(
+        "ms_src",
+        session.spark.range(10).select(
+            F.col("id"), (F.col("id") * 86400000 + 1704067200000).alias("ms")
+        ),
+    )
+    session.query(
+        "CREATE TABLE nested_part_t PARTITION BY DATE(TIMESTAMP_MILLIS(ms)) "
+        "AS SELECT * FROM ms_src"
+    )
+    desc = session.describe_table("nested_part_t")
+    assert desc["partitionBy"] == "DATE(TIMESTAMP_MILLIS(ms))"
+    assert (
+        session.query("SELECT count(*) AS c FROM nested_part_t").collect()[0]["c"]
+        == 10
+    )
+    # the derived hidden key produced real hive directories per day
+    part_dirs = glob.glob(_warehouse_path(session, "nested_part_t") + "/__bq_part=*")
+    assert len(part_dirs) == 10
+
+
+def test_export_data_doubled_quote_delimiter(session, tmp_path):
+    """Round-7 ADVICE fix: field_delimiter='''' is ONE apostrophe (BQ/SQL
+    doubled-quote escape), not the two-character string "''"."""
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "exp_quote"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.csv', format='CSV', "
+        "field_delimiter='''') AS SELECT id, v FROM src WHERE id = 1"
+    )
+    lines = [
+        line
+        for f in glob.glob(f"{out}/*.csv")
+        for line in open(f).read().splitlines()
+        if line
+    ]
+    assert lines == ["1'v1"]
+
+
+def test_ctas_over_existing_table_raises(session):
+    """Round-7 ADVICE fix: plain CTAS over an existing name errors (BigQuery
+    does too), matching plain CREATE TABLE instead of silently replacing."""
+    session.register_dataframe("src", _src(session.spark))
+    session.query("CREATE TABLE dup_ctas AS SELECT id FROM src WHERE id < 3")
+    with pytest.raises(ValueError, match="already exists"):
+        session.query("CREATE TABLE dup_ctas AS SELECT id FROM src")
+    # the original snapshot is untouched
+    assert (
+        session.query("SELECT count(*) AS c FROM dup_ctas").collect()[0]["c"] == 3
+    )
+
+
+def test_ctas_declared_columns_via_default_project_alias(session):
+    """Round-7 ADVICE fix: declared-columns CTAS addressed via a 2-level
+    default-project alias must attach .columns to the CANONICAL entry the
+    data was materialized under, not KeyError on the alias spelling."""
+    session.default_project = "projx"
+    session.query("CREATE TABLE projx.ds.t0 (v INT64)")
+    session.query("CREATE TABLE seed (v INT64)")
+    session.query("INSERT INTO seed VALUES (1), (2)")
+    # replace via the 2-level alias with a declared column list
+    session.query(
+        "CREATE OR REPLACE TABLE ds.t0 (doubled INT64) "
+        "AS SELECT v * 2 FROM seed"
+    )
+    desc = session.describe_table("projx.ds.t0")
+    assert desc["columns"] == [{"name": "doubled", "type": "INT64"}]
+    got = sorted(
+        r["doubled"]
+        for r in session.query("SELECT doubled FROM ds.t0").collect()
+    )
+    assert got == [2, 4]
