@@ -135,16 +135,35 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: region/nation are tiny at every SF → explicit broadcast; the
     big fact-fact join (orders⋈lineitem) shuffles on the orderkey.
+
+    The most selective predicate (r_name = 'ASIA', 1-of-5 regions) is
+    pushed UPSTREAM of the fact-fact shuffle: the 5 surviving nations
+    broadcast-reduce customer and supplier first, the ~20%-of-customers
+    semi-reduction then shrinks the orders side BEFORE the big
+    orders⋈lineitem shuffle — at 100 TB that shuffle dominates, so a 5×
+    smaller probe side there beats filtering after the join (the
+    pre-round-7 shape, which carried all regions through the join and
+    filtered at the end).
     """
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
+    # asia_nations: ≤25 rows at EVERY scale factor → always broadcast
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
     # the fact-fact edge (orders⋈lineitem) is pinned to a shuffled hash
     # join — small-SF size estimates would otherwise broadcast lineitem
     # itself (single-task build locally, OOM at scale). Only the
@@ -152,14 +171,18 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast hints; customer/supplier scale with SF, so AQE decides
     # for them (broadcast when they fit, shuffle when they don't).
     return (
-        orders.join(li.hint("shuffle_hash"), orders.o_orderkey == li.l_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li.hint("shuffle_hash"), orders.o_orderkey == li.l_orderkey)
         .join(
+            # left UNHINTED on purpose: at small SF, AQE converts the
+            # planned SortMergeJoin into a runtime broadcast of the
+            # filtered supplier side (measured 1.1 s vs 1.45 s with a
+            # shuffle_hash pin that blocks the conversion); at huge SF
+            # the SMJ shuffles on (suppkey, nationkey) — correct keys,
+            # and supplier is never the build-side OOM risk
             supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
