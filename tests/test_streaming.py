@@ -991,3 +991,86 @@ def test_stream_heavy_hitter_summary_guarantee(spark, tmp_path):
     import glob as _glob
 
     assert len(_glob.glob(state2 + "/batch=*")) <= 2
+
+def test_stream_heavy_hitter_crash_recovery_from_checkpoint(spark, tmp_path):
+    """Round-7: kill the MG-summary stream AFTER batch 1's state write
+    lands but BEFORE its checkpoint commit (the nastiest re-delivery
+    point — the retry must not read the batch's OWN partial state as
+    'previous summary'), restart the SAME checkpoint with a healthy
+    writer, and require the final summary to be byte-identical to a
+    clean no-crash run over the same shard files."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from bq_duckdb_spark.streaming import streams
+
+    rows = [(f"heavy{i}",) for i in range(3) for _ in range(300)]
+    rows += [(f"tail{i}",) for i in range(400) for _ in range(2)]
+    import random
+
+    random.Random(11).shuffle(rows)
+    third = len(rows) // 3
+    shards = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "hhc_src"
+    src.mkdir()
+    # explicit file names so both runs list (and batch) the shards in
+    # the same order
+    for i, shard in enumerate(shards):
+        pq.write_table(
+            pa.table({"term": pa.array([r[0] for r in shard])}),
+            str(src / f"shard{i}.parquet"),
+        )
+
+    s = 20
+
+    def run(state, ckpt, crash_on_batch1: bool):
+        real = streams.heavy_hitter_summary_each_batch(
+            "term", s=s, state_dir=state
+        )
+
+        def write(batch_df, batch_id):
+            real(batch_df, batch_id)  # the state write LANDS first
+            if crash_on_batch1 and batch_id == 1:
+                raise RuntimeError("injected crash after state write")
+
+        stream = (
+            spark.readStream.schema("term string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return (
+            stream.writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def final_summary(state):
+        df = spark.read.parquet(state)
+        last = df.agg(F.max("batch").alias("b")).collect()[0]["b"]
+        return {
+            r["term"]: r["est"]
+            for r in df.filter(F.col("batch") == last).collect()
+        }
+
+    state_a, ckpt_a = str(tmp_path / "hhc_state"), str(tmp_path / "hhc_ckpt")
+    q = run(state_a, ckpt_a, crash_on_batch1=True)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    # the crash left batch=1 state on disk but uncommitted in the
+    # checkpoint — restart must re-deliver batch 1 and overwrite it
+    q2 = run(state_a, ckpt_a, crash_on_batch1=False)
+    q2.awaitTermination()
+
+    state_b, ckpt_b = str(tmp_path / "hhc_state2"), str(tmp_path / "hhc_ckpt2")
+    q3 = run(state_b, ckpt_b, crash_on_batch1=False)
+    q3.awaitTermination()
+
+    recovered, clean = final_summary(state_a), final_summary(state_b)
+    assert recovered == clean
+    assert {"heavy0", "heavy1", "heavy2"} <= set(recovered)
+    assert len(recovered) <= s
