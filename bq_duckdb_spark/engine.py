@@ -231,7 +231,7 @@ class Session:
                 raise ValueError(f"Table not found: {name}")
             entry = self.tables[key]
             schema = bqtypes.schema_from_columns(entry.columns)
-            prepared = [self._coerce_row(r, entry.columns) for r in rows]
+            prepared = [self._coerce_row(r, entry.columns, schema) for r in rows]
             new_df = self.spark.createDataFrame(prepared, schema)
             self._append_df(entry, new_df, schema)
             return len(prepared)
@@ -293,10 +293,18 @@ class Session:
         )
 
     @staticmethod
-    def _coerce_row(row, columns: list[dict]):
+    def _coerce_row(row, columns: list[dict], schema: T.StructType):
         if isinstance(row, dict):
-            return tuple(row.get(c["name"]) for c in columns)
-        return tuple(row)
+            vals = [row.get(c["name"]) for c in columns]
+        else:
+            vals = list(row)
+        # wire values are JSON (dates/decimals/intervals as strings,
+        # BYTES base64, STRUCT objects) — coerce each to what
+        # createDataFrame accepts for the declared type
+        return tuple(
+            bqtypes.json_to_spark_value(v, f.dataType)
+            for v, f in zip(vals, schema.fields)
+        )
 
     # -- query -------------------------------------------------------------
 

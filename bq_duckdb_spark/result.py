@@ -34,6 +34,20 @@ def _encode_value(v):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, datetime.timedelta):
+        # symmetric with the bq.insert INTERVAL input format:
+        # "[-][D ]H:MM:SS[.ffffff]"
+        total_us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+        sign = "-" if total_us < 0 else ""
+        total_us = abs(total_us)
+        us = total_us % 1_000_000
+        secs = total_us // 1_000_000
+        d, rem = divmod(secs, 86400)
+        h, rem = divmod(rem, 3600)
+        m, s = divmod(rem, 60)
+        frac = f".{us:06d}" if us else ""
+        day = f"{d} " if d else ""
+        return f"{sign}{day}{h}:{m:02d}:{s:02d}{frac}"
     if hasattr(v, "asDict"):  # Row (struct value) — a tuple subclass, so
         # this check must precede the list/tuple branch
         return {k: _encode_value(x) for k, x in v.asDict().items()}

@@ -154,3 +154,95 @@ def schema_from_columns(columns: list[dict]) -> T.StructType:
 def columns_from_schema(schema: T.StructType) -> list[dict]:
     """Spark StructType -> ColumnDef JSON list."""
     return [{"name": f.name, "type": spark_to_bq(f.dataType)} for f in schema.fields]
+
+
+# ---------------------------------------------------------------------------
+# JSON wire value -> Spark Python value (bq.insert coercion)
+# ---------------------------------------------------------------------------
+
+# BigQuery-ish day-time interval text: "[+-][D ]H:MM:SS[.ffffff]"
+_INTERVAL_RE = re.compile(
+    r"^([+-]?)(?:(\d+)\s+)?(\d+):(\d{1,2}):(\d{1,2})(?:\.(\d{1,6}))?$"
+)
+
+
+def json_to_spark_value(v, dt: T.DataType):
+    """Coerce one JSON-decoded wire value to the Python value Spark's
+    ``createDataFrame`` accepts for ``dt``.
+
+    ``bq.insert`` rows arrive as JSON (reference src/rpc/methods.rs:
+    114-148 — the BigQuery ``insertAll`` convention: dates/timestamps/
+    decimals/intervals as strings, BYTES as base64, STRUCT as an
+    object). Spark's createDataFrame rejects e.g. a string for a
+    DateType field, so each declared-type leaf converts here; values
+    already in the target Python type pass through untouched.
+    """
+    if v is None:
+        return None
+    if isinstance(dt, T.DateType):
+        if isinstance(v, str):
+            import datetime
+
+            return datetime.date.fromisoformat(v)
+        return v
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, str):
+            import datetime
+
+            s = v.replace("T", " ", 1)
+            if s.endswith("Z"):
+                s = s[:-1] + "+00:00"
+            return datetime.datetime.fromisoformat(s)
+        return v
+    if isinstance(dt, T.DecimalType):
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return v
+        # through str() so a float literal doesn't import binary noise
+        return decimal.Decimal(str(v))
+    if isinstance(dt, T.DayTimeIntervalType):
+        import datetime
+
+        if isinstance(v, datetime.timedelta):
+            return v
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return datetime.timedelta(seconds=v)
+        if isinstance(v, str):
+            m = _INTERVAL_RE.match(v.strip())
+            if not m:
+                raise ValueError(
+                    f"Malformed INTERVAL value {v!r} — expected "
+                    "'[+-][D ]H:MM:SS[.ffffff]'"
+                )
+            sign = -1 if m.group(1) == "-" else 1
+            td = datetime.timedelta(
+                days=int(m.group(2) or 0),
+                hours=int(m.group(3)),
+                minutes=int(m.group(4)),
+                seconds=int(m.group(5)),
+                microseconds=int((m.group(6) or "0").ljust(6, "0")),
+            )
+            return sign * td
+        return v
+    if isinstance(dt, T.BinaryType):
+        if isinstance(v, str):
+            import base64
+
+            return base64.b64decode(v)
+        return bytes(v)
+    if isinstance(dt, T.ArrayType) and isinstance(v, (list, tuple)):
+        return [json_to_spark_value(x, dt.elementType) for x in v]
+    if isinstance(dt, T.StructType):
+        if isinstance(v, dict):
+            return tuple(
+                json_to_spark_value(v.get(f.name), f.dataType) for f in dt.fields
+            )
+        if isinstance(v, (list, tuple)):
+            return tuple(
+                json_to_spark_value(x, f.dataType) for x, f in zip(v, dt.fields)
+            )
+        return v
+    if isinstance(dt, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
+        return float(v)
+    return v
