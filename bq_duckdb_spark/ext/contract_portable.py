@@ -65,12 +65,21 @@ def dedup_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sh_cte(where: str = "") -> str:
-    g = dp.grams_expr("text", _K, "duckdb")
+    # tokenize ONCE per document into a materialized CTE, then build
+    # grams from the array column — inlining the regexp split into the
+    # per-gram lambda is O(tokens × doc_len) per document (see
+    # grams_expr docstring; this was the hostile-corpus oracle-timeout
+    # root cause). sh is MATERIALIZED because most callers reference it
+    # two or three more times for the verify stage.
+    g = dp.grams_expr("text", _K, "duckdb", tokens="toks")
     poly = dp.char_poly_expr("s", "duckdb")
     return (
-        f"sh AS (SELECT doc_id, "
+        f"shtok AS MATERIALIZED (SELECT doc_id, "
+        f"regexp_split_to_array(trim(text), '\\s+') AS toks "
+        f"FROM documents{where}), "
+        f"sh AS MATERIALIZED (SELECT doc_id, "
         f"list_distinct(list_transform({g}, s -> {poly})) AS sh "
-        f"FROM documents{where})"
+        f"FROM shtok)"
     )
 
 

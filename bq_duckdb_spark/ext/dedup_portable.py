@@ -63,12 +63,14 @@ def grams_expr(
 ) -> str:
     """Token k-gram strings (whole doc if shorter than k tokens).
 
-    ``tokens`` (Spark only): a MATERIALIZED token-array column to build
-    from instead of splitting ``text_col`` inline. Inlining the split
-    means every `slice(split(..))` inside the transform lambda re-runs
-    the tokenizer once per k-gram — O(tokens²) per document (measured
-    10x on the bigram builder); callers on the hot path materialize the
-    array once and pass its name here."""
+    ``tokens``: a MATERIALIZED token-array column to build from instead
+    of splitting ``text_col`` inline. Inlining the split means every
+    `slice(split(..))` inside the transform lambda re-runs the
+    tokenizer once per k-gram — O(tokens²) per document (measured 10x
+    on the Spark bigram builder; on DuckDB a single 185 KB / 33k-token
+    document costs minutes of regexp re-scans, the round-6 hostile-
+    corpus oracle-timeout root cause); callers on any non-trivial
+    corpus materialize the array once and pass its name here."""
     if engine == "spark":
         toks = tokens or f"split(trim({text_col}), '\\\\s+')"
         return (
@@ -76,11 +78,16 @@ def grams_expr(
             f"ELSE transform(sequence(0, size({toks}) - {k}), "
             f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) END"
         )
-    toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    toks = tokens or f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    # join the k tokens by INDEXED access, not array_to_string over
+    # list_slice: DuckDB's list_slice inside a lambda copies the whole
+    # outer list per invocation — O(tokens²) per document, 127 s vs
+    # 0.2 s measured on a 7.5k-doc corpus with 33k-token documents
+    cat = " || ' ' || ".join(f"{toks}[i + {j}]" if j else f"{toks}[i]" for j in range(k))
     return (
         f"CASE WHEN len({toks}) < {k} THEN [array_to_string({toks}, ' ')] "
         f"ELSE list_transform(range(1, len({toks}) - {k - 2}), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')) END"
+        f"i -> {cat}) END"
     )
 
 

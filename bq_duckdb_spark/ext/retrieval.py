@@ -415,15 +415,24 @@ def logreg_oracle_sql(
     poly = char_poly_expr("t", "duckdb")
     q = 10**quantize
     parts = [
-        "WITH feat AS MATERIALIZED (",
+        # tokenize ONCE per document into its own materialized CTE:
+        # putting len(regexp_split(..)) next to the unnest re-splits the
+        # whole document once per TOKEN row — O(tokens x doc_len) per
+        # document, the hostile-corpus oracle-timeout shape
+        "WITH tokd AS MATERIALIZED (",
+        "    SELECT doc_id,",
+        f"           CAST({label_sql} AS DOUBLE) AS y,",
+        r"           regexp_split_to_array(trim(text), '\s+') AS toks",
+        "    FROM documents",
+        "),",
+        "feat AS MATERIALIZED (",
         "    SELECT doc_id, y, n,",
         f"           ({poly}) % {n_buckets} AS b",
         "    FROM (",
-        "        SELECT doc_id,",
-        f"               CAST({label_sql} AS DOUBLE) AS y,",
-        r"               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n,",
-        r"               unnest(regexp_split_to_array(trim(text), '\s+')) AS t",
-        "        FROM documents",
+        "        SELECT doc_id, y,",
+        "               CAST(len(toks) AS DOUBLE) AS n,",
+        "               unnest(toks) AS t",
+        "        FROM tokd",
         "    )",
         "),",
         "nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM feat),",
