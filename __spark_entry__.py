@@ -282,29 +282,44 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENTILE_CONT as ordinary aggregate (A9) — the reference accepts
     the DuckDB/Postgres WITHIN GROUP form (olap_test.clj:269-275).
 
-    Spark side: collect_list + ONE array_sort per group, then both
-    quantiles interpolate from the same sorted array. Builtin
-    percentile() maintains a per-row value→count OpenHashMap whose
-    boxed updates dominate; merging partial collect_lists is a cheap
-    array concat and the single dual-pivot sort at the end measured 2x
-    faster at sf0.1 (0.78 s vs 1.6 s) with identical sort-and-
-    interpolate values. Exact percentiles buffer per-group values by
-    definition either way; q_percentiles_approx is the bounded-memory
-    100 TB twin."""
+    Spark side: rank every row inside its group with ONE sort-based
+    window (row_number + count over the group), then each quantile is
+    the weighted sum of its two bracketing ranks. Unlike the previous
+    collect_list formulation (which buffered every group value in one
+    aggregation buffer — exact but memory-unbounded per group) or
+    builtin percentile() (per-row value→count OpenHashMap, 2x slower
+    measured), the ranking window runs through Spark's spillable
+    external sorter: memory stays bounded no matter how large the
+    group, so the EXACT computation survives 100 TB groups — a single
+    group still sorts within one task (inherent to exact rank), but it
+    spills instead of OOMing. q_percentiles_approx remains the
+    sketch-based twin where a single pass must suffice."""
     _register_views(spark, sf_dir, "lineitem")
     return spark.sql(
         """
         SELECT l_returnflag,
-               round(element_at(v, CAST(floor(k50) AS INT) + 1) * (1.0 - (k50 - floor(k50)))
-                     + element_at(v, CAST(ceil(k50) AS INT) + 1) * (k50 - floor(k50)), 4) AS p50,
-               round(element_at(v, CAST(floor(k95) AS INT) + 1) * (1.0 - (k95 - floor(k95)))
-                     + element_at(v, CAST(ceil(k95) AS INT) + 1) * (k95 - floor(k95)), 4) AS p95
-        FROM (SELECT l_returnflag, v,
-                     (size(v) - 1) * 0.5 AS k50,
-                     (size(v) - 1) * 0.95 AS k95
+               round(sum(
+                   CASE WHEN rn = CAST(floor(k50) AS BIGINT)
+                        THEN v * (1.0 - (k50 - floor(k50))) ELSE 0.0 END
+                 + CASE WHEN rn = CAST(ceil(k50) AS BIGINT)
+                            AND ceil(k50) <> floor(k50)
+                        THEN v * (k50 - floor(k50)) ELSE 0.0 END), 4) AS p50,
+               round(sum(
+                   CASE WHEN rn = CAST(floor(k95) AS BIGINT)
+                        THEN v * (1.0 - (k95 - floor(k95))) ELSE 0.0 END
+                 + CASE WHEN rn = CAST(ceil(k95) AS BIGINT)
+                            AND ceil(k95) <> floor(k95)
+                        THEN v * (k95 - floor(k95)) ELSE 0.0 END), 4) AS p95
+        FROM (SELECT l_returnflag, v, rn,
+                     (n - 1) * 0.5 AS k50,
+                     (n - 1) * 0.95 AS k95
               FROM (SELECT l_returnflag,
-                           array_sort(collect_list(l_extendedprice)) AS v
-                    FROM lineitem GROUP BY l_returnflag))
+                           l_extendedprice AS v,
+                           row_number() OVER (PARTITION BY l_returnflag
+                                              ORDER BY l_extendedprice) - 1 AS rn,
+                           count(*) OVER (PARTITION BY l_returnflag) AS n
+                    FROM lineitem))
+        GROUP BY l_returnflag
         ORDER BY l_returnflag
         """
     )
