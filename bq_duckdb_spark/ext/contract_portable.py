@@ -64,6 +64,39 @@ def dedup_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (prefix + length filtering, All-Pairs/
+    PPJoin family — ext/setjoin.py): every pair with shingle Jaccard
+    >= 0.3, no LSH recall loss. The oracle is the brute-force
+    shared-shingle join, so a hash match proves the pruning drops
+    nothing."""
+    from bq_duckdb_spark.ext.setjoin import exact_jaccard_join
+
+    return exact_jaccard_join(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.3, shingle_k=_K,
+    )
+
+
+def _jaccard_exact_oracle() -> str:
+    # brute force by construction: candidate = ANY shared shingle
+    # (output-sensitive exploded join), independent of the operator's
+    # prefix filter — a hash match proves the filter is lossless
+    return (
+        f"WITH {_sh_cte()}, "
+        "ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh), "
+        "sz AS MATERIALIZED (SELECT doc_id, len(sh) AS sz FROM sh), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS i FROM ex a JOIN ex b ON a.s = b.s "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard "
+        "FROM inter "
+        "JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b "
+        "WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.3"
+    )
+
+
 def _sh_cte(where: str = "") -> str:
     # tokenize ONCE per document into a materialized CTE, then build
     # grams from the array column — inlining the regexp split into the
@@ -366,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_portable": dedup_simhash_portable,
         "dedup_simhash_blocked": dedup_simhash_blocked,
         "dedup_jaccard_portable": dedup_jaccard_portable,
+        "dedup_jaccard_exact": dedup_jaccard_exact,
         "dedup_text_clusters": dedup_text_clusters,
         "dedup_incremental": dedup_incremental,
     }
@@ -379,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_portable": _simhash_oracle(),
         "dedup_simhash_blocked": _simhash_blocked_oracle(),
         "dedup_jaccard_portable": _jaccard_oracle(),
+        "dedup_jaccard_exact": _jaccard_exact_oracle(),
         "dedup_text_clusters": _text_clusters_oracle(),
         "dedup_incremental": _incremental_oracle(),
     }
