@@ -960,8 +960,61 @@ FROM props
 # ---------------------------------------------------------------------------
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median / weighted p90 of price with quantity weights —
+    the lower weighted percentile: the smallest value whose cumulative
+    weight reaches the target fraction of the group's total weight.
+
+    Scale: ONE cumulative-weight window per group (RANGE frame, so
+    tied values share a cumulative weight — deterministic under any
+    row order), then a plain aggregate; the sort is Spark's spillable
+    external sorter, the same bounded-memory shape as q_percentiles.
+    Cross-engine determinism: the weights are small integers stored as
+    doubles, so every cumulative sum is exact in IEEE doubles and the
+    boundary comparison cannot flip between engines."""
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    cum = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    tot = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(cum).alias("cw"),
+        F.sum("l_quantity").over(tot).alias("tw"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("v"))).alias(
+                "w_median"
+            ),
+            F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("v"))).alias(
+                "w_p90"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q_WEIGHTED_MEDIAN_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       min(CASE WHEN cw >= 0.5 * tw THEN v END) AS w_median,
+       min(CASE WHEN cw >= 0.9 * tw THEN v END) AS w_p90
+FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_weighted_median": q_weighted_median,
         "q_fuzzy_join": q_fuzzy_join,
         "q_bloom_semi": q_bloom_semi,
         "sketch_cms_freq": sketch_cms_freq,
@@ -984,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_weighted_median": _Q_WEIGHTED_MEDIAN_ORACLE,
         "q_fuzzy_join": _Q_FUZZY_JOIN_ORACLE,
         "q_bloom_semi": _Q_BLOOM_SEMI_ORACLE,
         "sketch_cms_freq": cms.cms_oracle_sql(
