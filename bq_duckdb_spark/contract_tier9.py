@@ -54,9 +54,11 @@ WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
 ),
 wins AS (
+  -- window text by INDEXED access: list_slice copies the whole token
+  -- array per row, O(tokens^2) per document on long docs (the same
+  -- trap the dedup oracles hit; 121 s -> seconds on the hostile corpus)
   SELECT doc_id, CAST(gs.i AS INT) AS pos,
-         array_to_string(list_slice(tk, CAST(gs.i + 1 AS INT),
-                                    CAST(gs.i + {_SUB_K} AS INT)), ' ') AS w
+         {" || ' ' || ".join(f"tk[CAST(gs.i + {j + 1} AS INT)]" for j in range(_SUB_K))} AS w
   FROM t, UNNEST(range(0, CAST(greatest(len(tk) - {_SUB_K} + 1, 0) AS BIGINT)))
        AS gs(i)
 ),
