@@ -35,6 +35,11 @@ ENTRIES = [
     # vary with partitioning but the exact verify must not
     "pipe_substring_dedup",
     "sketch_heavy_hitters",
+    # round-7: prefix-filter candidates depend on a frequency ranking
+    # whose ties break on (df, shingle) — the PAIR SET must not move;
+    # RANGE-frame cumulative weights must not depend on row order
+    "dedup_jaccard_exact",
+    "q_weighted_median",
     # TPC-H: tie-broken LIMIT top-k, one-row-broadcast scalar threshold,
     # count-distinct + anti blacklist, semi over groupBy-HAVING
     "q02_min_acctbal_supplier",
