@@ -125,7 +125,7 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r4.txt"
     spark = get_spark(app_name="scaling-probe", cpus="32")
 
-    from bq_duckdb_spark.ext import dedup, heavyhitters, lm, pipeline, text
+    from bq_duckdb_spark.ext import dedup, heavyhitters, lm, pipeline, setjoin, text
     from bq_duckdb_spark.ext.cluster import kmeans_assign
     from bq_duckdb_spark.ext.retrieval import train_logreg
     from bq_duckdb_spark.operators.budget import take_until_budget
@@ -145,6 +145,13 @@ def main() -> None:
             ),
             "simhash_blocked": lambda: dedup.simhash_near_dup_pairs(
                 docs, "text", "doc_id", n_blocks=6
+            ),
+            # round-7: exact prefix-filter similarity join — candidate
+            # volume tracks sum(C(df,2)) over prefix shingles, which the
+            # rewritten replicas keep ~linear (df stays flat as the
+            # corpus grows; only genuinely-similar docs collide)
+            "jaccard_exact": lambda: setjoin.exact_jaccard_join(
+                docs, "text", "doc_id", threshold=0.3
             ),
             "tfidf": lambda: text.tf_idf(docs),
             "bigram_lm": lambda: text.ngram_lm_score(docs),
