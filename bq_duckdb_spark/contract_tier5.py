@@ -47,6 +47,19 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection (2 leading components, quantized power iteration
+    with deflation — ext/pca.py): distributed centered-Gram partials
+    via mapInPandas, driver-side iteration over the dim^2 model, then a
+    map-only JVM projection. The oracle re-derives the full recurrence
+    as unrolled DuckDB CTEs, so the per-row (pc1, pc2) values are
+    bit-equal across engines — the dimensionality-reduction fit itself
+    is value-checked, not just the plumbing."""
+    from bq_duckdb_spark.ext import pca
+
+    return pca.pca_project(_t(spark, sf_dir, "embeddings"), k=2)
+
+
 # ---------------------------------------------------------------------------
 # ANN recall evaluation
 # ---------------------------------------------------------------------------
@@ -807,6 +820,7 @@ WHERE NOT EXISTS (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emb_kmeans": emb_kmeans,
+        "emb_pca": emb_pca,
         "sim_recall_eval": sim_recall_eval,
         "pipe_weighted_sample": pipe_weighted_sample,
         "dedup_keep_best": dedup_keep_best,
@@ -832,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "emb_kmeans": cluster.kmeans_oracle_sql(k=4, iters=2, dim=64),
+        "emb_pca": __import__("bq_duckdb_spark.ext.pca", fromlist=["pca"]).pca_oracle_sql(k=2),
         "sim_recall_eval": _sim_recall_oracle(),
         "pipe_weighted_sample": _PIPE_WEIGHTED_SAMPLE_ORACLE,
         "dedup_keep_best": _DEDUP_KEEP_BEST_ORACLE,
