@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bq_duckdb_spark.ext.text import ngram_lm_score
 from bq_duckdb_spark.testdata import load_table as _t
@@ -313,12 +314,113 @@ def text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over per-user event streams — the
+    MATCH_RECOGNIZE shape (Trino/Flink) reduced to windows: for every
+    purchase, the most recent prior click, the most recent view prior
+    to THAT click, valid only if no 'error' event fell anywhere between
+    the view and the purchase.
+
+    The state machine collapses into three stacked window aggregates
+    over ONE per-user ordering (single shuffle, zero buffering):
+
+    - a running error count (``ecum``) turns the "no error between"
+      predicate into an integer equality of two anchor counts;
+    - a struct-valued running MAX over preceding rows carries the
+      latest view anchor (and its ecum) forward;
+    - a second struct MAX over clicks carries the latest click anchor
+      *together with the view anchor as of that click* — struct
+      comparison orders on the leading event_id, so "latest" and
+      "carry the payload" are one aggregate.
+
+    Output is pure integers (event ids), so the oracle compare has no
+    float or timestamp hazards. The same construction extends to any
+    fixed pattern by stacking one struct MAX per step."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    seq = Window.partitionBy("user_id").orderBy("event_id")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    before = seq.rowsBetween(Window.unboundedPreceding, -1)
+    ecum = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ).over(run)
+    staged = ev.withColumn("ecum", ecum).withColumn(
+        "lastview",
+        F.max(
+            F.when(
+                F.col("event_type") == "view",
+                F.struct(F.col("event_id"), F.col("ecum")),
+            )
+        ).over(before),
+    )
+    staged = staged.withColumn(
+        "lastclick",
+        F.max(
+            F.when(
+                F.col("event_type") == "click",
+                F.struct(F.col("event_id"), F.col("lastview").alias("lv")),
+            )
+        ).over(before),
+    )
+    return (
+        staged.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("lastclick.lv").isNotNull()
+            & (F.col("ecum") - F.col("lastclick.lv.ecum") == 0)
+        )
+        .select(
+            "user_id",
+            F.col("lastclick.lv.event_id").alias("view_id"),
+            F.col("lastclick.event_id").alias("click_id"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+
+
+_Q_EVENT_PATTERN_ORACLE = """
+WITH staged1 AS (
+    SELECT event_id, user_id, event_type,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ecum
+    FROM events
+), staged2 AS (
+    SELECT *,
+           max(CASE WHEN event_type = 'view'
+                    THEN {'event_id': event_id, 'ecum': ecum} END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastview
+    FROM staged1
+), staged3 AS (
+    SELECT *,
+           max(CASE WHEN event_type = 'click'
+                    THEN {'event_id': event_id, 'lv': lastview} END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastclick
+    FROM staged2
+)
+SELECT user_id,
+       lastclick.lv.event_id AS view_id,
+       lastclick.event_id AS click_id,
+       event_id AS purchase_id
+FROM staged3
+WHERE event_type = 'purchase'
+  AND lastclick.lv.event_id IS NOT NULL
+  AND ecum - lastclick.lv.ecum = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_event_pattern": q_event_pattern,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
         "q_gapfill": q_gapfill,
@@ -333,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "text_bpe": train_bpe_oracle_sql(),
+        "q_event_pattern": _Q_EVENT_PATTERN_ORACLE,
         "q_funnel": _Q_FUNNEL_ORACLE,
         "q_retention": _Q_RETENTION_ORACLE,
         "q_gapfill": _Q_GAPFILL_ORACLE,
