@@ -218,6 +218,84 @@ def stateful_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+_PATTERN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+        T.StructField("click_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+    ]
+)
+
+# the full pattern-matcher automaton state: running error count plus the
+# latest view anchor and the latest click anchor (carrying the view
+# anchor as of that click) — O(1) per key for ANY stream length
+_PATTERN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ecum", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+        T.StructField("view_ecum", T.LongType()),
+        T.StructField("click_id", T.LongType()),
+        T.StructField("click_view_id", T.LongType()),
+        T.StructField("click_view_ecum", T.LongType()),
+    ]
+)
+
+
+def _update_event_pattern(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ecum, v_id, v_ec, c_id, c_vid, c_vec = state.get
+    else:
+        ecum, v_id, v_ec, c_id, c_vid, c_vec = 0, None, None, None, None, None
+    # gather every Arrow chunk, sort ONCE by event_id (chunk splits are
+    # arbitrary; sorting per chunk would run the automaton out of order)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    out: list[tuple] = []
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("event_id")
+        for eid, et in zip(
+            pdf["event_id"].to_numpy(), pdf["event_type"].to_numpy()
+        ):
+            eid = int(eid)
+            if et == "error":
+                ecum += 1
+            elif et == "view":
+                v_id, v_ec = eid, ecum
+            elif et == "click":
+                # the LATEST click always wins, carrying whatever view
+                # anchor exists at this moment (possibly none) — exactly
+                # the batch operator's struct-max semantics
+                c_id, c_vid, c_vec = eid, v_id, v_ec
+            elif et == "purchase":
+                if c_id is not None and c_vid is not None and ecum == c_vec:
+                    out.append((key[0], c_vid, c_id, eid))
+    state.update((ecum, v_id, v_ec, c_id, c_vid, c_vec))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "view_id", "click_id", "purchase_id"]
+        )
+
+
+def stream_event_pattern(events: DataFrame) -> DataFrame:
+    """Streaming twin of contract_tier3.q_event_pattern: the same
+    view→click→purchase automaton with the no-error-between guard, run
+    incrementally with applyInPandasWithState. State per user is the
+    constant-size automaton register set (error count + two anchors),
+    so a 100 TB / unbounded stream never grows state; matched patterns
+    append as their purchase events arrive. Streamed == batch when
+    shards arrive in ascending event_id order per key (the same
+    delivery contract every ordered twin in this module documents)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_event_pattern,
+        outputStructType=_PATTERN_OUT_SCHEMA,
+        stateStructType=_PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup_exact(
     events: DataFrame,
     key_cols: list[str] | None = None,

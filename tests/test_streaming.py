@@ -1074,3 +1074,79 @@ def test_stream_heavy_hitter_crash_recovery_from_checkpoint(spark, tmp_path):
     assert recovered == clean
     assert {"heavy0", "heavy1", "heavy2"} <= set(recovered)
     assert len(recovered) <= s
+
+
+def test_stream_event_pattern_matches_batch(spark, tmp_path):
+    """Streamed automaton over three id-ordered event shards == the
+    batch window formulation (contract_tier3.q_event_pattern), with at
+    least one pattern spanning shard boundaries."""
+    from bq_duckdb_spark import contract_tier3
+    from bq_duckdb_spark.streaming import streams
+
+    src = str(tmp_path / "pat_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.filter(F.col("event_id") < 300).write.parquet(src)
+    ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 700)).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("event_id") >= 700).write.mode("append").parquet(src)
+
+    stream = streams.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = streams.run_available_now(
+        streams.stream_event_pattern(stream), "pattern_out",
+        output_mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.purchase_id)
+        for r in spark.table("pattern_out").collect()
+    }
+    want = {
+        (r.user_id, r.view_id, r.click_id, r.purchase_id)
+        for r in contract_tier3.q_event_pattern(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # cross-batch state fired: some match's anchors live in an earlier
+    # shard than its purchase
+    assert any(v < 300 <= p or v < 700 <= p for _, v, _, p in got)
+
+
+def test_stream_event_pattern_cross_batch_hand_sequence(spark, tmp_path):
+    """view / click / purchase split across three micro-batches, with a
+    blocking error in a later batch — state must carry anchors and the
+    error count across restarts of the automaton."""
+    import pandas as pd
+
+    from bq_duckdb_spark.streaming import streams
+
+    d = tmp_path / "pat_hand"
+    d.mkdir()
+    cols = ["event_id", "user_id", "event_type"]
+    shards = [
+        [(1, 7, "view"), (2, 7, "click")],
+        [(3, 7, "purchase"), (4, 7, "error")],
+        [(5, 7, "purchase"), (6, 8, "purchase")],
+    ]
+    for i, rows in enumerate(shards):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["event_id"], unit="h")
+        pdf["value"] = 0.0
+        pdf["props"] = "{}"
+        pdf.to_parquet(str(d / f"s{i}.parquet"), index=False)
+
+    stream = streams.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = streams.run_available_now(
+        streams.stream_event_pattern(stream), "pattern_hand_out",
+        output_mode="append",
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.purchase_id)
+        for r in spark.table("pattern_hand_out").collect()
+    )
+    # purchase 3 matches (anchors from batch 0); purchase 5 is blocked
+    # by the batch-1 error; user 8 has no anchors at all
+    assert got == [(7, 1, 2, 3)]
