@@ -48,8 +48,11 @@ from bq_duckdb_spark.ext.cluster import _half_up
 def _mean_vector(
     df: DataFrame, vec_col: str, quantize: int
 ) -> list[float]:
+    # _outer form per the InferFiltersFromGenerate house rule (vectors
+    # are never null/empty, so no rows are lost)
     rows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        df.select(F.posexplode_outer(F.col(vec_col)).alias("pos", "val"))
+        .where(F.col("pos").isNotNull())
         .groupBy("pos")
         .agg(F.avg(F.col("val").cast("double")).alias("m"))
         .collect()
