@@ -42,21 +42,37 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate filter is pushed into the parquet scan.
     """
     li = _t(spark, sf_dir, "lineitem")
+
+    # Price sums accumulate in DECIMAL(30, 6): a double sum's
+    # accumulation-order error grows with row count, and at sf1 the
+    # 2.8e10 sum_charge landed 0.01 apart across engines — ON the 2dp
+    # rounding boundary (ORACLE_sf1_r7 finding). The per-row double
+    # product is identical in both engines (same left-assoc IEEE ops);
+    # casting it to decimal rounds the same exact binary value the same
+    # way, and decimal addition is exact and order-independent, so the
+    # rounded sums are now bit-equal at ANY scale — which is also the
+    # faithful TPC-H reading (the spec types these columns DECIMAL).
+    # The final cast back to double is exact (< 2^53 in 1e-2 units).
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(30,6)"))
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
+            F.round(dsum(F.col("l_extendedprice")), 2).cast("double").alias(
+                "sum_base_price"
             ),
             F.round(
-                F.sum(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                dsum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
                 ),
                 2,
-            ).alias("sum_charge"),
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -69,9 +85,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q01_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2)
+            AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(30,6))), 2)
+            AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,

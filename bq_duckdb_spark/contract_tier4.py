@@ -292,7 +292,13 @@ def corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = docs.filter(F.col("doc_id") % 50 == 0)
     bg = docs.filter(F.col("doc_id") % 50 != 0)
     out = retrieval.dsir_weights(bg, tgt, n_buckets=_DSIR_BUCKETS)
-    return out.select("doc_id", F.round("dsir", 4).alias("dsir_r"))
+    # + 0.0 canonicalizes IEEE negative zero: a doc whose ln-ratio sum
+    # rounds to zero can land on -0.0 in one engine and +0.0 in the
+    # other (observed at sf1, doc 18923), and string-normalizing
+    # compares render them differently even though -0.0 == 0.0
+    return out.select(
+        "doc_id", (F.round("dsir", 4) + F.lit(0.0)).alias("dsir_r")
+    )
 
 
 def _corpus_dsir_oracle() -> str:
@@ -318,7 +324,7 @@ w AS (
            - ln((COALESCE(n_b, 0) + 1.0) / (tot_b + 1.0 * {b!r})) AS w
     FROM tc FULL OUTER JOIN bc ON tc.bucket = bc.bucket CROSS JOIN tot
 )
-SELECT doc_id, round(sum(w), 4) AS dsir_r
+SELECT doc_id, round(sum(w), 4) + 0.0 AS dsir_r
 FROM bfeat JOIN w USING (bucket)
 GROUP BY doc_id
 """
