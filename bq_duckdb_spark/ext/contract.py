@@ -230,19 +230,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_clusters_oracle() -> str:
+    # unrolled hash-min label propagation, NOT WITH RECURSIVE: the
+    # recursive reach closure enumerates every (node, reachable-label)
+    # pair and OOM'd the 24 GB oracle fence at sf1 on the 600k-edge
+    # embedding graph (ORACLE_sf1_r7 finding); the pointer-doubling
+    # chain (shared builder, ext/contract_portable.components_ctes) is
+    # the same recipe the text-clusters oracle has used since round 4
+    from bq_duckdb_spark.ext.contract_portable import components_ctes
+
     return f"""
-WITH RECURSIVE {_lsh_pair_ctes()},
-edges AS (
+WITH {_lsh_pair_ctes()},
+edges AS MATERIALIZED (
     SELECT ia AS src, ib AS dst FROM cand
     UNION
     SELECT ib, ia FROM cand
 ),
-reach(node, lbl) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.node
-),
-lab AS (SELECT node, min(lbl) AS cl FROM reach GROUP BY node)
+{components_ctes()}
 SELECT v.vec_id,
        CAST(coalesce(l.cl, v.vec_id) AS BIGINT) AS cluster_id,
        v.vec_id = coalesce(l.cl, v.vec_id) AS is_canonical

@@ -235,21 +235,16 @@ def dedup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _text_clusters_oracle(rounds: int = 16) -> str:
-    """Connected components WITHOUT ``WITH RECURSIVE``: the recursive
-    ``reach`` closure enumerates every (node, reachable-label) pair —
-    ~30 s at sf0.1 and superlinear beyond — so the oracle instead unrolls
-    hash-min label propagation with pointer doubling (the pagerank/BPE
-    loop-generated-CTE pattern).  Each round does (a) an edge relax
-    (take the min label over neighbours) and (b) a pointer jump
-    (``lbl := lbl(lbl)``), so label reach doubles per round: 16 rounds
-    covers component diameters up to 2^16 — far above the node count of
-    any test SF.  Both engines converge to the same fixed point (min
-    doc_id per component), so the iteration scheme cannot diverge."""
-    jac = (
-        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
-        "/ len(list_distinct(list_concat(sa.sh, sb.sh)))"
-    )
+def components_ctes(rounds: int = 16) -> str:
+    """Connected-components CTE chain from an ``edges(src, dst)`` CTE
+    (callers must also provide the reversed edges) to a final
+    ``lab(node, cl)`` — hash-min label propagation with pointer
+    doubling, NO ``WITH RECURSIVE`` (whose ``reach`` closure enumerates
+    every (node, reachable-label) pair: ~30 s at sf0.1, superlinear
+    beyond, and observed OOM at sf1 on the 600k-edge embedding graph).
+    Each round does (a) an edge relax (min label over neighbours) and
+    (b) a pointer jump (``lbl := lbl(lbl)``), so label reach doubles
+    per round: 16 rounds covers diameters up to 2^16."""
     prop = []
     prev = "lab0"
     for i in range(1, rounds + 1):
@@ -266,6 +261,23 @@ def _text_clusters_oracle(rounds: int = 16) -> str:
         )
         prev = f"lab{i}"
     return (
+        "lab0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM edges "
+        "UNION SELECT dst, dst FROM edges), "
+        + ", ".join(prop)
+        + f", lab AS (SELECT node, min(lbl) AS cl FROM {prev} GROUP BY node)"
+    )
+
+
+def _text_clusters_oracle(rounds: int = 16) -> str:
+    """Connected components via :func:`components_ctes` (see there for
+    why the recursive closure is unusable past sf0.1). Both engines
+    converge to the same fixed point (min doc_id per component), so the
+    iteration scheme cannot diverge."""
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    )
+    return (
         f"WITH {_sh_cte()}, {_banded_cte()}, "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
         "FROM banded a JOIN banded b2 USING (band, bucket) "
@@ -275,10 +287,7 @@ def _text_clusters_oracle(rounds: int = 16) -> str:
         f"WHERE {jac} >= 0.3), "
         "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
         "UNION SELECT id_b, id_a FROM pairs), "
-        "lab0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM edges "
-        "UNION SELECT dst, dst FROM edges), "
-        + ", ".join(prop)
-        + f", lab AS (SELECT node, min(lbl) AS cl FROM {prev} GROUP BY node) "
+        f"{components_ctes(rounds)} "
         "SELECT d.doc_id, CAST(coalesce(l.cl, d.doc_id) AS BIGINT) AS cluster_id, "
         "d.doc_id = coalesce(l.cl, d.doc_id) AS is_canonical "
         "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node"
