@@ -205,17 +205,21 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .groupBy("n_name")
+        # exact decimal accumulation: per-nation revenue is an
+        # unbounded-group money sum, the q01-at-sf1 rounding-boundary
+        # class (see q01's dsum note)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 _Q05_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
 FROM region JOIN nation ON r_regionkey = n_regionkey
             JOIN customer ON n_nationkey = c_nationkey
             JOIN orders ON c_custkey = o_custkey

@@ -500,7 +500,11 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(orders, bands, "o_totalprice", "lo", "hi")
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+        # exact decimal accumulation: per-band totals are
+        # unbounded-group money sums (the q01-at-sf1 class)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("band_total"),
     )
 
 
@@ -509,7 +513,7 @@ WITH bands(band_id, lo, hi) AS (
     VALUES (0, 0.0, 100000.0), (1, 100000.0, 200000.0), (2, 200000.0, 300000.0),
            (3, 300000.0, 400000.0), (4, 400000.0, 500000.0), (5, 500000.0, 600000.0)
 )
-SELECT band_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS band_total
+SELECT band_id, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS band_total
 FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band_id
 """

@@ -109,8 +109,13 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pin (unrounded, the 1e9-scale sum's reassociation wobble
             # flips the 6dp value hash with file layout)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -118,7 +123,7 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_BLOOM_SEMI_ORACLE = """
 SELECT l_returnflag,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_orderkey IN (

@@ -88,6 +88,26 @@ _REV_CENTS_SQL = (
 )
 
 
+def _dec_sum(col: F.Column, digits: int = 2) -> F.Column:
+    """Exact money aggregation for UNBOUNDED-group sums (the q01 sf1
+    lesson): a double sum's association-order error grows ~sqrt(n) and
+    crossed the 2dp rounding boundary at 6M rows. Per-row double
+    products are identical IEEE values in both engines; casting each to
+    DECIMAL(30,6) rounds the same exact binary value identically, the
+    decimal addition is exact and order-independent, and rounding
+    BEFORE the final double cast keeps that cast exact (< 2^53 in
+    10^-digits units). Unlike the BIGINT-cents fold (_rev_cents, kept
+    where integer EQUALITY is the point, q15) this cannot overflow."""
+    return F.round(F.sum(col.cast("decimal(30,6)")), digits).cast("double")
+
+
+def _dec_sum_sql(expr: str, digits: int = 2) -> str:
+    """DuckDB mirror of :func:`_dec_sum`."""
+    return (
+        f"CAST(round(sum(CAST({expr} AS DECIMAL(30,6))), {digits}) AS DOUBLE)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # q02 — min-within-group + join-back (original: min ps_supplycost in EUROPE)
 # ---------------------------------------------------------------------------
@@ -227,7 +247,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
                 "revenue"
             )
         )
@@ -235,7 +255,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q06_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -840,12 +860,20 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .join(part_avg, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # exact decimal sum rounded 2dp FIRST (exact double), then the
+        # /7.0 and final round are the same IEEE ops on identical doubles
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")), 2)
+                .cast("double") / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 _Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#2' AND p_type = 'SMALL'
@@ -942,12 +970,12 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(band)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_dec_sum(_rev()).alias("revenue"))
     )
 
 
 _Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -1125,14 +1153,14 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
 
 
 _Q22_ORACLE = """
-SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, count(*) AS numcust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE) AS totacctbal
 FROM (
   SELECT c_custkey % 7 AS cntrycode, c_acctbal, c_custkey
   FROM customer
