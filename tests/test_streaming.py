@@ -1150,3 +1150,59 @@ def test_stream_event_pattern_cross_batch_hand_sequence(spark, tmp_path):
     # purchase 3 matches (anchors from batch 0); purchase 5 is blocked
     # by the batch-1 error; user 8 has no anchors at all
     assert got == [(7, 1, 2, 3)]
+
+
+def test_stream_event_pattern_state_survives_restart(spark, tmp_path):
+    """The automaton registers must come back from the CHECKPOINT, not
+    memory: run 1 ingests only the view+click shard and terminates; new
+    shards land; run 2 restarts from the same checkpoint and must match
+    the purchase against anchors it never saw in its own lifetime."""
+    import pandas as pd
+
+    from bq_duckdb_spark.streaming import streams
+
+    src = tmp_path / "patck_src"
+    out = str(tmp_path / "patck_out")
+    ckpt = str(tmp_path / "patck_ckpt")
+    src.mkdir()
+    cols = ["event_id", "user_id", "event_type"]
+
+    def shard(name, rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["event_id"], unit="h")
+        pdf["value"] = 0.0
+        pdf["props"] = "{}"
+        pdf.to_parquet(str(src / name), index=False)
+
+    def drain():
+        stream = streams.read_event_stream(
+            spark, str(src), max_files_per_trigger=1
+        )
+        q = (
+            streams.stream_event_pattern(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shard("s0.parquet", [(1, 7, "view"), (2, 7, "click")])
+    drain()  # run 1: anchors enter the state store; no matches yet
+    assert spark.read.parquet(out).count() == 0
+
+    shard("s1.parquet", [(3, 7, "error")])
+    shard("s2.parquet", [(4, 7, "view"), (5, 7, "click"), (6, 7, "purchase")])
+    drain()  # run 2: fresh query instance, same checkpoint
+
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    # the purchase matches the RUN-2 anchors (4, 5): the run-1 anchors
+    # were superseded in state order, and the run-1 error count (1) must
+    # equal the count stored with view 4 — all of which only works if
+    # ecum and both anchor registers round-tripped the checkpoint
+    assert got == [(7, 4, 5, 6)]
