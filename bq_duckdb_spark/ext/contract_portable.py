@@ -294,6 +294,46 @@ def _text_clusters_oracle(rounds: int = 16) -> str:
     )
 
 
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over NEAR-dup clusters — the step a
+    production dedup ends with: resolve pairs into clusters
+    (dedup_text_clusters) and keep each cluster's best member
+    (longest text, doc_id tiebreak), with the cluster size attached.
+    dedup_keep_best is the exact-duplicate twin; this one rides the
+    banding+verify+components pipeline end to end, so the oracle
+    value-checks the full chain through the final business decision."""
+    from pyspark.sql.window import Window
+
+    clustered = dedup_text_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = clustered.join(docs, "doc_id")
+    by_quality = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    per_cluster = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(by_quality))
+        .withColumn(
+            "cluster_sz", F.count(F.lit(1)).over(per_cluster).cast("long")
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "n_chars", "cluster_sz")
+    )
+
+
+def _cluster_keep_best_oracle() -> str:
+    return (
+        "SELECT doc_id, cluster_id, n_chars, cluster_sz FROM ("
+        "SELECT c.doc_id, c.cluster_id, d.n_chars, "
+        "row_number() OVER (PARTITION BY c.cluster_id "
+        "ORDER BY d.n_chars DESC, c.doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY c.cluster_id) AS cluster_sz "
+        f"FROM ({_text_clusters_oracle()}) c "
+        "JOIN documents d USING (doc_id)"
+        ") WHERE rn = 1"
+    )
+
+
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-quality harness: on a bounded subset (doc_id < 400,
     all-pairs ground truth is affordable there by construction), count
@@ -410,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_portable": dedup_jaccard_portable,
         "dedup_jaccard_exact": dedup_jaccard_exact,
         "dedup_text_clusters": dedup_text_clusters,
+        "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "dedup_incremental": dedup_incremental,
     }
 
@@ -424,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_portable": _jaccard_oracle(),
         "dedup_jaccard_exact": _jaccard_exact_oracle(),
         "dedup_text_clusters": _text_clusters_oracle(),
+        "dedup_cluster_keep_best": _cluster_keep_best_oracle(),
         "dedup_incremental": _incremental_oracle(),
     }
 
