@@ -40,6 +40,7 @@ ENTRIES = [
     # RANGE-frame cumulative weights must not depend on row order
     "dedup_jaccard_exact",
     "q_weighted_median",
+    "dedup_cluster_keep_best",
     # TPC-H: tie-broken LIMIT top-k, one-row-broadcast scalar threshold,
     # count-distinct + anti blacklist, semi over groupBy-HAVING
     "q02_min_acctbal_supplier",
