@@ -298,6 +298,15 @@ class Session:
             vals = [row.get(c["name"]) for c in columns]
         else:
             vals = list(row)
+            # zip() below would silently DROP surplus positional values
+            # (the dangerous direction: schema drift on the client loses
+            # data invisibly); too-few values already error downstream,
+            # so keep both directions loud
+            if len(vals) > len(schema.fields):
+                raise ValueError(
+                    f"row has {len(vals)} values for "
+                    f"{len(schema.fields)} columns"
+                )
         # wire values are JSON (dates/decimals/intervals as strings,
         # BYTES base64, STRUCT objects) — coerce each to what
         # createDataFrame accepts for the declared type
@@ -779,6 +788,23 @@ class Session:
                 # field_delimiter='''' yields one apostrophe (the splitter
                 # preserved the escape; we must collapse it)
                 v = v[1:-1].replace(q * 2, q)
+                # ... and resolve backslash escapes the splitter's
+                # _skip_string honored, so field_delimiter='\t' yields a
+                # real TAB, not backslash+t (BigQuery string-literal
+                # escape set; unknown escapes keep the char verbatim)
+                if "\\" in v:
+                    esc = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
+                           "'": "'", '"': '"', "0": "\0", "b": "\b",
+                           "f": "\f", "v": "\v"}
+                    out, i = [], 0
+                    while i < len(v):
+                        if v[i] == "\\" and i + 1 < len(v):
+                            out.append(esc.get(v[i + 1], v[i + 1]))
+                            i += 2
+                        else:
+                            out.append(v[i])
+                            i += 1
+                    v = "".join(out)
             opts[k.strip().lower()] = v
         uri = opts.get("uri")
         if not uri:

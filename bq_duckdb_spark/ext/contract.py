@@ -213,9 +213,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS resolved into duplicate CLUSTERS + canonical-doc
     pick: LSH-gated embedding pairs -> hash-min connected components ->
     every vector labelled (cluster_id = component min, is_canonical).
-    Oracle: same pairs via _lsh_pair_ctes, components via a recursive
-    min-label CTE (terminates: UNION-distinct over finite (node,label)
-    pairs). Beyond-reference: the reference stops at pair output."""
+    Oracle: same pairs via _lsh_pair_ctes, components via unrolled
+    pointer-doubling label propagation (components_ctes — 16 rounds
+    cover diameters to 2^16; the earlier recursive closure OOM'd at
+    sf1). Beyond-reference: the reference stops at pair output."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_near_dup_pairs(
         emb, threshold=0.3, use_lsh=True, dim=64

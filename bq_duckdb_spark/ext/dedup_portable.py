@@ -78,7 +78,16 @@ def grams_expr(
             f"ELSE transform(sequence(0, size({toks}) - {k}), "
             f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) END"
         )
-    toks = tokens or f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    if tokens is None:
+        # the indexed-concat form below references ``toks`` k times per
+        # gram: inlining the regexp split here would tokenize the whole
+        # document k times per gram — k x the O(tokens x doc_len)
+        # blow-up this builder exists to avoid. Refuse loudly.
+        raise ValueError(
+            "grams_expr(engine='duckdb') requires a materialized tokens "
+            "column — tokenize once into a CTE and pass its name"
+        )
+    toks = tokens
     # join the k tokens by INDEXED access, not array_to_string over
     # list_slice: DuckDB's list_slice inside a lambda copies the whole
     # outer list per invocation — O(tokens²) per document, 127 s vs

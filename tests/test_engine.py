@@ -355,3 +355,16 @@ def test_create_table_sql_nested_types(session):
     )
     got = rows(session.query("SELECT a, b.y AS by, c[OFFSET(0)].p AS cp FROM nested"))
     assert got == [(1, "z", 3)]
+
+
+def test_insert_rejects_surplus_positional_values(session):
+    """Round-7 review fix: a positional row with MORE values than the
+    table has columns must error loudly — zip-truncation silently lost
+    the surplus (too-few already errors; both directions stay loud)."""
+    session.create_table(
+        "narrow_t", [{"name": "id", "type": "INT64"}, {"name": "v", "type": "STRING"}]
+    )
+    with pytest.raises(ValueError, match="3 values for 2 columns"):
+        session.insert("narrow_t", [[1, "a", "surplus"]])
+    # nothing was written
+    assert rows(session.query("SELECT count(*) AS c FROM narrow_t")) == [(0,)]

@@ -319,3 +319,22 @@ def test_ctas_declared_columns_via_default_project_alias(session):
         for r in session.query("SELECT doubled FROM ds.t0").collect()
     )
     assert got == [2, 4]
+
+
+def test_export_data_backslash_tab_delimiter(session, tmp_path):
+    """Round-7 review fix: field_delimiter='\\t' (a BigQuery string
+    literal) resolves to a real TAB — the option splitter honors the
+    escape, so the unquoter must too."""
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "exp_tab"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.csv', format='CSV', "
+        "field_delimiter='\\t') AS SELECT id, v FROM src WHERE id = 1"
+    )
+    lines = [
+        line
+        for f in glob.glob(f"{out}/*.csv")
+        for line in open(f).read().splitlines()
+        if line
+    ]
+    assert lines == ["1\tv1"]
