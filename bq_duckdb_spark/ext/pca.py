@@ -8,12 +8,12 @@ Decomposition of the work, designed for 100 TB:
 1. **Mean** — one (pos) shuffle over the posexploded vectors; dim
    values cross the driver (the model artifact, driver-sized by
    definition — the kmeans-codebook pattern, ext/cluster.py).
-2. **Centered Gram matrix** — mapInPandas partial ``X^T X`` per Arrow
+2. **Centered covariance matrix** — mapInPandas partial ``X^T X`` per Arrow
    batch (numpy float64, each batch emits dim*dim partial sums) + one
    dim²-cell aggregation. Never materializes the 64x row inflation an
    exploded self-join would; at any scale exactly dim² values cross
    the driver.
-3. **Power iteration + deflation** — on the driver over the dim² Gram
+3. **Power iteration + deflation** — on the driver over the dim² covariance
    (64x64 doubles): w = G v, normalize, quantize, ``iters`` times;
    deflate G -= lambda v v^T per component. Pure arithmetic on a
    driver-sized object.
@@ -64,7 +64,16 @@ def _mean_vector(
 def _centered_gram(
     df: DataFrame, vec_col: str, mean: list[float], quantize: int
 ) -> list[list[float]]:
-    """dim x dim centered Gram via per-batch numpy partials."""
+    """dim x dim centered COVARIANCE via per-batch numpy partials.
+
+    The cells are normalized by the row count BEFORE quantization — the
+    scale guard that makes the cross-engine argument hold at any SF: a
+    raw gram cell's summation-order error grows ~sqrt(n) x eps x
+    magnitude (the q01-at-sf1 rounding-boundary class), but dividing by
+    n shrinks the quantized cell's absolute error ~eps/sqrt(n), so the
+    floor(x*q+0.5) boundary-flip risk DECREASES with data size instead
+    of growing. Eigenvectors are unchanged (scaling); eigenvalues are
+    per-row variances rather than totals."""
     import numpy as np
 
     dim = len(mean)
@@ -90,10 +99,11 @@ def _centered_gram(
     parts = df.select(F.col(vec_col).alias("v")).mapInPandas(
         partial, "pa int, pb int, s double"
     )
+    n = df.count()
     rows = parts.groupBy("pa", "pb").agg(F.sum("s").alias("s")).collect()
     g = [[0.0] * dim for _ in range(dim)]
     for r in rows:
-        g[r.pa][r.pb] = _half_up(float(r.s), quantize)
+        g[r.pa][r.pb] = _half_up(float(r.s) / n, quantize)
     return g
 
 
@@ -208,7 +218,9 @@ def pca_oracle_sql(
         "    FROM vecs JOIN mean USING (pos)",
         "),",
         "g0 AS MATERIALIZED (",
-        f"    SELECT a.pos AS pa, b.pos AS pb, {qz('sum(a.val * b.val)')} AS g",
+        # covariance (sum / n) BEFORE quantization — see _centered_gram
+        f"    SELECT a.pos AS pa, b.pos AS pb, "
+        f"{qz('sum(a.val * b.val) / (SELECT count(*) FROM embeddings)')} AS g",
         "    FROM cvecs a JOIN cvecs b USING (vec_id)",
         "    GROUP BY a.pos, b.pos",
         "),",
