@@ -9,10 +9,15 @@ Replication preserves the driver testdata's semantics:
 * orders/lineitem/customer/events — key-rebased per replica so
   referential integrity holds at 6M lineitems / 150k customers; no
   mega keys, no planted skew (that is gen_adversarial's job).
-* documents — entropy-preserving rewrites (tokens rotated and
-  replica-salted, gen_adversarial's _rewrite) so corpus growth does
-  NOT plant near-duplicates: the dedup entries see the same planted
-  structure as the base corpus, 10x diluted.
+* documents — entropy-BREAKING rewrites: tokens rotated AND every 3rd
+  token suffixed with a replica tag, so every 3-gram shingle of every
+  replica differs from the base (the scaling_probe.py rewrite; shingle
+  Jaccard base-vs-replica ~0). Rotation alone (gen_adversarial's
+  _rewrite, used here through round 7's first sf1 sweep) preserves
+  ~94% of shingles — it only perturbs the seam — which silently turned
+  every base doc into a planted 10-member near-dup cluster. That first
+  sweep's hashes all matched (a denser, HARDER dedup input), but the
+  corpus was not the uniform dilution this module claimed; it now is.
 * embeddings — per-replica gaussian perturbation (sigma 0.2), far
   outside every near-dup threshold in the contract.
 * region/nation/part/supplier — fixed-size dims, copied verbatim.
@@ -36,9 +41,22 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from gen_adversarial import _rewrite  # entropy-preserving doc rewrite
-
 SEED = 20260816
+
+
+def _scale_rewrite(tokens: list[str], rep: int, i: int) -> str:
+    """Entropy-breaking rewrite: rotate by a replica+doc offset AND
+    suffix every 3rd token with the replica tag — every 3-gram shingle
+    then contains a rewritten token, so replicas share ~no shingles
+    with the base or each other (rotation alone keeps shingle Jaccard
+    ~0.94: it only changes the seam)."""
+    if not tokens:
+        return f"r{rep}doc{i}"
+    off = (rep * 131 + i * 17) % len(tokens)
+    rot = tokens[off:] + tokens[:off]
+    return " ".join(
+        f"{t}r{rep}" if j % 3 == 0 else t for j, t in enumerate(rot)
+    )
 
 
 def gen_relational(out: str, base: str, replicas: int) -> None:
@@ -95,7 +113,7 @@ def gen_documents(out: str, base: str, replicas: int) -> None:
     for rep in range(replicas):
         for i, row in enumerate(base_rows):
             toks = (row["text"] or "").split()
-            text = row["text"] if rep == 0 else _rewrite(toks, rep, i)
+            text = row["text"] if rep == 0 else _scale_rewrite(toks, rep, i)
             texts.append(text)
             langs.append(row["lang"])
             srcs.append(row["source"])
