@@ -92,12 +92,17 @@ def _dec_sum(col: F.Column, digits: int = 2) -> F.Column:
     """Exact money aggregation for UNBOUNDED-group sums (the q01 sf1
     lesson): a double sum's association-order error grows ~sqrt(n) and
     crossed the 2dp rounding boundary at 6M rows. Per-row double
-    products are identical IEEE values in both engines; casting each to
-    DECIMAL(30,6) rounds the same exact binary value identically, the
-    decimal addition is exact and order-independent, and rounding
-    BEFORE the final double cast keeps that cast exact (< 2^53 in
-    10^-digits units). Unlike the BIGINT-cents fold (_rev_cents, kept
-    where integer EQUALITY is the point, q15) this cannot overflow."""
+    products are identical IEEE values in both engines; the decimal
+    addition is exact and order-independent, and rounding BEFORE the
+    final double cast keeps that cast exact (< 2^53 in 10^-digits
+    units). Caveat (round-8 ADVICE): the per-row double->DECIMAL(30,6)
+    cast paths differ — Spark goes through the shortest-decimal string
+    (BigDecimal.valueOf), DuckDB scales the exact binary value — so a
+    rare 1e-6-unit per-row flip is possible in principle; the exact sum
+    plus the 2dp round absorbs it (a mismatch needs correlated flips
+    totalling >= 0.005 in one group). Unlike the BIGINT-cents fold
+    (_rev_cents, kept where integer EQUALITY is the point, q15) this
+    cannot overflow."""
     return F.round(F.sum(col.cast("decimal(30,6)")), digits).cast("double")
 
 

@@ -784,27 +784,30 @@ class Session:
             v = v.strip()
             if v[:1] in ("'", '"') and v[-1:] == v[:1]:
                 q = v[0]
-                # un-double escaped quotes inside the literal, so
-                # field_delimiter='''' yields one apostrophe (the splitter
-                # preserved the escape; we must collapse it)
-                v = v[1:-1].replace(q * 2, q)
-                # ... and resolve backslash escapes the splitter's
-                # _skip_string honored, so field_delimiter='\t' yields a
-                # real TAB, not backslash+t (BigQuery string-literal
-                # escape set; unknown escapes keep the char verbatim)
-                if "\\" in v:
-                    esc = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
-                           "'": "'", '"': '"', "0": "\0", "b": "\b",
-                           "f": "\f", "v": "\v"}
-                    out, i = [], 0
-                    while i < len(v):
-                        if v[i] == "\\" and i + 1 < len(v):
-                            out.append(esc.get(v[i + 1], v[i + 1]))
-                            i += 2
-                        else:
-                            out.append(v[i])
-                            i += 1
-                    v = "".join(out)
+                # Decode in ONE left-to-right pass: backslash escapes
+                # (BigQuery string-literal escape set; unknown escapes
+                # keep the char verbatim) and doubled closing quotes
+                # must be resolved together — a sequential
+                # replace(q*2, q) could consume a quote that belongs to
+                # a preceding backslash escape (e.g. '\''' = escaped
+                # quote + doubled quote = two apostrophes).
+                body = v[1:-1]
+                esc = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
+                       "'": "'", '"': '"', "0": "\0", "b": "\b",
+                       "f": "\f", "v": "\v"}
+                out, i = [], 0
+                while i < len(body):
+                    c = body[i]
+                    if c == "\\" and i + 1 < len(body):
+                        out.append(esc.get(body[i + 1], body[i + 1]))
+                        i += 2
+                    elif c == q and i + 1 < len(body) and body[i + 1] == q:
+                        out.append(q)
+                        i += 2
+                    else:
+                        out.append(c)
+                        i += 1
+                v = "".join(out)
             opts[k.strip().lower()] = v
         uri = opts.get("uri")
         if not uri:

@@ -129,7 +129,16 @@ def _power_iterate(
             ]
             norm = math.sqrt(sum(x * x for x in w))
             if norm == 0.0:
-                break
+                # k exceeded the data's effective rank: the deflated
+                # covariance quantized to all zeros. Fail loudly — the
+                # oracle recurrence would evaluate w/sqrt(0) (NULL/NaN)
+                # here, so continuing would silently desync the engines
+                # (round-8 ADVICE).
+                raise ValueError(
+                    f"PCA power iteration collapsed to zero norm at "
+                    f"component {len(comps) + 1}: k={k} exceeds the "
+                    "effective rank of the quantized covariance"
+                )
             v = [_half_up(x / norm, q) for x in w]
         lam = _half_up(
             sum(g[a][b] * v[a] * v[b] for a in range(dim) for b in range(dim)),
@@ -205,6 +214,15 @@ def pca_oracle_sql(
     MATERIALIZED DuckDB CTEs, quantized identically at every stage."""
     q = 10**quantize
     qz = lambda x: f"floor(({x}) * {q} + 0.5) / {q}"  # noqa: E731
+    # Order-pinned sequential fold: the iterated recurrence (w, norm,
+    # lam) compounds any quantization-boundary flip through 24
+    # iterations, so these sums mirror the driver's pos-ordered Python
+    # fold exactly instead of relying on unordered SUM staying within
+    # the quantization step (round-8 ADVICE).
+    ofold = (
+        lambda x, o: "list_reduce(list_prepend(0.0, "
+        f"list({x} ORDER BY {o})), (s, x) -> s + x)"
+    )  # noqa: E731
     parts = [
         "WITH vecs AS MATERIALIZED (",
         "    SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val",
@@ -240,19 +258,19 @@ def pca_oracle_sql(
             vname = f"v{c}_{t}"
             parts += [
                 f"{wname} AS MATERIALIZED (",
-                f"    SELECT g.pa AS pos, {qz('sum(g.g * v.v)')} AS w",
+                f"    SELECT g.pa AS pos, {qz(ofold('g.g * v.v', 'g.pb'))} AS w",
                 f"    FROM {gname} g JOIN {vprev} v ON v.pos = g.pb",
                 "    GROUP BY g.pa",
                 "),",
                 f"{vname} AS MATERIALIZED (",
-                f"    SELECT pos, {qz('w / sqrt((SELECT sum(w * w) FROM ' + wname + '))')} AS v",
+                f"    SELECT pos, {qz('w / sqrt((SELECT ' + ofold('w * w', 'pos') + ' FROM ' + wname + '))')} AS v",
                 f"    FROM {wname}",
                 "),",
             ]
             vprev = vname
         parts += [
             f"lam{c} AS MATERIALIZED (",
-            f"    SELECT {qz('sum(g.g * va.v * vb.v)')} AS lam",
+            f"    SELECT {qz(ofold('g.g * va.v * vb.v', 'g.pa, g.pb'))} AS lam",
             f"    FROM {gname} g JOIN {vprev} va ON va.pos = g.pa",
             f"    JOIN {vprev} vb ON vb.pos = g.pb",
             "),",

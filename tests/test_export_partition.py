@@ -286,6 +286,30 @@ def test_export_data_doubled_quote_delimiter(session, tmp_path):
     assert lines == ["1'v1"]
 
 
+def test_export_data_mixed_escape_delimiter(session, tmp_path):
+    """Round-8 ADVICE fix: option literals now decode in ONE left-to-right
+    pass handling backslash escapes and doubled quotes together, so a mixed
+    literal ``'\\''''`` (escaped quote + doubled quote) is two apostrophes.
+
+    A brute-force sweep over all <=9-char literal bodies showed the old
+    two-pass decode (collapse '' first, then backslash) diverges only on
+    odd-trailing-quote bodies the statement lexer cannot terminate anyway —
+    this pins the unambiguous mixed case end-to-end."""
+    session.register_dataframe("src", _src(session.spark))
+    out = tmp_path / "exp_mixed"
+    session.query(
+        f"EXPORT DATA OPTIONS(uri='{out}/*.csv', format='CSV', "
+        "field_delimiter='\\'''') AS SELECT id, v FROM src WHERE id = 1"
+    )
+    lines = [
+        line
+        for f in glob.glob(f"{out}/*.csv")
+        for line in open(f).read().splitlines()
+        if line
+    ]
+    assert lines == ["1''v1"]
+
+
 def test_ctas_over_existing_table_raises(session):
     """Round-7 ADVICE fix: plain CTAS over an existing name errors (BigQuery
     does too), matching plain CREATE TABLE instead of silently replacing."""

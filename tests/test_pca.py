@@ -35,6 +35,15 @@ def test_recovers_dominant_axis(spark):
     assert model["eigenvalues"][0] > model["eigenvalues"][1] > 0
 
 
+def test_rank_deficient_raises(spark):
+    """Round-8 ADVICE: k beyond the data's effective rank errors loudly
+    (the oracle recurrence would hit w/sqrt(0) and desync otherwise)."""
+    rows = [(i, [float(i % 7 - 3)] + [0.0] * 7) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="zero norm"):
+        pca.train_pca(df, k=2, vec_col="embedding")
+
+
 def test_components_orthonormal(spark):
     from bq_duckdb_spark.testdata import load_table
 
