@@ -48,11 +48,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.8e10 sum_charge landed 0.01 apart across engines — ON the 2dp
     # rounding boundary (ORACLE_sf1_r7 finding). The per-row double
     # product is identical in both engines (same left-assoc IEEE ops);
-    # casting it to decimal rounds the same exact binary value the same
-    # way, and decimal addition is exact and order-independent, so the
-    # rounded sums are now bit-equal at ANY scale — which is also the
+    # decimal addition is exact and order-independent, so the order-
+    # dependence class is eliminated at ANY scale — which is also the
     # faithful TPC-H reading (the spec types these columns DECIMAL).
-    # The final cast back to double is exact (< 2^53 in 1e-2 units).
+    # Caveat: the double->decimal cast paths differ (Spark rounds the
+    # shortest-decimal string, DuckDB the exact binary value), so rare
+    # 1e-6-unit per-row flips remain possible; the exact sum + 2dp
+    # round absorbs them (see contract_tpch._dec_sum). The final cast
+    # back to double is exact (< 2^53 in 1e-2 units).
     def dsum(expr):
         return F.sum(expr.cast("decimal(30,6)"))
 
@@ -308,20 +311,49 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB/Postgres WITHIN GROUP form (olap_test.clj:269-275).
 
     Spark side: rank every row inside its group with ONE sort-based
-    window (row_number + count over the group), then each quantile is
-    the weighted sum of its two bracketing ranks. Unlike the previous
-    collect_list formulation (which buffered every group value in one
-    aggregation buffer — exact but memory-unbounded per group) or
-    builtin percentile() (per-row value→count OpenHashMap, 2x slower
-    measured), the ranking window runs through Spark's spillable
-    external sorter: memory stays bounded no matter how large the
-    group, so the EXACT computation survives 100 TB groups — a single
-    group still sorts within one task (inherent to exact rank), but it
-    spills instead of OOMing. q_percentiles_approx remains the
-    sketch-based twin where a single pass must suffice."""
+    window, then each quantile is the weighted sum of its two
+    bracketing ranks. Unlike the previous collect_list formulation
+    (which buffered every group value in one aggregation buffer —
+    exact but memory-unbounded per group) or builtin percentile()
+    (per-row value→count OpenHashMap, 2x slower measured), the ranking
+    window runs through Spark's spillable external sorter: memory
+    stays bounded no matter how large the group, so the EXACT
+    computation survives 100 TB groups — a single group still sorts
+    within one task (inherent to exact per-group rank; the fully
+    parallel twin is q_percentiles_scalable), but it spills instead of
+    OOMing. Round 8 reclaimed the second pass the round-7 form paid:
+    the per-group n came from a `count(*) OVER (PARTITION BY grp)`
+    window that buffered every whole group before emitting (the
+    SHUFFLE_r10 double-read); n is now a 6-row pre-aggregate
+    broadcast-joined back, so the ranking window streams, the
+    bracketing-rank filter drops all but ~4 rows/group before the
+    final aggregate, and the result is hash-identical (verified).
+    q_percentiles_approx remains the sketch-based twin where a single
+    pass must suffice."""
     _register_views(spark, sf_dir, "lineitem")
     return spark.sql(
         """
+        WITH counts AS (
+            SELECT l_returnflag, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        ranked AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) - 1 AS rn
+            FROM lineitem
+        ),
+        picked AS (
+            SELECT /*+ BROADCAST(c) */ r.l_returnflag, r.v, r.rn,
+                   (c.n - 1) * 0.5 AS k50,
+                   (c.n - 1) * 0.95 AS k95
+            FROM ranked r JOIN counts c ON r.l_returnflag = c.l_returnflag
+            WHERE CAST(r.rn AS BIGINT) IN (
+                CAST(floor((c.n - 1) * 0.5) AS BIGINT),
+                CAST(ceil((c.n - 1) * 0.5) AS BIGINT),
+                CAST(floor((c.n - 1) * 0.95) AS BIGINT),
+                CAST(ceil((c.n - 1) * 0.95) AS BIGINT))
+        )
         SELECT l_returnflag,
                round(sum(
                    CASE WHEN rn = CAST(floor(k50) AS BIGINT)
@@ -335,15 +367,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + CASE WHEN rn = CAST(ceil(k95) AS BIGINT)
                             AND ceil(k95) <> floor(k95)
                         THEN v * (k95 - floor(k95)) ELSE 0.0 END), 4) AS p95
-        FROM (SELECT l_returnflag, v, rn,
-                     (n - 1) * 0.5 AS k50,
-                     (n - 1) * 0.95 AS k95
-              FROM (SELECT l_returnflag,
-                           l_extendedprice AS v,
-                           row_number() OVER (PARTITION BY l_returnflag
-                                              ORDER BY l_extendedprice) - 1 AS rn,
-                           count(*) OVER (PARTITION BY l_returnflag) AS n
-                    FROM lineitem))
+        FROM picked
         GROUP BY l_returnflag
         ORDER BY l_returnflag
         """

@@ -544,6 +544,35 @@ FROM orders
 """
 
 
+def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group PERCENTILE_CONT without the per-group-single-task
+    window sort (q_percentiles' plan): l_returnflag has 3 values, so the
+    hash exchange caps parallelism at 3 tasks no matter the cluster.
+    Range-partition on (group, value) + per-slice rank + broadcast
+    offsets keeps every core busy — see operators/percentile.py.
+    Identical interpolation arithmetic to q_percentiles (decimal k and
+    frac), so it carries the same full oracle."""
+    from bq_duckdb_spark.operators.percentile import percentile_cont_scalable
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = percentile_cont_scalable(
+        lineitem, "l_returnflag", "l_extendedprice", [0.5, 0.95]
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("p_0"), 4).alias("p50"),
+        F.round(F.col("p_1"), 4).alias("p95"),
+    ).orderBy("l_returnflag")
+
+
+_Q_PERCENTILES_SCALABLE_ORACLE = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile twin of q_percentiles: bounded-memory sketch
     (KLL-style) instead of buffering every group value — the 100 TB
@@ -592,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join_bands": q_range_join_bands,
         "q_ntile_scalable": q_ntile_scalable,
+        "q_percentiles_scalable": q_percentiles_scalable,
         "q_percentiles_approx": q_percentiles_approx,
         "q_unpivot": q_unpivot,
         "q_window_extras": q_window_extras,
@@ -619,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": _Q_ASOF_JOIN_ORACLE,
         "q_range_join_bands": _Q_RANGE_JOIN_BANDS_ORACLE,
         "q_ntile_scalable": _Q_NTILE_SCALABLE_ORACLE,
+        "q_percentiles_scalable": _Q_PERCENTILES_SCALABLE_ORACLE,
         "q_unpivot": _Q_UNPIVOT_ORACLE,
         "q_window_extras": _Q_WINDOW_EXTRAS_ORACLE,
         "q_salted_join": _Q_SALTED_JOIN_ORACLE,

@@ -225,6 +225,24 @@ def test_ntile_scalable_matches_global_window(q, spark):
     assert got == want
 
 
+def test_percentiles_scalable_matches_window_form(q):
+    """Round 8: the range-partitioned exact percentile equals the
+    per-group window form value-for-value on sf0.001."""
+    got = {r.l_returnflag: (r.p50, r.p95) for r in q("q_percentiles_scalable").collect()}
+    want = {r.l_returnflag: (r.p50, r.p95) for r in q("q_percentiles").collect()}
+    assert got == want
+
+
+def test_percentiles_scalable_no_per_group_window(q):
+    """The heavy window must partition by (__pid, group) — parallelism
+    #partitions x #groups — never by the 3-value group alone."""
+    df = q("q_percentiles_scalable")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the row-level rank window exchanges on (__pid, __g); the only
+    # __g-alone partitioning is the offsets window over tiny count rows
+    assert "hashpartitioning(__pid" in plan, plan
+
+
 def test_percentiles_approx_brackets_exact(q):
     """Sketch estimates must sit within 2% of the exact percentiles."""
     exact = {r.l_returnflag: (r.p50, r.p95) for r in q("q_percentiles").collect()}
