@@ -199,13 +199,16 @@ def _candidate_shingle_pairs(
     num_hashes: int,
     bands: int,
     shingle_k: int,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, sh_a, sh_b) for every portable-LSH candidate pair —
     the shared long-format single-join verify feeding both the Jaccard
     and containment twins: banded candidates (one shuffle, never
     all-pairs), then ONE join carries each pair's two shingle sets."""
     df = widen_small_scan(df)
-    cands = portable_minhash_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    cands = portable_minhash_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+    )
     sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "sh").select(
         F.col(id_col).alias("__id"), "sh"
     )
@@ -230,11 +233,14 @@ def portable_jaccard_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over portable-minhash candidates (long-format
     single-join verify, as in dedup.ngram_jaccard_pairs)."""
     return (
-        _candidate_shingle_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+        _candidate_shingle_pairs(
+            df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+        )
         .withColumn(
             "jaccard",
             F.expr(
@@ -343,14 +349,31 @@ def cross_corpus_near_dups(
     bb = banded_with_shingles(
         batch, text_col, id_col, "batch_id", num_hashes, bands, shingle_k
     )
+    return banded_pair_verify(cb, bb, threshold)
+
+
+def banded_pair_verify(
+    cb: DataFrame,
+    bb: DataFrame,
+    threshold: float,
+    a_id: str = "corpus_id",
+    b_id: str = "batch_id",
+) -> DataFrame:
+    """Probe + verify between two ``banded_with_shingles`` frames: the
+    (broadcast) b-side buckets hash-probe the a-side scan, then exact
+    Jaccard on the carried shingle sets keeps pairs >= threshold.
+    Shared by cross_corpus_near_dups and the streaming incremental
+    dedup writer (which keeps the a-side PRE-BANDED at rest — the
+    banded-corpus-at-rest design the batch operator's docstring
+    describes)."""
     cands = cb.join(F.broadcast(bb), ["band", "bucket"]).select(
-        "corpus_id", "batch_id", "__sh_corpus_id", "__sh_batch_id"
+        a_id, b_id, f"__sh_{a_id}", f"__sh_{b_id}"
     )
     return (
-        cands.groupBy("corpus_id", "batch_id")
+        cands.groupBy(a_id, b_id)
         .agg(
-            F.first("__sh_corpus_id").alias("sh_a"),
-            F.first("__sh_batch_id").alias("sh_b"),
+            F.first(f"__sh_{a_id}").alias("sh_a"),
+            F.first(f"__sh_{b_id}").alias("sh_b"),
         )
         .withColumn(
             "jaccard",
@@ -359,7 +382,7 @@ def cross_corpus_near_dups(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("corpus_id", "batch_id", "jaccard")
+        .select(a_id, b_id, "jaccard")
     )
 
 
@@ -371,6 +394,7 @@ def portable_containment_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT over portable-minhash candidates:
     |A∩B|/|A| and |A∩B|/|B| per pair, kept when either side is mostly
@@ -386,7 +410,9 @@ def portable_containment_pairs(
     asymmetric ratios are row-local arithmetic on top.
     """
     return (
-        _candidate_shingle_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+        _candidate_shingle_pairs(
+            df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+        )
         .withColumn(
             "containment_a",
             F.expr("size(array_intersect(sh_a, sh_b)) / size(sh_a)"),

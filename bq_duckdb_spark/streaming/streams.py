@@ -662,6 +662,91 @@ def substring_dedup_each_batch(
     return _write
 
 
+def incremental_dedup_each_batch(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    out_dir: str = "",
+    state_dir: str = "",
+):
+    """foreachBatch writer for ingestion-time NEAR-DUP dedup — the
+    streaming twin of the incremental batch operator
+    (ext/dedup_portable.cross_corpus_near_dups / the
+    ``dedup_incremental`` contract entry).
+
+    Each arriving shard emits near-dup pairs (id_a, id_b, jaccard):
+
+    * CROSS pairs — shard docs vs every doc ingested by earlier
+      batches. The corpus state is kept PRE-BANDED at rest (one row
+      per (doc, band) carrying the shingle set — exactly the
+      banded-corpus-at-rest layout the batch operator's docstring
+      prescribes for 100 TB), so the probe is a broadcast hash join of
+      the shard's buckets against the state scan: no re-shingling and
+      no shuffle of anything corpus-sized, per batch.
+    * WITHIN pairs — near-dups inside the shard itself
+      (portable_jaccard_pairs), so the union over all batches covers
+      every pair the one-shot batch pipeline would find regardless of
+      which shard boundary separated the two docs.
+
+    Streamed == the sequential batch fold (for each shard i:
+    cross_corpus_near_dups(shards<i, shard_i) + within-shard pairs) —
+    pinned in tests; the portable hash family makes every stage
+    deterministic.
+
+    Retry safety (a foreachBatch function must provide its own
+    idempotence): both sinks write fixed per-batch subdirectories
+    (``batch=<id>``, overwritten on retry) and the state read filters
+    to batches STRICTLY EARLIER than the current one, so a re-delivered
+    batch neither duplicates output nor probes its own docs.
+    """
+    if not out_dir or not state_dir:
+        raise ValueError(
+            "incremental_dedup_each_batch requires out_dir= and "
+            "state_dir= (pair sink + banded-corpus state table) — "
+            "validated eagerly so a forgotten kwarg fails here, not at "
+            "the first micro-batch"
+        )
+    from bq_duckdb_spark.ext import dedup_portable as dp
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bb = dp.banded_with_shingles(
+            batch_df, text_col, id_col, "batch_id",
+            num_hashes, bands, shingle_k,
+        )
+        state = _read_earlier_state(spark, state_dir, batch_id)
+        within = dp.portable_jaccard_pairs(
+            batch_df, text_col, id_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        )
+        if state is not None:
+            cross = dp.banded_pair_verify(
+                state.withColumnRenamed("sh", "__sh_corpus_id"),
+                bb,
+                threshold,
+            ).select(
+                F.col("corpus_id").alias("id_a"),
+                F.col("batch_id").alias("id_b"),
+                "jaccard",
+            )
+            pairs = cross.unionByName(within)
+        else:
+            pairs = within
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # shard joins the corpus: banded layout at rest, one write
+        bb.select(
+            F.col("batch_id").alias("corpus_id"),
+            F.col("__sh_batch_id").alias("sh"),
+            "band",
+            "bucket",
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+
+    return _write
+
+
 def heavy_hitter_summary_each_batch(
     item_col: str = "term", s: int = 1000, state_dir: str = ""
 ):

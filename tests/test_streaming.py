@@ -1206,3 +1206,166 @@ def test_stream_event_pattern_state_survives_restart(spark, tmp_path):
     # equal the count stored with view 4 — all of which only works if
     # ecum and both anchor registers round-tripped the checkpoint
     assert got == [(7, 4, 5, 6)]
+
+
+def _write_doc_shards(docs, src):
+    """Three id-ordered document shards as explicitly-named single
+    files, so every run lists (and batches) them in the same order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src.mkdir()
+    bounds = [(0, 150), (150, 320), (320, 10**9)]
+    for i, (lo, hi) in enumerate(bounds):
+        pdf = (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / f"shard{i}.parquet"))
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """Round-8: the streaming incremental near-dup writer == both the
+    sequential batch fold (shard i vs shards<i + within-shard) and the
+    one-shot batch pipeline over the whole corpus — pair-for-pair with
+    identical jaccard values (pair coverage is shard-boundary
+    invariant: every pair lands either in a within or a cross batch).
+    Also pins retry idempotence of an already-committed batch."""
+    from bq_duckdb_spark.ext import dedup_portable as dp
+    from bq_duckdb_spark.streaming import streams
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    src = tmp_path / "incr_src"
+    out = str(tmp_path / "incr_out")
+    state = str(tmp_path / "incr_state")
+    ckpt = str(tmp_path / "incr_ckpt")
+    _write_doc_shards(docs, src)
+
+    stream = streams.read_document_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            streams.incremental_dedup_each_batch(
+                "text", "doc_id", threshold=0.3, out_dir=out, state_dir=state
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def read_out():
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = read_out()
+
+    # one-shot batch pipeline over the whole corpus
+    oneshot = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dp.portable_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert got == oneshot and got
+
+    # sequential batch fold (the documented streamed==batch contract)
+    shards = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in [(0, 150), (150, 320), (320, 10**9)]
+    ]
+    fold = set()
+    for i, shard in enumerate(shards):
+        for r in dp.portable_jaccard_pairs(
+            shard, "text", "doc_id", threshold=0.3
+        ).collect():
+            fold.add((r["id_a"], r["id_b"], round(r["jaccard"], 9)))
+        if i:
+            corpus = shards[0]
+            for earlier in shards[1:i]:
+                corpus = corpus.unionByName(earlier)
+            for r in dp.cross_corpus_near_dups(
+                corpus, shard, "text", "doc_id", threshold=0.3
+            ).collect():
+                fold.add(
+                    (r["corpus_id"], r["batch_id"], round(r["jaccard"], 9))
+                )
+    assert got == fold
+
+    # cross-shard pairs actually exist (the state join fired)
+    within_only = set()
+    for shard in shards:
+        for r in dp.portable_jaccard_pairs(
+            shard, "text", "doc_id", threshold=0.3
+        ).collect():
+            within_only.add((r["id_a"], r["id_b"], round(r["jaccard"], 9)))
+    assert got - within_only
+
+    # retry idempotence: re-running committed batch 0 (state write
+    # included) leaves the output unchanged — the state read filters to
+    # strictly-earlier batches and the per-batch subdirs overwrite
+    writer = streams.incremental_dedup_each_batch(
+        "text", "doc_id", threshold=0.3, out_dir=out, state_dir=state
+    )
+    writer(shards[0], 0)
+    assert read_out() == got
+
+
+def test_stream_incremental_dedup_crash_recovery(spark, tmp_path):
+    """Kill the incremental-dedup stream after batch 1's state write
+    lands but before its checkpoint commit, restart the same
+    checkpoint, and require the final pair set to equal a clean run's."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bq_duckdb_spark.streaming import streams
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    src = tmp_path / "incrc_src"
+    _write_doc_shards(docs, src)
+
+    def run(out, state, ckpt, crash_on_batch1):
+        real = streams.incremental_dedup_each_batch(
+            "text", "doc_id", threshold=0.3, out_dir=out, state_dir=state
+        )
+
+        def write(batch_df, batch_id):
+            real(batch_df, batch_id)  # state write LANDS first
+            if crash_on_batch1 and batch_id == 1:
+                raise RuntimeError("injected crash after state write")
+
+        stream = streams.read_document_stream(
+            spark, str(src), max_files_per_trigger=1
+        )
+        return (
+            stream.writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def pairs(out):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    out_a, state_a = str(tmp_path / "ca_out"), str(tmp_path / "ca_state")
+    ckpt_a = str(tmp_path / "ca_ckpt")
+    q = run(out_a, state_a, ckpt_a, crash_on_batch1=True)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    q2 = run(out_a, state_a, ckpt_a, crash_on_batch1=False)
+    q2.awaitTermination()
+
+    out_b, state_b = str(tmp_path / "cb_out"), str(tmp_path / "cb_state")
+    q3 = run(out_b, state_b, str(tmp_path / "cb_ckpt"), crash_on_batch1=False)
+    q3.awaitTermination()
+
+    assert pairs(out_a) == pairs(out_b) and pairs(out_a)
