@@ -47,9 +47,11 @@ FROM documents GROUP BY md5(text)
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding candidate pairs (shingle→minhash→band→
-    bucket-join; no all-pairs). Rows-only: xxhash64 has no DuckDB twin."""
+    bucket-join; no all-pairs). Oracle: the xxhash64-in-SQL twin
+    (ext/xx_oracles). Banding follows the library default — (32, 16,
+    r=2) since the RECALL_r8.txt sweep."""
     return dedup.minhash_candidate_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=8
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=16
     )
 
 

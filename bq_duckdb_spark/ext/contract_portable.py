@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from bq_duckdb_spark.ext import dedup_portable as dp
 from bq_duckdb_spark.testdata import load_table as _t
 
-_NUM_HASHES, _BANDS, _K = 32, 8, 3
+# (32 hashes, 16 bands, r=2): RECALL_r8.txt measured 99.94% recall at
+# t=0.3 on the hostile gate corpus vs 89.4% for the old (32, 8, r=4) —
+# same signature budget, +14% candidate volume. Worst-case S-curve
+# guarantees need derive_banding (ext/dedup.py), e.g. (64, 32) for 95%.
+_NUM_HASHES, _BANDS, _K = 32, 16, 3
 
 
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

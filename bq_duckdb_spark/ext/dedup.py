@@ -363,7 +363,7 @@ def minhash_candidate_pairs(
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 1000,
     dedup: bool = True,
@@ -446,7 +446,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     carry_shingles: bool | None = None,
 ) -> DataFrame:

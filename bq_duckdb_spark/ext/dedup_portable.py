@@ -157,7 +157,7 @@ def portable_minhash_pairs(
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 1000,
 ) -> DataFrame:
@@ -231,7 +231,7 @@ def portable_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 1000,
 ) -> DataFrame:
@@ -288,7 +288,7 @@ def banded_with_shingles(
     id_col: str,
     out_id: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Long-format LSH banding that carries the shingle set alongside:
@@ -319,7 +319,7 @@ def cross_corpus_near_dups(
     id_col: str,
     threshold: float = 0.5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Incremental-ingestion dedup: near-dup pairs between an existing
@@ -392,7 +392,7 @@ def portable_containment_pairs(
     id_col: str,
     threshold: float = 0.5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 1000,
 ) -> DataFrame:

@@ -86,7 +86,7 @@ WHERE bit_count(x) <= {max_hamming}
 
 
 def _minhash_ctes(
-    num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+    num_hashes: int = 32, bands: int = 16, shingle_k: int = 3,
     max_bucket: int = 1000,
 ) -> tuple[str, str]:
     """Shared CTE chain: token hashes -> shingle ids -> signature ->

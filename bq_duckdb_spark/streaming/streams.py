@@ -516,7 +516,7 @@ def stream_near_dup_probe(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Ingestion-time near-dup detection: probe each arriving document
@@ -667,7 +667,7 @@ def incremental_dedup_each_batch(
     id_col: str = "doc_id",
     threshold: float = 0.3,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     shingle_k: int = 3,
     out_dir: str = "",
     state_dir: str = "",
