@@ -437,7 +437,6 @@ _SIMPLE_FUNC_RENAMES = {
     "ENDS_WITH": "endswith",
     "BYTE_LENGTH": "octet_length",
     "CHARACTER_LENGTH": "length",
-    "GENERATE_ARRAY": "sequence",
     "ARRAY_LENGTH": "size",
     "STRING_AGG": "string_agg",  # Spark 4 has string_agg natively
     # BigQuery SPLIT takes a LITERAL delimiter; Spark's split() takes a
@@ -518,16 +517,66 @@ def _regexp_extract_all(args: list[str]):
     return f"regexp_extract_all({s}, {p}, 1)"
 
 
+def _empty_like(expr: str) -> str:
+    """An EMPTY array carrying ``expr``'s element type (slice of a
+    one-element sequence) — the CASE-branch partner for the empty-range
+    guards below, where a bare ``array()`` would type as array<string>."""
+    return f"slice(sequence(({expr}), ({expr})), 1, 0)"
+
+
+def _generate_array(args: list[str]):
+    """GENERATE_ARRAY(a, b[, step]) → guarded sequence.
+
+    BigQuery returns an EMPTY array when the range is empty (a > b with
+    the default/positive step, a < b with a negative step); Spark's
+    ``sequence(a, b)`` instead flips to a DESCENDING sequence when
+    a > b, and errors on a step whose sign opposes the direction — a
+    silent wrong-answer divergence the round-8 dialect fuzzer caught
+    (GENERATE_ARRAY(1, 0): BQ [], bare sequence [1, 0]). The start/step
+    expressions are duplicated into the guard; fine for the
+    literal/column arguments BigQuery queries put there."""
+    if len(args) == 2:
+        a, b = args
+        return (
+            f"CASE WHEN ({a}) > ({b}) THEN {_empty_like(a)} "
+            f"ELSE sequence({a}, {b}) END"
+        )
+    if len(args) == 3:
+        a, b, s = args
+        return (
+            f"CASE WHEN (({s}) > 0 AND ({a}) > ({b})) "
+            f"OR (({s}) < 0 AND ({a}) < ({b})) THEN {_empty_like(a)} "
+            f"ELSE sequence({a}, {b}, {s}) END"
+        )
+    return None
+
+
 def _generate_date_array(args: list[str]):
     """GENERATE_DATE_ARRAY(start, end[, INTERVAL n unit]) →
     sequence(start, end, interval) (inclusive endpoints, same as
-    BigQuery)."""
+    BigQuery), with the same empty-range guard as _generate_array:
+    BigQuery yields [] when the interval sign cannot reach end from
+    start; bare Spark sequence would error."""
     if len(args) == 2:
-        return f"sequence({args[0]}, {args[1]}, interval 1 day)"
+        a, b = args
+        return (
+            f"CASE WHEN ({a}) > ({b}) THEN {_empty_like(a)} "
+            f"ELSE sequence({a}, {b}, interval 1 day) END"
+        )
     if len(args) == 3:
         m = _INTERVAL_RE.match(args[2].strip())
         if m:
-            return f"sequence({args[0]}, {args[1]}, interval {m.group(1)} {m.group(2)})"
+            a, b = args[0], args[1]
+            n, unit = m.group(1), m.group(2)
+            try:
+                positive = int(n) > 0
+            except ValueError:  # non-literal interval count: keep as-is
+                return None
+            guard = f"({a}) > ({b})" if positive else f"({a}) < ({b})"
+            return (
+                f"CASE WHEN {guard} THEN {_empty_like(a)} "
+                f"ELSE sequence({a}, {b}, interval {n} {unit}) END"
+            )
     return None
 
 
@@ -690,6 +739,7 @@ def transpile(sql: str, table_mapping: dict[str, str] | None = None) -> str:
 
     out = _apply_outside_strings(out, _rename_code)
     out = _rewrite_calls(out, "ARRAY_AGG", _array_agg)
+    out = _rewrite_calls(out, "GENERATE_ARRAY", _generate_array)
     out = _rewrite_calls(out, "GENERATE_DATE_ARRAY", _generate_date_array)
     out = _rewrite_calls(out, "GENERATE_TIMESTAMP_ARRAY", _generate_date_array)
     out = _rewrite_calls(out, "JSON_EXTRACT", _json_as_text)

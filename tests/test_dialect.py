@@ -331,16 +331,36 @@ class TestSafeArithmeticAndDateArrays:
         assert got == "SELECT try_add(a, b), try_subtract(a, b), try_multiply(a, b) FROM t"
 
     def test_generate_date_array_default_step(self):
+        # round 8: empty-range guard added (BQ yields [] when start > end;
+        # bare Spark sequence would error on the mismatched direction)
         got = transpile("SELECT GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-01-05')")
-        assert got == (
-            "SELECT sequence(DATE '2024-01-01', DATE '2024-01-05', interval 1 day)"
+        assert (
+            "sequence(DATE '2024-01-01', DATE '2024-01-05', interval 1 day)"
+            in got
         )
+        assert "CASE WHEN (DATE '2024-01-01') > (DATE '2024-01-05')" in got
 
     def test_generate_date_array_interval(self):
         got = transpile(
             "SELECT GENERATE_DATE_ARRAY(d1, d2, INTERVAL 7 DAY) FROM t"
         )
-        assert got == "SELECT sequence(d1, d2, interval 7 DAY) FROM t"
+        assert "sequence(d1, d2, interval 7 DAY)" in got
+        assert "CASE WHEN (d1) > (d2)" in got
+
+    def test_generate_date_array_negative_interval_guard(self):
+        got = transpile(
+            "SELECT GENERATE_DATE_ARRAY(d1, d2, INTERVAL -7 DAY) FROM t"
+        )
+        assert "CASE WHEN (d1) < (d2)" in got
+
+    def test_generate_array_empty_range_guard(self):
+        # the round-8 fuzzer finding: GENERATE_ARRAY(1, 0) is [] in BQ,
+        # but a bare sequence(1, 0) silently flips to [1, 0]
+        got = transpile("SELECT GENERATE_ARRAY(1, 0)")
+        assert "CASE WHEN (1) > (0)" in got and "sequence(1, 0)" in got
+        got3 = transpile("SELECT GENERATE_ARRAY(a, b, s) FROM t")
+        assert "(s) > 0 AND (a) > (b)" in got3
+        assert "(s) < 0 AND (a) < (b)" in got3
 
 
 class TestRegexpExtract:
