@@ -299,10 +299,10 @@ def derive_banding(
     an exact-verify). Then the smallest b meeting the target.
 
     Round-8 sweep context: the round-7 default (32 hashes, 8 bands,
-    r=4) has a worst-case collision probability of only 6.3%% at
-    s=0.3 — its measured 89.4%% hostile-corpus recall leaned entirely
+    r=4) has a worst-case collision probability of only 6.3% at
+    s=0.3 — its measured 89.4% hostile-corpus recall leaned entirely
     on most true pairs sitting far above the threshold. For t=0.3 this
-    returns (64, 32): r=2, worst-case 95.1%%.
+    returns (64, 32): r=2, worst-case 95.1%.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

@@ -28,7 +28,7 @@ sys.path.insert(0, "/root/repo")
 _ALLOWED_GLOBAL = {
     "q03_shipping_priority",   # top-10 TakeOrderedAndProject output
     "q_ntile",                 # BQ-semantics global NTILE; q_ntile_scalable is the scale twin
-    "q_percentiles",           # exact PERCENTILE_CONT; q_percentiles_approx is the twin
+    "q_percentiles",           # exact PERCENTILE_CONT; twins: q_percentiles_scalable (exact, parallel), _approx (sketch)
     "q_running_total",         # global running sum per contract; windowed twin exists
     "q_sample_split",          # global deterministic split boundary
     "q_seeded_shuffle",        # global shuffle order by definition
