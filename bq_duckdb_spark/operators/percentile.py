@@ -25,8 +25,11 @@ design of :mod:`bq_duckdb_spark.operators.ntile`:
    ~2 x #groups x #quantiles rows.
 
 At small SF the plain window form wins on stage overhead (measured at
-sf0.1: 1.50 s vs 1.72 s); this is the 100 TB shape, kept as the
-scalable twin exactly like ``ntile_scalable``.
+sf0.1: 1.50 s vs 1.72 s); the crossover is already behind us at sf1,
+where this form runs 2.6x FASTER (3.1-3.3 s vs the window form's
+8.1-8.6 s best-of-3 on 6M rows / 3 groups — BENCH_sf1_r8.json note),
+and the gap is the cluster size at 100 TB. Kept as the scalable twin
+exactly like ``ntile_scalable``.
 """
 
 from __future__ import annotations
