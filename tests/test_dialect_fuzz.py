@@ -312,6 +312,57 @@ class Gen:
         )
         return (bq, dk)
 
+    def window_query(self):
+        """Window functions over a deterministic total order (the
+        ordering key set is unique per partition, so rank == row_number
+        semantics are stable cross-engine)."""
+        icols, scols = TABLES["nation"]
+        e = self.int_expr("", icols, scols, 1)
+        p = self.pred("", icols, scols, 1)
+        fn_bq, fn_dk = self.pick(
+            [
+                ("ROW_NUMBER()", "ROW_NUMBER()"),
+                ("RANK()", "RANK()"),
+                ("DENSE_RANK()", "DENSE_RANK()"),
+                (f"SUM({e[0]})", f"SUM({e[1]})"),
+                (f"MIN({e[0]})", f"MIN({e[1]})"),
+                ("COUNT(*)", "COUNT(*)"),
+                (f"LAG({e[0]}, 1, 0)", f"LAG({e[1]}, 1, 0)"),
+                (f"LEAD({e[0]}, 1, 0)", f"LEAD({e[1]}, 1, 0)"),
+            ]
+        )
+        part = "PARTITION BY n_regionkey " if self.r.random() < 0.7 else ""
+        # n_nationkey is unique -> total order; running frame for aggs
+        frame = ""
+        if fn_bq.startswith(("SUM", "MIN", "COUNT")) and self.r.random() < 0.5:
+            frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        over = f"OVER ({part}ORDER BY n_nationkey{frame})"
+        sql = (
+            "SELECT n_nationkey AS k, {fn} {over} AS w FROM nation "
+            "WHERE {p}"
+        )
+        return (
+            sql.format(fn=fn_bq, over=over, p=p[0]),
+            sql.format(fn=fn_dk, over=over, p=p[1]),
+        )
+
+    def qualify_like_query(self):
+        """Window in a derived table + outer filter on its result (the
+        QUALIFY-equivalent shape) with ORDER BY + LIMIT whose ordering
+        key is unique, so the kept row set is deterministic."""
+        icols, scols = TABLES["nation"]
+        p = self.pred("", icols, scols, 1)
+        n = self.r.randint(1, 4)
+        lim = self.r.randint(3, 12)
+        sql = (
+            "SELECT k, rn FROM ("
+            "SELECT n_nationkey AS k, ROW_NUMBER() OVER ("
+            "PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn "
+            "FROM nation WHERE {p}) "
+            f"WHERE rn <= {n} ORDER BY k LIMIT {lim}"
+        )
+        return (sql.format(p=p[0]), sql.format(p=p[1]))
+
     def derived_table_query(self):
         inner = self.agg_query()
         p = self.pred("", ["k"], [], 1)
@@ -334,6 +385,9 @@ class Gen:
                 self.lateral_unnest_query,
                 self.nested_unnest_query,
                 self.derived_table_query,
+                self.window_query,
+                self.window_query,
+                self.qualify_like_query,
             ]
         )()
 
