@@ -52,6 +52,10 @@ def percentile_cont_scalable(
     every q in ``quantiles``; NULL values must be pre-filtered (the SQL
     form ignores them, a range partitioner would sort them first).
     """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must lie in [0, 1], got {quantiles}")
     spark = df.sparkSession
     npart = num_partitions or spark.sparkContext.defaultParallelism
     src = df.select(
