@@ -329,9 +329,19 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracketing-rank filter drops all but ~4 rows/group before the
     final aggregate, and the result is hash-identical (verified).
     q_percentiles_approx remains the sketch-based twin where a single
-    pass must suffice."""
+    pass must suffice.
+
+    The display ordering is a single-partition sort of the 3-row
+    result (repartition(1) + sortWithinPartitions), NOT a SQL ORDER
+    BY: a global sort's range partitioner SAMPLES its child, and here
+    the child is the whole window+join+aggregate chain above the last
+    materialized exchange — the event log showed the 9.4 MB window
+    shuffle read TWICE (one sampling pass + one real pass, the
+    SHUFFLE_r10 double-read). The trivial 3-row shuffle removes the
+    sampling pass entirely: measured 1.82 s -> 1.04 s median at
+    sf0.1, rows identical."""
     _register_views(spark, sf_dir, "lineitem")
-    return spark.sql(
+    out = spark.sql(
         """
         WITH counts AS (
             SELECT l_returnflag, count(*) AS n
@@ -369,9 +379,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN v * (k95 - floor(k95)) ELSE 0.0 END), 4) AS p95
         FROM picked
         GROUP BY l_returnflag
-        ORDER BY l_returnflag
         """
     )
+    return out.repartition(1).sortWithinPartitions("l_returnflag")
 
 
 _Q_PERCENTILES_ORACLE = """

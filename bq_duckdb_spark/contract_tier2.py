@@ -558,11 +558,18 @@ def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = percentile_cont_scalable(
         lineitem, "l_returnflag", "l_extendedprice", [0.5, 0.95]
     )
-    return out.select(
-        "l_returnflag",
-        F.round(F.col("p_0"), 4).alias("p50"),
-        F.round(F.col("p_1"), 4).alias("p95"),
-    ).orderBy("l_returnflag")
+    # single-partition sort of the 3-row result: a SQL ORDER BY's range
+    # sampler would re-execute the whole rank/join chain (see
+    # q_percentiles' docstring)
+    return (
+        out.select(
+            "l_returnflag",
+            F.round(F.col("p_0"), 4).alias("p50"),
+            F.round(F.col("p_1"), 4).alias("p95"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
+    )
 
 
 _Q_PERCENTILES_SCALABLE_ORACLE = """
