@@ -7,28 +7,50 @@ Each query is forced end-to-end with a noop-format write (full compute,
 no driver collect) — except tiny-result aggregates where collect() is the
 realistic path.
 
-De-noising (round 7): identical-plan code measured 9.2-13.3 s across
-rounds on this shared host while an idle-box run gives ~10.2 s, so the
-recorded JSON now carries the data to separate host load from plan
-regressions:
+Measurement design (round 9 — regression-detecting instrument):
 
-- per-query best-of-N (N=3) stays the headline ("queries"/"value",
-  backward-compatible), plus "queries_median" and "queries_spread"
-  (max-min across the N samples) so a reader can see run-to-run variance
-  directly;
-- a fixed pure-JVM calibration workload (sum/avg over range(1.6e9), no
-  IO, no Python) is timed before and after the query loop; its min is
-  compared against CALIBRATION_REF_SEC — the idle-box steady-state
-  pinned when this file was written — giving "load_factor" and
-  "value_calibrated" = value / load_factor, a host-load-normalized
-  total. A load_factor near 1.0 means the raw numbers are trustworthy;
-  1.3 means the host was ~30% contended and the raw total should be
-  read accordingly.
+Round 8 showed the old 3-back-to-back-samples scheme can no longer
+distinguish a real plan regression from session noise: untouched
+sub-second queries drifted 1.2-1.8x round-over-round with load_factor
+1.0 on both ends, because session-level JIT/GC state moves WITHIN a
+bench run and back-to-back samples of one query all land in the same
+session regime. Fixes, in this order of leverage:
+
+- INTERLEAVED round-robin sampling: one full warm-up pass over every
+  query (pays codegen + Python worker pool per query), then N_SAMPLES
+  measured rounds that each run EVERY query once. Session drift (JIT
+  warming, GC pressure, page cache) now spreads across all queries
+  uniformly instead of biasing whichever query ran late.
+- n=5 samples with per-query TRIMMED MEAN (drop min and max, mean of
+  the middle 3) in "queries_trimmed" — the regression statistic: robust
+  to one GC hiccup AND to one lucky cache hit, unlike best-of-N.
+- 95% CI half-width (t_{0.975,4}=2.776, hw = t*s/sqrt(n)) per query in
+  "queries_ci95" so tools/gates.py can test "regressed beyond combined
+  CI" mechanically instead of eyeballing spreads.
+
+Backward compatibility: "queries" (best-of-N) and "value" (their sum)
+keep the exact meaning they had in BENCH_r01..r08, so the
+ratio-vs-BASELINE history stays valid. "value_trimmed" is the new
+regression headline.
+
+Scalable twins: q_percentiles_scalable and q_ntile_scalable are
+measured with identical methodology but reported under "queries_twins"
+and EXCLUDED from "value" — the baseline ratio is only meaningful over
+BENCH_r01's fixed 19-query basket. The twins are the forms a real
+cluster would run (see BASELINE.md "Scale recommendation"); their
+per-round numbers let the judge track the 100 TB-shaped plan without
+breaking the baseline comparison.
+
+De-noising (kept from round 7): a fixed pure-JVM calibration workload
+(sum/avg over range(1.6e9), no IO, no Python) is timed before and after
+the query loop; its min vs CALIBRATION_REF_SEC (idle-box steady state)
+gives "load_factor" and "value_calibrated" = value / load_factor.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -62,7 +84,19 @@ BENCH_QUERIES = [
     "multimodal_features",
 ]
 
-N_SAMPLES = 3
+# Cluster-scale twins of the two by-design low-parallelism parity forms
+# (q_percentiles: whole group in one task; q_ntile: global orderBy).
+# Measured every round with the same methodology, reported under
+# "queries_twins", NOT summed into "value" (fixed-basket baseline ratio).
+TWIN_QUERIES = [
+    "q_percentiles_scalable",
+    "q_ntile_scalable",
+]
+
+N_SAMPLES = 5
+
+# t_{0.975, n-1} for the CI half-width; n=5 -> df=4.
+T_975 = {2: 12.706, 3: 4.303, 4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447}
 
 # Idle-box steady-state (best observed within a full bench session) of
 # _calibrate() on the round-7 reference host: 32 local threads,
@@ -85,16 +119,42 @@ def _calibrate(spark) -> float:
     return time.time() - t0
 
 
+def _trimmed_mean(samples: list[float]) -> float:
+    """Mean after dropping one min and one max (n>=3); plain mean below."""
+    if len(samples) < 3:
+        return statistics.mean(samples)
+    s = sorted(samples)
+    return statistics.mean(s[1:-1])
+
+
+def _ci95_halfwidth(samples: list[float]) -> float:
+    if len(samples) < 2:
+        return 0.0
+    t = T_975.get(len(samples), 2.776)
+    return t * statistics.stdev(samples) / math.sqrt(len(samples))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", N_SAMPLES))
     spark = get_spark(app_name="bq-duckdb-spark-bench", cpus=cpus)
     qs = entrymod.queries()
 
-    # warm up the JVM/codegen path once so per-query numbers measure the
-    # plan, not first-call overheads; then calibrate host load (min-of-3
-    # after the warm-up run pays codegen)
-    qs["q01_pricing_summary"](spark, sf_dir).count()
+    all_names = [n for n in BENCH_QUERIES + TWIN_QUERIES if n in qs]
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # warm-up pass: every query once, so each pays its one-off costs
+    # (codegen, Python worker pool spin-up, shuffle-file page cache)
+    # OUTSIDE the measured rounds
+    for name in all_names:
+        run_once(name)
+
     # three throwaway calibration runs: C2 JIT keeps improving this loop
     # for the first few iterations (0.65 -> 0.49 -> 0.43 observed), and
     # measuring before the compiler settles would overstate host load
@@ -102,32 +162,34 @@ def main() -> None:
         _calibrate(spark)
     cal_before = min(_calibrate(spark) for _ in range(5))
 
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        # best-of-N: the first run pays one-off costs (codegen, Python
-        # worker pool spin-up); later runs measure the steady state, and
-        # extra samples damp local-JVM scheduling/GC noise on the
-        # Python-UDF stages
-        samples: list[float] = []
-        for _ in range(N_SAMPLES):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        timings[name] = round(min(samples), 3)
-        medians[name] = round(statistics.median(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
+    # interleaved rounds: every query once per round, in fixed order
+    samples: dict[str, list[float]] = {n: [] for n in all_names}
+    for _ in range(n_samples):
+        for name in all_names:
+            samples[name].append(run_once(name))
 
     cal_after = min(_calibrate(spark) for _ in range(5))
     cal = min(cal_before, cal_after)
     load_factor = max(cal / CALIBRATION_REF_SEC, 1.0)
 
+    def stats_for(names: list[str]):
+        best, med, spread, trimmed, ci = {}, {}, {}, {}, {}
+        for n in names:
+            s = samples[n]
+            best[n] = round(min(s), 3)
+            med[n] = round(statistics.median(s), 3)
+            spread[n] = round(max(s) - min(s), 3)
+            trimmed[n] = round(_trimmed_mean(s), 3)
+            ci[n] = round(_ci95_halfwidth(s), 3)
+        return best, med, spread, trimmed, ci
+
+    base_names = [n for n in BENCH_QUERIES if n in qs]
+    twin_names = [n for n in TWIN_QUERIES if n in qs]
+    timings, medians, spreads, trimmeds, cis = stats_for(base_names)
+    t_best, t_med, t_spread, t_trim, t_ci = stats_for(twin_names)
+
     total = round(sum(timings.values()), 3)
+    total_trimmed = round(sum(trimmeds.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -139,7 +201,21 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "queries_median": medians,
                 "queries_spread": spreads,
-                "n_samples": N_SAMPLES,
+                "queries_trimmed": trimmeds,
+                "queries_ci95": cis,
+                "value_trimmed": total_trimmed,
+                "queries_twins": {
+                    n: {
+                        "best": t_best[n],
+                        "median": t_med[n],
+                        "spread": t_spread[n],
+                        "trimmed": t_trim[n],
+                        "ci95": t_ci[n],
+                    }
+                    for n in twin_names
+                },
+                "n_samples": n_samples,
+                "sampling": "interleaved_round_robin",
                 "calibration_sec": round(cal, 3),
                 "calibration_before_sec": round(cal_before, 3),
                 "calibration_after_sec": round(cal_after, 3),

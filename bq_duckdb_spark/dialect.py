@@ -532,9 +532,18 @@ def _generate_array(args: list[str]):
     ``sequence(a, b)`` instead flips to a DESCENDING sequence when
     a > b, and errors on a step whose sign opposes the direction — a
     silent wrong-answer divergence the round-8 dialect fuzzer caught
-    (GENERATE_ARRAY(1, 0): BQ [], bare sequence [1, 0]). The start/step
-    expressions are duplicated into the guard; fine for the
-    literal/column arguments BigQuery queries put there."""
+    (GENERATE_ARRAY(1, 0): BQ [], bare sequence [1, 0]).
+
+    DOCUMENTED LIMIT (round-9 advice): the start/step expressions are
+    textually duplicated into the CASE guard and _empty_like, so each
+    argument evaluates up to 4x — and for a NON-DETERMINISTIC argument
+    (rand(), a volatile UDF) the guard and the sequence could disagree.
+    Deterministic literal/column/scalar-expression arguments — every
+    shape BigQuery queries put there, and everything the dialect fuzzer
+    generates — are unaffected. Binding the arguments once would need a
+    LATERAL subquery per call site, which this string-level rewriter
+    cannot place for arbitrary clause positions (SELECT list, WHERE,
+    UNNEST); accepted as out of scope until a real query needs it."""
     if len(args) == 2:
         a, b = args
         return (

@@ -51,6 +51,11 @@ def percentile_cont_scalable(
     Matches ``percentile_cont(q) WITHIN GROUP (ORDER BY value)`` for
     every q in ``quantiles``; NULL values must be pre-filtered (the SQL
     form ignores them, a range partitioner would sort them first).
+    A NULL GROUP KEY is a group like any other (SQL ``GROUP BY`` keeps
+    it): the offsets/totals joins below use ``eqNullSafe`` so the NULL
+    group survives — a plain equi-join on ``__g`` would silently drop
+    every row of it (round-9 fix; pinned by
+    tests/test_plans.py::test_percentiles_scalable_null_group).
     """
     if not quantiles:
         raise ValueError("quantiles must be non-empty")
@@ -87,9 +92,22 @@ def percentile_cont_scalable(
         F.sum("__cnt").cast("long").alias("__n")
     )
 
+    # eqNullSafe (<=>) keeps these broadcast HASH joins (EqualNullSafe
+    # is an equi-join key for Spark's hash-join extraction) while letting
+    # a NULL group key match its own offsets/totals rows
+    offsets_r = offsets.withColumnRenamed("__pid", "__pid_o").withColumnRenamed(
+        "__g", "__g_o"
+    )
+    totals_r = totals.withColumnRenamed("__g", "__g_t")
     ranked = (
-        local.join(F.broadcast(offsets), ["__pid", "__g"])
-        .join(F.broadcast(totals), "__g")
+        local.join(
+            F.broadcast(offsets_r),
+            (F.col("__pid") == F.col("__pid_o"))
+            & F.col("__g").eqNullSafe(F.col("__g_o")),
+        )
+        .drop("__pid_o", "__g_o")
+        .join(F.broadcast(totals_r), F.col("__g").eqNullSafe(F.col("__g_t")))
+        .drop("__g_t")
         .withColumn("__rn", (F.col("__off") + F.col("__lrn") - 1).cast("long"))
     )
 

@@ -243,6 +243,28 @@ def test_percentiles_scalable_no_per_group_window(q):
     assert "hashpartitioning(__pid" in plan, plan
 
 
+def test_percentiles_scalable_null_group(spark):
+    """Round 9 (ADVICE): a NULL group key is a group like any other in
+    SQL GROUP BY — the offsets/totals joins must be null-safe or every
+    row of the NULL group silently vanishes."""
+    from bq_duckdb_spark.operators.percentile import percentile_cont_scalable
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)]
+        + [(None, float(v)) for v in range(1, 5)],
+        "g string, v double",
+    )
+    got = {
+        r.g: (r.p_0, r.p_1)
+        for r in percentile_cont_scalable(df, "g", "v", [0.5, 0.95]).collect()
+    }
+    assert set(got) == {"a", None}
+    # percentile_cont over 1..10: p50 = 5.5, p95 = 9.55
+    assert got["a"] == (pytest.approx(5.5), pytest.approx(9.55))
+    # over 1..4: p50 = 2.5, p95 = 3.85
+    assert got[None] == (pytest.approx(2.5), pytest.approx(3.85))
+
+
 def test_percentiles_approx_brackets_exact(q):
     """Sketch estimates must sit within 2% of the exact percentiles."""
     exact = {r.l_returnflag: (r.p50, r.p95) for r in q("q_percentiles").collect()}

@@ -36,6 +36,9 @@ _ALLOWED_GLOBAL = {
     # never the data (inspected plans, see COVERAGE.md):
     "q_cte_chain",             # WindowGroupLimit Partial prunes to top-100 per partition first
     "q_ntile_scalable",        # funnels the per-partition COUNT table (1 row/partition)
+    "q_percentiles_scalable",  # repartition(1) display sort of the 3-ROW final result
+                               # (one row per group); the data-sized work upstream is
+                               # fully range-partitioned — see operators/percentile.py
     "pipe_seeded_shuffle",     # same per-partition count-table offsets
     "pipe_token_budget",       # same: offsets window over per-partition TOTALS (1 row/partition)
     "pipe_assign_ids",         # same: offsets window over per-partition COUNTS (1 row/partition)

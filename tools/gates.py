@@ -14,6 +14,13 @@ Stages (each also writes its own log artifact):
 4. plan audit over the contract      → PLAN_AUDIT_r{N}.txt
 5. full pytest                       → PYTEST_r{N}.log
 6. bench at sf0.1                    → BENCH_local_r{N}.json
+   The bench stage is a real gate since round 9: it fails on (a) total
+   above the driver contract's 2x-of-BASELINE bar (BENCH_r01), or (b)
+   any per-query trimmed-mean regression beyond the combined 95% CIs
+   AND a 1.2x ratio floor vs the prior round's committed bench. A
+   >1.10x baseline ratio is recorded as a warning without failing.
+   A stage that hits its wall-clock budget records rc=124 + red and the
+   summary still lands (no traceback abort).
 
 Summary lands in GATES_r{N}.json: per-stage pass/fail counts, artifact
 paths, wall seconds, and an overall "green" boolean. Exit code 1 when
@@ -39,11 +46,19 @@ def _run(cmd, log_path, env_extra=None, timeout=14400):
     env = {**os.environ, **(env_extra or {})}
     t0 = time.time()
     with open(log_path, "w") as log:
-        proc = subprocess.run(
-            cmd, cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT,
-            timeout=timeout,
-        )
-    return proc.returncode, time.time() - t0
+        try:
+            proc = subprocess.run(
+                cmd, cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT,
+                timeout=timeout,
+            )
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            # a wedged stage must record as red and let the remaining
+            # stages (and the GATES_r{N}.json summary) still land —
+            # not abort the whole gate run with a traceback
+            log.write(f"\n[gates] TIMEOUT: stage exceeded {timeout}s budget\n")
+            rc = 124
+    return rc, time.time() - t0
 
 
 def _parse_oracle(log_path):
@@ -60,9 +75,104 @@ def _parse_oracle(log_path):
     return out
 
 
+# hard bar: the driver contract (BASELINE.json) is "within 2x of
+# BASELINE at the same scale factor". Crossing it fails the gate.
+BASELINE_HARD_RATIO = 2.0
+# soft bar: recorded as a warning (not a gate failure) so drift toward
+# the contract bar is visible rounds before it trips.
+BASELINE_WARN_RATIO = 1.10
+# per-query regression: trimmed means must differ beyond BOTH the
+# combined 95% CIs and this ratio floor (absolute sub-second queries
+# have CIs comparable to their runtimes; the floor stops 50 ms "CI
+# violations" from failing the gate).
+REGRESSION_RATIO_FLOOR = 1.20
+
+
+def _baseline_total():
+    """BENCH_r01's recorded total — the denominator of the driver's
+    perf ratio since round 1."""
+    try:
+        rec = json.load(open(f"{REPO}/BENCH_r01.json"))
+        parsed = rec.get("parsed") or rec
+        return parsed.get("value")
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _prior_bench(current_round):
+    """Latest committed bench JSON from a PRIOR round — driver-recorded
+    BENCH_r{M}.json preferred, BENCH_local_r{M}.json as fallback.
+    Returns (parsed_dict, filename) or (None, None)."""
+    try:
+        cur = int(current_round)
+    except ValueError:
+        cur = 10**9
+    best = (None, None, -1)
+    for fn in os.listdir(REPO):
+        m = re.match(r"BENCH(_local)?_r(\d+)\.json$", fn)
+        if not m:
+            continue
+        rnd = int(m.group(2))
+        if rnd >= cur:
+            continue
+        # driver files (no _local) win ties over same-round local files
+        rank = rnd * 2 + (0 if m.group(1) else 1)
+        if rank > best[2]:
+            try:
+                rec = json.load(open(f"{REPO}/{fn}"))
+            except (OSError, json.JSONDecodeError):
+                continue
+            parsed = rec.get("parsed") or rec
+            if isinstance(parsed, dict) and parsed.get("queries"):
+                best = (parsed, fn, rank)
+    return best[0], best[1]
+
+
+def _bench_verdict(parsed, rnd):
+    """Mechanical perf verdict: (a) total vs the BENCH_r01 baseline
+    against the contract's 2x bar, (b) per-query trimmed-mean regression
+    vs the prior round's committed bench, CI-aware. Older benches lack
+    trimmed/ci fields — fall back to median / spread/2 so the check
+    works across the format change."""
+    out = {"baseline_ratio": None, "baseline_exceeded": False,
+           "baseline_warn": False, "regressions": [], "prior_bench": None}
+    if not parsed:
+        return out
+    base = _baseline_total()
+    total = parsed.get("value")
+    if base and total:
+        ratio = round(total / base, 3)
+        out["baseline_ratio"] = ratio
+        out["baseline_exceeded"] = ratio > BASELINE_HARD_RATIO
+        out["baseline_warn"] = ratio > BASELINE_WARN_RATIO
+
+    prior, prior_fn = _prior_bench(rnd)
+    if prior:
+        out["prior_bench"] = prior_fn
+        new_t = parsed.get("queries_trimmed") or parsed.get("queries_median", {})
+        new_ci = parsed.get("queries_ci95", {})
+        old_t = prior.get("queries_trimmed") or prior.get("queries_median", {})
+        old_sp = prior.get("queries_spread", {})
+        old_ci = prior.get("queries_ci95") or {
+            k: v / 2 for k, v in old_sp.items()
+        }
+        for name, old in old_t.items():
+            new = new_t.get(name)
+            if new is None or not old:
+                continue
+            band = new_ci.get(name, 0.0) + old_ci.get(name, 0.0)
+            if new > old + band and new > old * REGRESSION_RATIO_FLOOR:
+                out["regressions"].append({
+                    "query": name, "prior": old, "now": new,
+                    "ci_band": round(band, 3),
+                    "ratio": round(new / old, 2),
+                })
+    return out
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    rnd = args[0] if args else "8"
+    rnd = args[0] if args else "9"
     skip = set()
     for a in sys.argv[1:]:
         if a.startswith("--skip"):
@@ -150,16 +260,22 @@ def main():
                 "SPARK_GRAFT_CPUS": "32",
             },
         )
-        total = None
+        parsed = None
         for line in open(log).read().splitlines()[::-1]:
             if line.startswith("{"):
                 try:
-                    total = json.loads(line).get("value")
+                    parsed = json.loads(line)
                 except json.JSONDecodeError:
                     pass
                 break
-        return {"rc": rc, "total_sec": total, "sec": round(secs, 1),
-                "log": os.path.basename(log)}
+        out = {
+            "rc": rc,
+            "total_sec": parsed.get("value") if parsed else None,
+            "sec": round(secs, 1),
+            "log": os.path.basename(log),
+        }
+        out.update(_bench_verdict(parsed, rnd))
+        return out
 
     stage("bench", bench)
 
@@ -173,7 +289,12 @@ def main():
         if name == "pytest":
             return s.get("failed") == 0 and s.get("rc") == 0
         if name == "bench":
-            return s.get("rc") == 0 and s.get("total_sec") is not None
+            return (
+                s.get("rc") == 0
+                and s.get("total_sec") is not None
+                and not s.get("baseline_exceeded")
+                and not s.get("regressions")
+            )
         return False
 
     summary["green"] = all(
