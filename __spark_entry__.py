@@ -882,17 +882,59 @@ def _merge(dst: dict, src: dict, label: str) -> None:
 ORACLE_EXCLUSIONS: dict[str, str] = {
     "q_approx_distinct": (
         "HyperLogLog sketch: estimates are engine-implementation-"
-        "specific, so no cross-engine value hash can match. Accuracy "
-        "is pinned within 2% of the exact count in tests/test_plans.py"
-        " and the exact semantics are oracle-green as q_distinct_agg."
+        "specific, so no cross-engine value hash can match. Bounded-"
+        "error oracle instead (oracle_bounds): estimate within 3 x rsd "
+        "(rsd=0.01) of the exact count computed by DuckDB; the exact "
+        "semantics are oracle-green as q_distinct_agg."
     ),
     "q_percentiles_approx": (
         "KLL/GK quantile sketch: bounded-memory estimates differ per "
-        "engine by design. Accuracy is pinned within 2% brackets of "
-        "the exact result in tests/test_plans.py and the exact "
+        "engine by design. Bounded-error oracle instead "
+        "(oracle_bounds): within 2% of DuckDB's exact percentile_cont "
+        "(measured sketch error at sf0.01-0.1 is <=0.02%); the exact "
         "semantics are oracle-green as q_percentiles."
     ),
 }
+
+
+def oracle_bounds() -> dict[str, dict]:
+    """Bounded-error oracles for the ORACLE_EXCLUSIONS entries (round-9
+    brief item 7): each spec gives DuckDB SQL computing the EXACT values
+    under the SAME column names, per-column relative tolerances for the
+    sketch columns, and key columns for row alignment. Columns without a
+    tolerance must match exactly (normalized). tools/check_oracle.py
+    evaluates these and reports ``pass (bounded)`` — the sweeps show
+    187/0/0 instead of carrying 2 unverified rows-only entries.
+
+    Tolerance provenance (measured, tools history in VERDICT r8/r9):
+    - q_approx_distinct: HLL rsd=0.01 → bound 3 x rsd = 3%. Observed
+      error 0.5% (sf0.01) / 0.18% (sf0.1).
+    - q_percentiles_approx: approx_percentile(accuracy=10000) → rank
+      error <= n/10000; observed value error <= 0.02% at sf0.01-0.1.
+      Bound kept at the historical 2% pin.
+    """
+    return {
+        "q_approx_distinct": {
+            "exact_sql": (
+                "SELECT count(DISTINCT o_custkey) AS approx_cust, "
+                "count(DISTINCT o_custkey) AS exact_cust FROM orders"
+            ),
+            "key_cols": [],
+            "rel_tol": {"approx_cust": 0.03},
+        },
+        "q_percentiles_approx": {
+            "exact_sql": (
+                "SELECT l_returnflag, "
+                "percentile_cont(0.5) WITHIN GROUP "
+                "(ORDER BY l_extendedprice) AS p50_approx, "
+                "percentile_cont(0.95) WITHIN GROUP "
+                "(ORDER BY l_extendedprice) AS p95_approx "
+                "FROM lineitem GROUP BY l_returnflag"
+            ),
+            "key_cols": ["l_returnflag"],
+            "rel_tol": {"p50_approx": 0.02, "p95_approx": 0.02},
+        },
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -73,6 +73,16 @@ def test_every_oracle_has_a_query_and_rows_only_floor_is_pinned():
         twin = {"q_approx_distinct": "q_distinct_agg",
                 "q_percentiles_approx": "q_percentiles"}[name]
         assert twin in reason and twin in os, (name, twin)
+    # round 9: every exclusion also carries a bounded-error oracle so
+    # sweeps verify it mechanically (pass (bounded)) instead of
+    # recording an unverified rows-only line
+    bounds = entry.oracle_bounds()
+    assert set(bounds) == set(entry.ORACLE_EXCLUSIONS)
+    for name, spec in bounds.items():
+        assert spec["exact_sql"].strip(), name
+        assert spec["rel_tol"], name
+        for col, tol in spec["rel_tol"].items():
+            assert 0 < tol <= 0.05, (name, col, tol)
 
 
 def test_every_entry_documented():

@@ -4,6 +4,12 @@ same parquet dir, compare row count, sorted column names, and an
 order-insensitive value hash (values normalized: floats rounded to 6dp,
 everything else stringified).
 
+Entries excluded from oracle_sql() (the engine-specific sketches listed
+in __spark_entry__.ORACLE_EXCLUSIONS) are evaluated against their
+``oracle_bounds()`` spec instead: DuckDB computes the EXACT values and
+each sketch column must sit within its declared relative tolerance —
+reported as ``pass (bounded)``, so a full sweep shows 0 rows-only.
+
 Usage: python tools/check_oracle.py [sf_dir] [only_query_prefix]
 """
 
@@ -44,6 +50,48 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def compare_bounded(scols, srows, ocols, orows, spec):
+    """Bounded-error comparison: rows aligned on spec['key_cols'] (or a
+    whole-row sort of the exact columns when empty); each column in
+    spec['rel_tol'] must sit within its relative tolerance of the exact
+    value, every other column must match exactly (normalized). Returns
+    a list of problem strings (empty = pass)."""
+    rel = spec.get("rel_tol", {})
+    keys = spec.get("key_cols", [])
+    problems = []
+    if len(srows) != len(orows):
+        return [f"rowcount spark={len(srows)} exact={len(orows)}"]
+    if sorted(scols) != sorted(ocols):
+        return [f"cols spark={sorted(scols)} exact={sorted(ocols)}"]
+    sidx = {c: i for i, c in enumerate(scols)}
+    oidx = {c: i for i, c in enumerate(ocols)}
+    sort_cols = keys or [c for c in sorted(scols) if c not in rel]
+
+    def keyed(rows, idx):
+        return sorted(rows, key=lambda r: tuple(normalize(r[idx[k]]) for k in sort_cols))
+
+    for srow, orow in zip(keyed(srows, sidx), keyed(orows, oidx)):
+        for c in scols:
+            sv, ov = srow[sidx[c]], orow[oidx[c]]
+            if c in rel:
+                if sv is None or ov is None:
+                    if sv is not ov:
+                        problems.append(f"{c}: NULL mismatch {sv!r} vs {ov!r}")
+                    continue
+                denom = abs(float(ov)) or 1.0
+                err = abs(float(sv) - float(ov)) / denom
+                if err > rel[c]:
+                    problems.append(
+                        f"{c}: {sv} vs exact {ov} "
+                        f"(err {err:.4f} > tol {rel[c]})"
+                    )
+            elif normalize(sv) != normalize(ov):
+                problems.append(
+                    f"{c}: {normalize(sv)} != exact {normalize(ov)}"
+                )
+    return problems
 
 
 def _oracle_child(sql: str, sf_dir: str, mem: str, threads: str, q) -> None:
@@ -96,6 +144,9 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # bounded-error oracles for the sketch entries (round 9): exact SQL
+    # + per-column relative tolerances instead of a value hash
+    bounds = getattr(entrymod, "oracle_bounds", dict)()
     # Optional per-entry wall budget for unattended sweeps on large /
     # adversarial inputs (CHECK_ORACLE_TIMEOUT_S, off by default so the
     # driver-gate behavior is unchanged). On expiry the running side is
@@ -187,16 +238,20 @@ def main():
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
+        bspec = None
         if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} (no oracle)")
-            n_weak += 1
-            continue
+            bspec = bounds.get(name)
+            if bspec is None:
+                print(f"weak  {name}: rows={len(srows)} (no oracle)")
+                n_weak += 1
+                continue
+        oracle_text = oracles[name] if name in oracles else bspec["exact_sql"]
         try:
             if isolate:
-                out, why = run_oracle_isolated(oracles[name])
+                out, why = run_oracle_isolated(oracle_text)
             else:
                 def _duck():
-                    res = con.execute(oracles[name])
+                    res = con.execute(oracle_text)
                     return [d[0] for d in res.description], res.fetchall()
 
                 out, why = run_with_budget("duckdb", name, _duck, con.interrupt)
@@ -229,6 +284,16 @@ def main():
                 continue
             print(f"FAIL  {name}: duckdb error: {msg[:300]}")
             n_fail += 1
+            continue
+        if bspec is not None:
+            problems = compare_bounded(scols, srows, ocols, orows, bspec)
+            dt = time.time() - t0
+            if problems:
+                print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems[:3]))
+                n_fail += 1
+            else:
+                print(f"pass  {name} ({dt:.1f}s, {len(srows)} rows, bounded)")
+                n_pass += 1
             continue
         problems = []
         if len(srows) != len(orows):
