@@ -137,20 +137,27 @@ FROM customer
 
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: sum of prices of orders whose key is within 100 below
-    the current key, per customer — a value-range (not row-count) frame."""
+    the current key, per customer — a value-range (not row-count) frame.
+    The frame sum accumulates in DECIMAL(30,6) (q01 pattern): a sliding
+    double sum's accumulation order differs per engine, which the data
+    fuzzer exposed at large magnitudes."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w), 2)
+        .cast("double")
+        .alias("nearby_total"),
     )
 
 
 _Q_RANGE_FRAME_ORACLE = """
 SELECT o_orderkey, o_custkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS nearby_total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                        RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS nearby_total
 FROM orders
 """
 
@@ -337,11 +344,11 @@ SELECT c_custkey, c_nationkey,
        percent_rank() OVER w AS pr,
        cume_dist() OVER w AS cd,
        nth_value(c_custkey, 2) OVER
-           (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           (PARTITION BY c_nationkey ORDER BY c_acctbal NULLS FIRST, c_custkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            AS second_cust
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal NULLS FIRST, c_custkey)
 """
 
 
@@ -545,7 +552,7 @@ def q_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_NTILE_SCALABLE_ORACLE = """
 SELECT o_orderkey,
-       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+       CAST(ntile(4) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS INT) AS quartile
 FROM orders
 """
 
@@ -567,23 +574,29 @@ def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition sort of the 3-row result: a SQL ORDER BY's range
     # sampler would re-execute the whole rank/join chain (see
     # q_percentiles' docstring)
+    # floor-based half-up quantization, NOT round(): Spark rounds the
+    # shortest decimal string, DuckDB the binary value — they disagree
+    # exactly AT a 5e-5 boundary, which the gen_fuzz corpus hit
+    # (operators/percentile.py percentile_interp_sql docstring)
     return (
         out.select(
             "l_returnflag",
-            F.round(F.col("p_0"), 4).alias("p50"),
-            F.round(F.col("p_1"), 4).alias("p95"),
+            F.expr("floor(p_0 * 10000 + 0.5) / 10000").alias("p50"),
+            F.expr("floor(p_1 * 10000 + 0.5) / 10000").alias("p95"),
         )
         .repartition(1)
         .sortWithinPartitions("l_returnflag")
     )
 
 
-_Q_PERCENTILES_SCALABLE_ORACLE = """
-SELECT l_returnflag,
-       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
-       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-"""
+from bq_duckdb_spark.operators.percentile import (
+    percentile_interp_sql as _pctl_sql,
+)
+
+_Q_PERCENTILES_SCALABLE_ORACLE = _pctl_sql(
+    "lineitem", "l_returnflag", "l_extendedprice",
+    {"p50": 0.5, "p95": 0.95}, dialect="duckdb",
+)
 
 
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -308,8 +308,13 @@ def text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges = train_bpe_merges(docs, n_merges=8)
+    # coalesce: a NULL document tokenizes to 0 subwords, matching the
+    # oracle's LEFT JOIN + coalesce(sum, 0) shape (gen_fuzz finding)
     return apply_bpe(docs, merges, "text").select(
-        "doc_id", F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens")
+        "doc_id",
+        F.expr("CAST(coalesce(size(bpe_tokens), 0) AS BIGINT)").alias(
+            "n_bpe_tokens"
+        ),
     )
 
 

@@ -425,7 +425,7 @@ FROM t GROUP BY len_bucket ORDER BY len_bucket
 # ---------------------------------------------------------------------------
 
 _PLANT_MESSY = (
-    "concat('<div class=\"x\">', text, '</div>',"
+    "concat('<div class=\"x\">', coalesce(text, ''), '</div>',"
     " CASE WHEN doc_id % 3 = 0 THEN ' R&amp;D   Caf\u00e9' ELSE '' END,"
     " CASE WHEN doc_id % 4 = 0 THEN '<br/>&nbsp;\u00c0 BIENT\u00d4T' ELSE '' END)"
 )

@@ -206,9 +206,20 @@ def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (avg widens scale differently per engine, so the money-safe
     pattern is sum/count and divide in the consumer)."""
     orders = _t(spark, sf_dir, "orders")
+    # two-step conversion (gen_fuzz finding): a DIRECT double->DECIMAL(18,2)
+    # cast is engine-defined on values like 48183.284999999996 (DuckDB
+    # renders ~15 significant digits -> .285 -> .29; Spark uses the
+    # shortest round-trip string -> .28499... -> .28). At 6dp the two
+    # agree for any real-world money double; the 2dp narrowing must
+    # then be an EXPLICIT round() — a bare decimal->decimal down-scale
+    # cast TRUNCATES in DuckDB (36043.665 -> .66) but rounds half-up in
+    # Spark (-> .67). round() is half-away-from-zero in both.
     dec = orders.select(
         "o_orderpriority",
-        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").alias("d"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(30,6)), 2) "
+            "AS DECIMAL(18,2))"
+        ).alias("d"),
     )
     return dec.groupBy("o_orderpriority").agg(
         F.expr("CAST(sum(d) AS STRING)").alias("total"),
@@ -224,7 +235,9 @@ SELECT o_orderpriority,
        CAST(min(d) AS STRING) AS lo,
        CAST(max(d) AS STRING) AS hi,
        count(*) AS n
-FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS d
+FROM (SELECT o_orderpriority,
+             CAST(round(CAST(o_totalprice AS DECIMAL(30,6)), 2)
+                  AS DECIMAL(18,2)) AS d
       FROM orders)
 GROUP BY o_orderpriority
 """
@@ -282,10 +295,15 @@ def q_array_agg_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice — one hash-agg shuffle, the per-group sort bounded by group
     size (a production top-k would pre-prune with a window)."""
     orders = _t(spark, sf_dir, "orders")
+    # sort key leads with an is-NULL flag: BigQuery's ORDER BY x DESC
+    # puts NULLs LAST, while a bare struct sort would put the NULL 'np'
+    # field first (gen_fuzz finding)
     return orders.groupBy("o_orderpriority").agg(
         F.expr(
             "concat_ws(',', transform(slice(array_sort("
-            "collect_list(named_struct('np', -o_totalprice, 'k', o_orderkey))"
+            "collect_list(named_struct("
+            "'nn', CAST(o_totalprice IS NULL AS INT), "
+            "'np', -coalesce(o_totalprice, 0.0D), 'k', o_orderkey))"
             "), 1, 3), s -> CAST(s.k AS STRING)))"
         ).alias("top3")
     )
@@ -294,7 +312,7 @@ def q_array_agg_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_ARRAY_AGG_STRUCT_ORACLE = """
 SELECT o_orderpriority,
        array_to_string(
-           list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[:3], ','
+           list(o_orderkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)[:3], ','
        ) AS top3
 FROM orders GROUP BY o_orderpriority
 """
@@ -399,9 +417,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_apply_oracle() -> str:
     from bq_duckdb_spark.ext.bpe import apply_bpe_oracle_expr
 
+    # coalesce: Spark's concat_ws renders a NULL token array as '',
+    # the DuckDB fold as NULL (gen_fuzz finding)
     return (
-        f"SELECT doc_id, {apply_bpe_oracle_expr(_BPE_MERGES)} AS bpe_sig "
-        "FROM documents"
+        f"SELECT doc_id, coalesce({apply_bpe_oracle_expr(_BPE_MERGES)}, '') "
+        "AS bpe_sig FROM documents"
     )
 
 
@@ -461,6 +481,10 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN v IS NOT NULL THEN v "
         "WHEN prev_v IS NULL THEN next_v "
         "WHEN next_v IS NULL THEN prev_v "
+        # equal-timestamp neighbors (duplicate ts rows exist in real
+        # streams; gen_fuzz plants them): the gap has zero duration, so
+        # interpolate to the midpoint instead of dividing by zero
+        "WHEN next_ts = prev_ts THEN (prev_v + next_v) / 2.0 "
         "ELSE prev_v + (next_v - prev_v) "
         "* (CAST(unix_micros(ts) - prev_ts AS DOUBLE) "
         "/ CAST(next_ts - prev_ts AS DOUBLE)) END"
@@ -499,6 +523,7 @@ SELECT event_id, user_id, v IS NULL AS was_missing,
        CASE WHEN v IS NOT NULL THEN v
             WHEN prev_v IS NULL THEN next_v
             WHEN next_v IS NULL THEN prev_v
+            WHEN next_ts = prev_ts THEN (prev_v + next_v) / 2.0
             ELSE prev_v + (next_v - prev_v)
                  * (CAST(epoch_us(ts) - prev_ts AS DOUBLE)
                     / CAST(next_ts - prev_ts AS DOUBLE)) END AS value_filled
@@ -560,8 +585,8 @@ SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {_TB_BUDGET}
 # ---------------------------------------------------------------------------
 
 _LR_BUCKETS, _LR_ITERS = 64, 3
-_LR_LABEL_SPARK = "CAST(lang = 'en' AS INT)"
-_LR_LABEL_DUCK = "(lang = 'en')"
+_LR_LABEL_SPARK = "CAST(coalesce(lang = 'en', false) AS INT)"
+_LR_LABEL_DUCK = "coalesce(lang = 'en', false)"
 
 
 def text_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,8 +778,13 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     different algorithm."""
     from bq_duckdb_spark.operators.skyline import skyline_2d
 
-    orders = _t(spark, sf_dir, "orders").withColumn(
-        "o_year", F.year("o_orderdate").cast("long")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        # a point with a NULL coordinate has no dominance relation —
+        # the NOT EXISTS oracle would keep every such row while the
+        # window form sorts them arbitrarily (gen_fuzz finding)
+        .where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
     )
     return skyline_2d(
         orders, "o_totalprice", "o_orderdate", by=["o_orderpriority", "o_year"]
@@ -767,12 +797,17 @@ WITH pts AS (
            CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
            o_totalprice, o_orderdate
     FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
 )
 SELECT o_orderpriority, o_year, o_totalprice, o_orderdate
 FROM pts p
 WHERE NOT EXISTS (
     SELECT 1 FROM pts q
-    WHERE q.o_orderpriority = p.o_orderpriority AND q.o_year = p.o_year
+    -- IS NOT DISTINCT FROM: a NULL priority is a group like any
+    -- other (window-partition semantics); plain = would exempt
+    -- every NULL-group point from dominance (gen_fuzz finding)
+    WHERE q.o_orderpriority IS NOT DISTINCT FROM p.o_orderpriority
+      AND q.o_year = p.o_year
       AND q.o_totalprice >= p.o_totalprice AND q.o_orderdate <= p.o_orderdate
       AND (q.o_totalprice > p.o_totalprice OR q.o_orderdate < p.o_orderdate)
 )
@@ -788,7 +823,11 @@ def q_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bq_duckdb_spark.operators.skyline import skyline_nd
 
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_quantity") <= 10) & (F.year("l_shipdate") == 1996)
+        (F.col("l_quantity") <= 10)
+        & (F.year("l_shipdate") == 1996)
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_tax").isNotNull()
     )
     return skyline_nd(
         li,
@@ -803,12 +842,14 @@ WITH pts AS (
     SELECT DISTINCT l_returnflag, l_extendedprice, l_discount, l_tax
     FROM lineitem
     WHERE l_quantity <= 10 AND EXTRACT(year FROM l_shipdate) = 1996
+      AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      AND l_tax IS NOT NULL
 )
 SELECT l_returnflag, l_extendedprice, l_discount, l_tax
 FROM pts p
 WHERE NOT EXISTS (
     SELECT 1 FROM pts q
-    WHERE q.l_returnflag = p.l_returnflag
+    WHERE q.l_returnflag IS NOT DISTINCT FROM p.l_returnflag
       AND q.l_extendedprice >= p.l_extendedprice
       AND q.l_discount <= p.l_discount AND q.l_tax <= p.l_tax
       AND (q.l_extendedprice > p.l_extendedprice

@@ -338,10 +338,13 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c0",
         "n1",
         "c1",
+        # nullif: a degenerate experiment (every user converts, or
+        # none do) has pooled variance 0 — the z statistic is undefined
+        # (NULL), not a DIVIDE_BY_ZERO error (gen_fuzz finding)
         F.expr(
             "(c1 / n1 - c0 / n0) / "
-            "sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1)) "
-            "* (1 / n0 + 1 / n1))"
+            "nullif(sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1)) "
+            "* (1 / n0 + 1 / n1)), 0.0)"
         ).alias("z_score"),
     )
 
@@ -367,8 +370,8 @@ one AS (
 )
 SELECT n0, c0, n1, c1,
        (c1 / n1 - c0 / n0) /
-       sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
-            * (1 / n0 + 1 / n1)) AS z_score
+       nullif(sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+            * (1 / n0 + 1 / n1)), 0.0) AS z_score
 FROM one
 """
 
@@ -788,10 +791,12 @@ FROM unconverged WHERE n > 0
 
 _EVAL_SCORED = """
 scored AS (
+    -- text IS NOT NULL + coalesced label: a NULL document has no score
+    -- and a NULL lang is simply not English (gen_fuzz finding)
     SELECT doc_id, source,
            1.0 / (1.0 + exp(-10.0 * ({score}))) AS prob,
-           CAST(lang = 'en' AS BIGINT) AS y
-    FROM documents
+           CAST(coalesce(lang = 'en', false) AS BIGINT) AS y
+    FROM documents WHERE text IS NOT NULL
 )
 """
 
@@ -803,11 +808,15 @@ def _eval_scored_df(spark: SparkSession, sf_dir: str):
     from bq_duckdb_spark.ext.retrieval import classifier_score_expr
 
     score = classifier_score_expr("text", 1024, "spark")
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.expr(f"1.0 / (1.0 + exp(-10.0 * ({score})))").alias("prob"),
-        (F.col("lang") == "en").cast("long").alias("y"),
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"1.0 / (1.0 + exp(-10.0 * ({score})))").alias("prob"),
+            F.coalesce(F.col("lang") == "en", F.lit(False)).cast("long").alias("y"),
+        )
     )
 
 
@@ -979,7 +988,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary comparison cannot flip between engines."""
     from pyspark.sql.window import Window as W
 
-    li = _t(spark, sf_dir, "lineitem")
+    # NULL prices/quantities are excluded like percentile_cont excludes
+    # NULL values: Spark sorts NULLs first in the cumulative window,
+    # DuckDB last, so keeping them skews every threshold (gen_fuzz)
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     cum = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
     tot = W.partitionBy("l_returnflag")
     ranked = li.select(
@@ -1009,6 +1023,7 @@ WITH ranked AS (
                                ORDER BY l_extendedprice) AS cw,
          sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 )
 SELECT l_returnflag,
        min(CASE WHEN cw >= 0.5 * tw THEN v END) AS w_median,

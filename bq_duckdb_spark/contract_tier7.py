@@ -101,7 +101,12 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct aggregate over all orders, which is exactly what the oracle
     computes. Sums rounded as cross-order aggregates (merge order
     differs from a single-pass sum's)."""
-    orders = _t(spark, sf_dir, "orders")
+    # money accumulates in DECIMAL(30,6) (q01 pattern): partial-state
+    # merge order differs from the oracle's single pass, and gen_fuzz's
+    # boundary values landed a double sum ON the 2dp rounding edge
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(30,6)")
+    )
     cut = F.lit(_CUT).cast("timestamp")
     base = orders.filter(F.col("o_orderdate") < cut)
     delta = orders.filter(F.col("o_orderdate") >= cut)
@@ -122,14 +127,15 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey",
         F.col("n_rows").alias("n_orders"),
-        F.round("total", 2).alias("total_price"),
+        F.round("total", 2).cast("double").alias("total_price"),
     )
 
 
 _Q_INCREMENTAL_AGG_ORACLE = """
 SELECT o_custkey,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+           AS total_price
 FROM orders GROUP BY o_custkey
 """
 

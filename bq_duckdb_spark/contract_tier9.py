@@ -51,7 +51,8 @@ def pipe_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPE_SUBSTRING_DEDUP_ORACLE = rf"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE text IS NOT NULL
 ),
 wins AS (
   -- window text by INDEXED access: list_slice copies the whole token

@@ -156,8 +156,18 @@ def kmeans_oracle_sql(
             "        SELECT vec_id, cell,",
             "               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn",
             "        FROM (",
+            # ordered left fold, NOT sum(): an unordered GROUP BY sum's
+            # addition order is scan-dependent, so two IDENTICAL
+            # centroids (possible when init vectors are duplicates —
+            # gen_fuzz plants an exact-duplicate block) can get
+            # ULP-different distances and steal the lower-cell tie.
+            # list(x ORDER BY pos) + list_reduce reproduces the Spark
+            # fold's exact addition sequence.
             "            SELECT v.vec_id, c.cell,",
-            "                   sum((v.val - c.val) * (v.val - c.val)) AS d",
+            "                   list_reduce(",
+            "                       list((v.val - c.val) * (v.val - c.val)",
+            "                            ORDER BY v.pos),",
+            "                       (a, b) -> a + b) AS d",
             f"            FROM vecs v JOIN {prev} c USING (pos)",
             "            GROUP BY v.vec_id, c.cell",
             "        )",

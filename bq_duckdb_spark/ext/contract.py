@@ -576,14 +576,14 @@ SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
        CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
             t -> length(t))) AS DOUBLE)
-           / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_word_len,
+           / nullif(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS mean_word_len,
        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-           / length(text) AS punct_ratio,
+           / nullif(length(text), 0) AS punct_ratio,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-           / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+           / nullif(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS stopword_ratio,
        CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
-           / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
+           / nullif(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS distinct_ratio
 FROM documents
 """
 
@@ -682,9 +682,13 @@ def _langid_oracle() -> str:
         conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :])
         branches.append(f"WHEN {conds} THEN '{lang}'")
     case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    # NULL text scores NULL everywhere: the Spark fold keeps its
+    # ('und', -1) init (NULL > x is NULL -> acc), while a bare CASE
+    # chain would fall through to the last language (gen_fuzz finding)
     return (
-        f"WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents) "
-        f"SELECT doc_id, lang, {case} AS pred_lang FROM s"
+        f"WITH s AS (SELECT doc_id, lang, text, {score_cols} FROM documents) "
+        f"SELECT doc_id, lang, "
+        f"CASE WHEN text IS NULL THEN 'und' ELSE {case} END AS pred_lang FROM s"
     )
 
 
@@ -731,9 +735,9 @@ WITH scored AS (
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+               / nullif(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS stopword_ratio,
            CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
+               / nullif(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS distinct_ratio
     FROM documents
 ),
 filtered AS (
@@ -758,8 +762,9 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_CHUNKS_ORACLE = """
 WITH t AS (
+    -- Spark's posexplode drops NULL-text docs (no tokens, no chunks)
     SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 c AS (
     SELECT doc_id, toks,
@@ -779,7 +784,7 @@ FROM c, unnest(range(0, n_chunks)) AS u(i)
 # plant deterministic ones from existing columns — the operators then do
 # real (oracle-checked) work on every row.
 _PII_PLANT = (
-    "concat(text, ' contact ', source, '@corp-', doc_id, '.com id 123-45-6789 "
+    "concat(coalesce(text, ''), ' contact ', source, '@corp-', doc_id, '.com id 123-45-6789 "
     "tel +1 415-555-', lpad(CAST(doc_id AS STRING), 4, '0'))"
 )
 
@@ -797,7 +802,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_REDACT_ORACLE = """
 WITH planted AS (
     SELECT doc_id,
-           concat(text, ' contact ', source, '@corp-', doc_id, '.com id 123-45-6789 tel +1 415-555-',
+           concat(coalesce(text, ''), ' contact ', source, '@corp-', doc_id, '.com id 123-45-6789 tel +1 415-555-',
                   lpad(CAST(doc_id AS VARCHAR), 4, '0')) AS text
     FROM documents
 ),
@@ -826,14 +831,14 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-line removal over docs with a planted shared footer
     (every doc gets one): the footer must vanish, unique lines stay."""
     docs = _t(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "concat(text, '\\n', 'shared footer line') AS text"
+        "doc_id", "concat(coalesce(text, ''), '\\n', 'shared footer line') AS text"
     )
     return scrub.strip_boilerplate(docs, max_doc_frac=0.2)
 
 
 _TEXT_BOILERPLATE_ORACLE = """
 WITH planted AS (
-    SELECT doc_id, concat(text, chr(10), 'shared footer line') AS text
+    SELECT doc_id, concat(coalesce(text, ''), chr(10), 'shared footer line') AS text
     FROM documents
 ),
 arrs AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
@@ -855,7 +860,7 @@ def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shared domain every 10th doc)."""
     docs = _t(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        "concat(text, ' see https://', source, '.example.com/p/', doc_id, "
+        "concat(coalesce(text, ''), ' see https://', source, '.example.com/p/', doc_id, "
         "CASE WHEN doc_id % 10 = 0 THEN ' and https://common.example.org/x' ELSE '' END) AS text",
     )
     return scrub.domain_stats(docs).orderBy("domain")
@@ -863,7 +868,7 @@ def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_DOMAINS_ORACLE = """
 WITH planted AS (
-    SELECT concat(text, ' see https://', source, '.example.com/p/', doc_id,
+    SELECT concat(coalesce(text, ''), ' see https://', source, '.example.com/p/', doc_id,
                   CASE WHEN doc_id % 10 = 0 THEN ' and https://common.example.org/x' ELSE '' END)
                AS text
     FROM documents
@@ -980,9 +985,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hex(encode(text)) with a strpos-based nibble decode.
 _MULTIMODAL_FEATURES_ORACLE = """
 WITH blobs AS (
+    -- make_blob_table drops NULL payloads (a blob needs bytes)
     SELECT doc_id AS blob_id, hex(encode(text)) AS h,
            octet_length(encode(text)) AS n
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 b AS (
     SELECT blob_id, n,

@@ -42,7 +42,8 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPE_DECONTAMINATE_ORACLE = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
 ),
 grams AS (
   SELECT doc_id,
@@ -191,7 +192,8 @@ def pipe_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPE_SPAN_DEDUP_ORACLE = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
 ),
 spans AS (
   SELECT doc_id,

@@ -177,8 +177,13 @@ def _with_shingle_hashes(
     is preserved up to 2^-64 collisions, while skipping the dominant
     cost of materializing k-gram strings (slice + concat_ws per gram in
     an interpreted lambda — 12x slower, measured). Docs shorter than k
-    tokens hash as one whole-document shingle.
+    tokens hash as one whole-document shingle. NULL-text rows are
+    DROPPED: a NULL document has no shingle set, and keeping it would
+    band every NULL doc into one everything-matches bucket (gen_fuzz
+    finding — 15 phantom pairs from 6 NULL docs); exact dedup is the
+    operator that handles contentless rows.
     """
+    df = df.where(F.col(text_col).isNotNull())
     th = f"transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))"
     args = ", ".join(f"element_at(__th, i + {j})" for j in range(k))
     sh = (
@@ -644,8 +649,10 @@ def with_simhash64(df: DataFrame, text_col: str) -> DataFrame:
     numpy UDF (see _simhash_pack_udf for why not pure SQL).
     """
     toks = _tokens_expr(text_col)
+    # NULL-text rows dropped — no token set, no fingerprint (see
+    # _with_shingle_hashes; gen_fuzz finding)
     return (
-        df
+        df.where(F.col(text_col).isNotNull())
         .withColumn("__tok_hashes", F.expr(f"transform({toks}, t -> xxhash64(t))"))
         .withColumn("simhash", _simhash_pack(F.col("__tok_hashes")))
         .drop("__tok_hashes")

@@ -140,8 +140,11 @@ def _with_poly_shingle_hashes(
     # tokenize ONCE into a named column: grams_expr's lambda then
     # slices an attribute, not a re-inlined split (see grams_expr)
     g = grams_expr(text_col, k, "spark", tokens="__ptoks")
+    # NULL-text rows dropped — no shingle set, no banding (see
+    # dedup._with_shingle_hashes; gen_fuzz finding)
     return (
-        df.withColumn("__ptoks", F.expr(f"split(trim({text_col}), '\\\\s+')"))
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("__ptoks", F.expr(f"split(trim({text_col}), '\\\\s+')"))
         .withColumn(
             out,
             F.expr(

@@ -39,7 +39,10 @@ def transition_edges(
             F.col(type_col).alias("src"),
             F.lead(type_col).over(w).alias("dst"),
         )
-        .filter(F.col("dst").isNotNull())
+        # a NULL event type is not a node: NULL src edges would count
+        # as outflow in one engine's equality joins and as dangling
+        # mass in the other's (gen_fuzz finding)
+        .filter(F.col("dst").isNotNull() & F.col("src").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
@@ -131,7 +134,7 @@ def pagerank_oracle_sql(iters: int = 8, damping: float = DAMPING) -> str:
         "),",
         "edges AS MATERIALIZED (",
         "    SELECT src, dst, CAST(count(*) AS DOUBLE) AS w",
-        "    FROM tr WHERE dst IS NOT NULL GROUP BY src, dst",
+        "    FROM tr WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst",
         "),",
         "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",

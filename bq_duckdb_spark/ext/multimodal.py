@@ -71,7 +71,11 @@ FEATURE_SCHEMA = T.StructType(
 
 def make_blob_table(df: DataFrame, id_col: str, text_col: str, source_col: str) -> DataFrame:
     """Build a multimodal blob table from any table with an id + payload
-    source (here: text bytes stand in for encoded media)."""
+    source (here: text bytes stand in for encoded media).
+
+    Rows with a NULL payload source are dropped: a blob IS its bytes, and
+    a NULL payload would otherwise reach the Arrow batch as None and
+    crash the feature extractor's len() (gen_fuzz finding)."""
     payload = F.encode(F.col(text_col), "UTF-8")
     return df.select(
         F.col(id_col).cast("long").alias("blob_id"),
@@ -81,7 +85,7 @@ def make_blob_table(df: DataFrame, id_col: str, text_col: str, source_col: str) 
             F.length(payload).cast("long").alias("n_bytes"),
             F.col(source_col).alias("source"),
         ).alias("meta"),
-    )
+    ).where(F.col("payload").isNotNull())
 
 
 def _parse_netpbm(payload: bytes) -> tuple[np.ndarray, int]:

@@ -436,7 +436,10 @@ def span_dedup(
     # split would re-tokenize per span), then n_spans and the span array
     # are computed once per document below the Generate; exploding by
     # attribute keeps everything out of the per-span Project.
-    base = df.select(
+    # NULL-text docs have no spans and are dropped (filter pushed to
+    # the scan); keeping them would emit a phantom row whose NULL
+    # counts the SQL twin renders differently (gen_fuzz finding)
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.expr(toks).alias("__toks")
     ).select(
         F.col(id_col), F.expr(nsp).alias("n_spans"), F.expr(spans).alias("__spans")
@@ -519,8 +522,11 @@ def substring_dedup(
 
 
 def _substr_tok_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # NULL-text docs are dropped (see span_dedup)
     toks = f"split(trim({text_col}), '\\\\s+')"
-    return df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.expr(toks).alias("__toks")
+    )
 
 
 def _substr_windows(

@@ -363,8 +363,12 @@ def train_logreg(
     a plain list (bucket b's weight at index b).
     """
     poly = char_poly_expr("t", "spark")
+    # NULL-text docs carry no features; the oracle's unnest silently
+    # drops them from feat but Spark's count() would still include them
+    # in the 1/N divisor — filter them on BOTH sides (gen_fuzz finding)
     prep = (
-        df.select(
+        df.where(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col),
             F.expr(label_expr).cast("double").alias("y"),
             F.expr(_tokens(text_col)).alias("__toks"),
@@ -423,7 +427,7 @@ def logreg_oracle_sql(
         "    SELECT doc_id,",
         f"           CAST({label_sql} AS DOUBLE) AS y,",
         r"           regexp_split_to_array(trim(text), '\s+') AS toks",
-        "    FROM documents",
+        "    FROM documents WHERE text IS NOT NULL",
         "),",
         "feat AS MATERIALIZED (",
         "    SELECT doc_id, y, n,",

@@ -62,26 +62,32 @@ def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             "mean_word_len",
             F.expr(
                 f"CAST(aggregate({toks}, 0, (a, t) -> a + length(t)) AS DOUBLE) "
-                f"/ size({toks})"
+                f"/ nullif(size({toks}), 0)"
             ),
         )
         .withColumn(
+            # nullif guards (gen_fuzz finding): an EMPTY document has
+            # length 0 and under ANSI mode a bare division throws
+            # DIVIDE_BY_ZERO; ratio-of-nothing is NULL, not an error
             "punct_ratio",
             F.expr(
                 f"CAST(length(regexp_replace({text_col}, '[^.,;:!?]', '')) AS DOUBLE) "
-                f"/ length({text_col})"
+                f"/ nullif(length({text_col}), 0)"
             ),
         )
         .withColumn(
             "stopword_ratio",
             F.expr(
                 f"CAST(size(filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE) "
-                f"/ size({toks})"
+                f"/ nullif(size({toks}), 0)"
             ),
         )
         .withColumn(
             "distinct_ratio",
-            F.expr(f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks})"),
+            F.expr(
+                f"CAST(size(array_distinct({toks})) AS DOUBLE) "
+                f"/ nullif(size({toks}), 0)"
+            ),
         )
     )
     return out.drop("__toks") if drop_toks else out
@@ -211,10 +217,13 @@ def chunk_documents(
     # posexplode_outer + null filter: keeps the chunking expression out
     # of an inferred pre-Generate filter (it would be evaluated 3x per
     # row; see ext/dedup.py banding comment). The transform always
-    # yields >= 1 chunk for non-null text, so only null-text rows (which
-    # plain posexplode also drops) are filtered.
+    # yields >= 1 chunk for non-null text. NULL text is filtered at the
+    # SOURCE (pushed to the scan): inside the transform, concat_ws
+    # renders a NULL token slice as '' — one spurious empty chunk that
+    # the chunk_text null filter cannot catch (gen_fuzz finding).
     return (
-        df.select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
             F.posexplode_outer(F.expr(chunks)).alias("chunk_idx", "chunk_text"),

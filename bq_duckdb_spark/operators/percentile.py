@@ -141,3 +141,82 @@ def percentile_cont_scalable(
         .agg(*aggs)
         .withColumnRenamed("__g", group_col)
     )
+
+
+def percentile_interp_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    quantiles: dict[str, float],
+    dialect: str = "duckdb",
+) -> str:
+    """Engine-portable EXPLICIT percentile_cont SQL: bracketing-rank
+    interpolation with decimal quantile literals and the deterministic
+    half-up quantization ``floor(x * 1e4 + 0.5) / 1e4``.
+
+    Why not the native ``percentile_cont``: its interpolation formula is
+    engine-internal — DuckDB's differs from ``v_lo*(1-f) + v_hi*f`` by
+    1 ulp on ~10% of inputs (measured against 3000 two-point sets; no
+    candidate formula, incl. std::lerp and FMA variants, reproduced it
+    exactly) — and ``round(x, 4)`` differs AT the 5e-5 boundary (Spark
+    rounds the shortest decimal string half-up, DuckDB the binary
+    value). The gen_fuzz sweep landed an interpolated p95 exactly on
+    that boundary (seed 1). With both sides running THIS text (modulo
+    the null-safe-equality spelling), every operation is the same IEEE
+    op on the same values, so results are bit-equal at any scale; the
+    native function remains the independent anchor through
+    q_percentiles_approx's bounded oracle (2% tolerance absorbs ulps).
+
+    ``quantiles`` maps output column name -> quantile; values must have
+    exact short decimal literals (0.5, 0.95 — they are embedded as SQL
+    DECIMAL literals so k and frac stay exact).
+    """
+    eq = "<=>" if dialect == "spark" else "IS NOT DISTINCT FROM"
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    hint_a = "/*+ BROADCAST(a) */ " if dialect == "spark" else ""
+
+    def k(q):
+        return f"(n - 1) * {q}"
+
+    def term(q):
+        return (
+            f"CASE WHEN rn = CAST(floor({k(q)}) AS BIGINT) "
+            f"THEN v * (1.0 - ({k(q)} - floor({k(q)}))) ELSE 0.0 END "
+            f"+ CASE WHEN rn = CAST(ceil({k(q)}) AS BIGINT) "
+            f"AND ceil({k(q)}) <> floor({k(q)}) "
+            f"THEN v * ({k(q)} - floor({k(q)})) ELSE 0.0 END"
+        )
+
+    brackets = ", ".join(
+        f"CAST({f}({k(q)}) AS BIGINT)"
+        for q in quantiles.values()
+        for f in ("floor", "ceil")
+    )
+    aggs = ", ".join(
+        f"floor(sum({term(q)}) * 10000 + 0.5) / 10000 AS {name}"
+        for name, q in quantiles.items()
+    )
+    out_cols = ", ".join(f"a.{name}" for name in quantiles)
+    return f"""
+WITH counts AS (
+    SELECT {group_col}, count({value_col}) AS n
+    FROM {table} GROUP BY {group_col}
+),
+ranked AS (
+    SELECT {group_col}, {value_col} AS v,
+           row_number() OVER (PARTITION BY {group_col}
+                              ORDER BY {value_col}) - 1 AS rn
+    FROM {table} WHERE {value_col} IS NOT NULL
+),
+picked AS (
+    SELECT {hint}r.{group_col}, r.v, r.rn, c.n
+    FROM ranked r JOIN counts c ON r.{group_col} {eq} c.{group_col}
+    WHERE CAST(r.rn AS BIGINT) IN ({brackets})
+),
+agg AS (
+    SELECT {group_col}, {aggs}
+    FROM picked GROUP BY {group_col}
+)
+SELECT {hint_a}c.{group_col}, {out_cols}
+FROM counts c LEFT JOIN agg a ON c.{group_col} {eq} a.{group_col}
+"""

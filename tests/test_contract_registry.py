@@ -80,9 +80,12 @@ def test_every_oracle_has_a_query_and_rows_only_floor_is_pinned():
     assert set(bounds) == set(entry.ORACLE_EXCLUSIONS)
     for name, spec in bounds.items():
         assert spec["exact_sql"].strip(), name
-        assert spec["rel_tol"], name
-        for col, tol in spec["rel_tol"].items():
+        # either a relative tolerance or a quantile-bracket bound
+        assert spec.get("rel_tol") or spec.get("brackets"), name
+        for col, tol in spec.get("rel_tol", {}).items():
             assert 0 < tol <= 0.05, (name, col, tol)
+        for col, (lo, hi) in spec.get("brackets", {}).items():
+            assert lo in spec["exact_sql"] and hi in spec["exact_sql"], (name, col)
 
 
 def test_every_entry_documented():

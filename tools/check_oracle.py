@@ -54,17 +54,29 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def compare_bounded(scols, srows, ocols, orows, spec):
     """Bounded-error comparison: rows aligned on spec['key_cols'] (or a
-    whole-row sort of the exact columns when empty); each column in
-    spec['rel_tol'] must sit within its relative tolerance of the exact
-    value, every other column must match exactly (normalized). Returns
-    a list of problem strings (empty = pass)."""
+    whole-row sort of the exact columns when empty). Two bound kinds:
+
+    - spec['rel_tol'][col] = t: the Spark value must sit within relative
+      tolerance t of the exact oracle value (same column name on both
+      sides); every unlisted shared column must match exactly.
+    - spec['brackets'][col] = (lo_col, hi_col): the Spark value must lie
+      inside the exact [lo, hi] interval the oracle computed (rank-bound
+      sketches: quantile brackets, not value tolerances).
+
+    Returns a list of problem strings (empty = pass)."""
     rel = spec.get("rel_tol", {})
+    brackets = spec.get("brackets", {})
     keys = spec.get("key_cols", [])
     problems = []
     if len(srows) != len(orows):
         return [f"rowcount spark={len(srows)} exact={len(orows)}"]
-    if sorted(scols) != sorted(ocols):
+    bracket_cols = {c for pair in brackets.values() for c in pair}
+    if not brackets and sorted(scols) != sorted(ocols):
         return [f"cols spark={sorted(scols)} exact={sorted(ocols)}"]
+    if brackets:
+        missing = [c for c in list(keys) + sorted(bracket_cols) if c not in ocols]
+        if missing:
+            return [f"oracle missing bracket cols {missing}"]
     sidx = {c: i for i, c in enumerate(scols)}
     oidx = {c: i for i, c in enumerate(ocols)}
     sort_cols = keys or [c for c in sorted(scols) if c not in rel]
@@ -74,7 +86,23 @@ def compare_bounded(scols, srows, ocols, orows, spec):
 
     for srow, orow in zip(keyed(srows, sidx), keyed(orows, oidx)):
         for c in scols:
-            sv, ov = srow[sidx[c]], orow[oidx[c]]
+            sv = srow[sidx[c]]
+            if c in brackets:
+                lo = orow[oidx[brackets[c][0]]]
+                hi = orow[oidx[brackets[c][1]]]
+                if sv is None or lo is None or hi is None:
+                    if not (sv is None and lo is None and hi is None):
+                        problems.append(
+                            f"{c}: NULL mismatch {sv!r} vs [{lo!r}, {hi!r}]"
+                        )
+                elif not (float(lo) <= float(sv) <= float(hi)):
+                    problems.append(
+                        f"{c}: {sv} outside exact bracket [{lo}, {hi}]"
+                    )
+                continue
+            if c not in oidx:
+                continue  # spark-only col under a brackets spec
+            ov = orow[oidx[c]]
             if c in rel:
                 if sv is None or ov is None:
                     if sv is not ov:

@@ -12,6 +12,8 @@ Stages (each also writes its own log artifact):
 3. oracle sweep at sf1               → ORACLE_sf1_r{N}.log   (.sf1,
    same fences; skipped unless the corpus dir exists)
 4. plan audit over the contract      → PLAN_AUDIT_r{N}.txt
+4b. randomized data-fuzz sweep       → FUZZDATA_r{N}.txt (2 seeded
+    hostile-value corpora x full contract — tools/fuzz_sweep.py)
 5. full pytest                       → PYTEST_r{N}.log
 6. bench at sf0.1                    → BENCH_local_r{N}.json
    The bench stage is a real gate since round 9: it fails on (a) total
@@ -27,7 +29,7 @@ paths, wall seconds, and an overall "green" boolean. Exit code 1 when
 any gate is red.
 
 Usage: python tools/gates.py [round_no] [--skip stage1,stage2]
-Stages: sf01 hostile sf1 plans pytest bench
+Stages: sf01 hostile sf1 plans fuzz pytest bench
 """
 
 from __future__ import annotations
@@ -234,6 +236,21 @@ def main():
 
     stage("plans", plans)
 
+    def fuzz():
+        log = f"{REPO}/FUZZDATA_r{rnd}.txt"
+        rc, secs = _run(
+            [sys.executable, "tools/fuzz_sweep.py", f"FUZZDATA_r{rnd}.txt", "2"],
+            f"{REPO}/.fuzz_sweep_stdout.log",
+            env_extra={"SPARK_GRAFT_CPUS": "32",
+                       "CHECK_ORACLE_TIMEOUT_S": "600"},
+        )
+        txt = open(log).read() if os.path.exists(log) else ""
+        m = re.search(r"verdict: (\w+)", txt)
+        return {"rc": rc, "verdict": m.group(1) if m else "missing",
+                "sec": round(secs, 1), "log": os.path.basename(log)}
+
+    stage("fuzz", fuzz)
+
     def pytest_stage():
         log = f"{REPO}/PYTEST_r{rnd}.log"
         rc, secs = _run(
@@ -286,6 +303,8 @@ def main():
             return s.get("fail") == 0 and s.get("rc") == 0 and not s.get("timeouts")
         if name == "plans":
             return s.get("flagged") == 0 and s.get("rc") == 0
+        if name == "fuzz":
+            return s.get("verdict") == "GREEN" and s.get("rc") == 0
         if name == "pytest":
             return s.get("failed") == 0 and s.get("rc") == 0
         if name == "bench":
