@@ -354,7 +354,7 @@ WITH t AS (
 ),
 c AS (
     SELECT doc_id, n_tokens,
-           sum(n_tokens) OVER (ORDER BY source, doc_id
+           sum(n_tokens) OVER (ORDER BY source NULLS FIRST, doc_id
                                ROWS UNBOUNDED PRECEDING) AS cum
     FROM t
 )
@@ -385,7 +385,7 @@ def pipe_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPE_ASSIGN_IDS_ORACLE = """
 SELECT doc_id, source,
-       row_number() OVER (ORDER BY source, doc_id) - 1 AS stable_id
+       row_number() OVER (ORDER BY source NULLS FIRST, doc_id) - 1 AS stable_id
 FROM documents
 """
 
