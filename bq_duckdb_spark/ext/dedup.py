@@ -1003,17 +1003,35 @@ def connected_components(
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     if prev_sum is None:  # no edges at all
         return labels.select("node", F.col("lbl").alias("cluster_id"))
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("lbl").alias("nbl"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.dst, "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbl", "lbl")).alias("lbl"),
+            )
+        )
+        # pointer-jump shortcut: lbl <- min(lbl, lbl[lbl]). Plain
+        # neighbor-min alone needs O(component diameter) rounds, and a
+        # path-shaped near-dup chain longer than max_iter silently got
+        # WRONG labels (gen_fuzz seed 7: a 1000-vector gaussian corpus
+        # chained past 25 hops). With shortcutting, label distance
+        # halves per round on top of the neighbor step — 25 rounds
+        # cover diameters past 2^25.
+        jump = stepped.select(
+            F.col("node").alias("jn"), F.col("lbl").alias("jl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.lbl == jump.jn, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("jl", "lbl")).alias("lbl"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -1022,8 +1040,15 @@ def connected_components(
         labels = new_labels
         old.unpersist()
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # silently-wrong clusters are worse than a loud failure: the
+        # caller can raise max_iter (2^max_iter effective diameter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
