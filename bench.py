@@ -29,9 +29,14 @@ session regime. Fixes, in this order of leverage:
   CI" mechanically instead of eyeballing spreads.
 
 Backward compatibility: "queries" (best-of-N) and "value" (their sum)
-keep the exact meaning they had in BENCH_r01..r08, so the
-ratio-vs-BASELINE history stays valid. "value_trimmed" is the new
-regression headline.
+are COMPARABLE to BENCH_r01..r08 but not methodology-identical: the
+old scheme warmed up only q01 and took best-of-3 back-to-back (sample
+1 of every other query paid its own codegen), while this scheme warms
+up every query and takes best-of-5 interleaved — which biases
+best-of-N slightly lower, flattering baseline_ratio against BENCH_r01.
+The JSON records "methodology" so cross-round ratio readers can
+account for it; "value_trimmed" is the regression headline and
+BASELINE.md carries a trimmed baseline rebased at round 9.
 
 Scalable twins: q_percentiles_scalable and q_ntile_scalable are
 measured with identical methodology but reported under "queries_twins"
@@ -216,6 +221,10 @@ def main() -> None:
                 },
                 "n_samples": n_samples,
                 "sampling": "interleaved_round_robin",
+                # methodology version: v1 = r01-r08 (warm q01 only,
+                # best-of-3 back-to-back); v2 = r09+ (warm all,
+                # interleaved n=5, trimmed+CI reported)
+                "methodology": "v2",
                 "calibration_sec": round(cal, 3),
                 "calibration_before_sec": round(cal_before, 3),
                 "calibration_after_sec": round(cal_after, 3),

@@ -164,8 +164,13 @@ def percentile_interp_sql(
     that boundary (seed 1). With both sides running THIS text (modulo
     the null-safe-equality spelling), every operation is the same IEEE
     op on the same values, so results are bit-equal at any scale; the
-    native function remains the independent anchor through
-    q_percentiles_approx's bounded oracle (2% tolerance absorbs ulps).
+    native function remains independently anchored two ways: (a)
+    q_percentiles_approx's bounded oracle holds the sketch inside
+    DuckDB's exact rank bracket (eps=1e-4 plus +-1 element), and (b)
+    tests/test_percentile_anchor.py compares THIS generated SQL to
+    DuckDB's native percentile_cont on randomized doubles with a small
+    tolerance, so a semantic bug in the generator cannot pass both
+    engines unnoticed.
 
     ``quantiles`` maps output column name -> quantile; values must have
     exact short decimal literals (0.5, 0.95 — they are embedded as SQL
