@@ -139,18 +139,42 @@ def _ci95_halfwidth(samples: list[float]) -> float:
     return t * statistics.stdev(samples) / math.sqrt(len(samples))
 
 
+def _multifile_dir(spark, sf_dir: str, n_files: int) -> str | None:
+    """Re-lay every table of sf_dir as n_files parquet files (cached by
+    source fingerprint under /tmp) and return the copy's path.
+
+    Every sf0.1 table ships as ONE parquet row group, so the baseline
+    basket reads each table with 1 scan task — a serial-scan fraction a
+    real multi-file 100 TB table would not have (SURVEY §6 framing is
+    thousands of files). The multi-file pass measures the same queries
+    at realistic scan parallelism; the single-file basket stays the
+    BENCH_r01-continuity headline.
+    """
+    try:
+        from tools.layout_invariance import _src_fingerprint, relayout
+    except Exception:
+        return None
+    dst = (
+        f"/tmp/benchmf_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{n_files}f_{_src_fingerprint(sf_dir)}"
+    )
+    relayout(spark, sf_dir, dst, n_files=n_files)
+    return dst
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", N_SAMPLES))
+    mf_files = int(os.environ.get("SPARK_GRAFT_BENCH_MULTIFILE", "12"))
     spark = get_spark(app_name="bq-duckdb-spark-bench", cpus=cpus)
     qs = entrymod.queries()
 
     all_names = [n for n in BENCH_QUERIES + TWIN_QUERIES if n in qs]
 
-    def run_once(name: str) -> float:
+    def run_once(name: str, data_dir: str = sf_dir) -> float:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
+        df = qs[name](spark, data_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
@@ -172,6 +196,23 @@ def main() -> None:
     for _ in range(n_samples):
         for name in all_names:
             samples[name].append(run_once(name))
+
+    # multi-file pass: same basket over the 12-file re-layout, OUTSIDE
+    # the single-file sampling loop (so the headline's page-cache and
+    # session state are undisturbed), measured with the same
+    # interleaved-round methodology
+    base_names_early = [n for n in BENCH_QUERIES if n in qs]
+    mf_samples: dict[str, list[float]] = {}
+    mf_dir = None
+    if mf_files > 0:
+        mf_dir = _multifile_dir(spark, sf_dir, mf_files)
+    if mf_dir:
+        for name in base_names_early:
+            run_once(name, mf_dir)  # warm-up
+        mf_samples = {n: [] for n in base_names_early}
+        for _ in range(n_samples):
+            for name in base_names_early:
+                mf_samples[name].append(run_once(name, mf_dir))
 
     cal_after = min(_calibrate(spark) for _ in range(5))
     cal = min(cal_before, cal_after)
@@ -219,6 +260,26 @@ def main() -> None:
                     }
                     for n in twin_names
                 },
+                "queries_multifile": (
+                    {
+                        n: {
+                            "best": round(min(s), 3),
+                            "trimmed": round(_trimmed_mean(s), 3),
+                            "ci95": round(_ci95_halfwidth(s), 3),
+                        }
+                        for n, s in mf_samples.items()
+                    }
+                    if mf_samples
+                    else None
+                ),
+                "multifile_n_files": mf_files if mf_samples else None,
+                "value_multifile": (
+                    round(
+                        sum(_trimmed_mean(s) for s in mf_samples.values()), 3
+                    )
+                    if mf_samples
+                    else None
+                ),
                 "n_samples": n_samples,
                 "sampling": "interleaved_round_robin",
                 # methodology version: v1 = r01-r08 (warm q01 only,

@@ -149,6 +149,7 @@ def percentile_interp_sql(
     value_col: str,
     quantiles: dict[str, float],
     dialect: str = "duckdb",
+    counts_table: str | None = None,
 ) -> str:
     """Engine-portable EXPLICIT percentile_cont SQL: bracketing-rank
     interpolation with decimal quantile literals and the deterministic
@@ -175,6 +176,16 @@ def percentile_interp_sql(
     ``quantiles`` maps output column name -> quantile; values must have
     exact short decimal literals (0.5, 0.95 — they are embedded as SQL
     DECIMAL literals so k and frac stay exact).
+
+    ``counts_table``: optional pre-materialized per-group count table
+    (columns ``{group_col}, n``). The counts CTE is referenced twice
+    (broadcast into the bracketing filter AND stream side of the final
+    NULL-group-preserving LEFT JOIN); when it points at the base table,
+    Spark inlines the CTE and scans the base table three times total.
+    :func:`percentile_interp_spark` passes a LocalRelation view here so
+    both references are scan-free. The interpolation arithmetic is
+    textually identical either way — n has the same BIGINT values — so
+    results stay bit-equal with the default (oracle) form.
     """
     eq = "<=>" if dialect == "spark" else "IS NOT DISTINCT FROM"
     hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
@@ -202,10 +213,15 @@ def percentile_interp_sql(
         for name, q in quantiles.items()
     )
     out_cols = ", ".join(f"a.{name}" for name in quantiles)
+    counts_def = (
+        f"SELECT {group_col}, n FROM {counts_table}"
+        if counts_table
+        else f"SELECT {group_col}, count({value_col}) AS n\n"
+        f"    FROM {table} GROUP BY {group_col}"
+    )
     return f"""
 WITH counts AS (
-    SELECT {group_col}, count({value_col}) AS n
-    FROM {table} GROUP BY {group_col}
+    {counts_def}
 ),
 ranked AS (
     SELECT {group_col}, {value_col} AS v,
@@ -225,3 +241,47 @@ agg AS (
 SELECT {hint_a}c.{group_col}, {out_cols}
 FROM counts c LEFT JOIN agg a ON c.{group_col} {eq} a.{group_col}
 """
+
+
+_COUNTS_SEQ = 0
+
+
+def percentile_interp_spark(
+    spark,
+    table: str,
+    group_col: str,
+    value_col: str,
+    quantiles: dict[str, float],
+):
+    """Spark-side runner for :func:`percentile_interp_sql` that scans the
+    base table TWICE instead of three times: the per-group count table —
+    already assumed broadcast-small by the SQL form (its both uses hash-
+    broadcast it) — is computed once, collected (one row per group, the
+    same boundedness assumption), and re-registered as a LocalRelation
+    temp view. Both counts references in the generated SQL then read the
+    in-memory relation: no scan, no re-aggregation, and the final NULL-
+    group-preserving LEFT JOIN streams #groups rows instead of a third
+    pass over the fact table. Round-10 reclaim of the round-9
+    q_percentiles slowdown (tools/percentile_ab.py: r9 3-scan form vs
+    this; results in PERCENTILE_r10.md). The interpolation arithmetic is
+    the same generated text on the same n values, so results are
+    bit-identical to the 3-scan form (and to the DuckDB oracle).
+    """
+    global _COUNTS_SEQ
+    _COUNTS_SEQ += 1
+    view = f"__pctl_counts_{_COUNTS_SEQ}"
+    counts = spark.sql(
+        f"SELECT {group_col}, count({value_col}) AS n "
+        f"FROM {table} GROUP BY {group_col}"
+    )
+    # bounded collect: one row per group; the SQL form already
+    # broadcasts this exact relation, so #groups <= broadcast threshold
+    # is a standing assumption, not a new one
+    spark.createDataFrame(counts.collect(), counts.schema) \
+        .createOrReplaceTempView(view)
+    return spark.sql(
+        percentile_interp_sql(
+            table, group_col, value_col, quantiles,
+            dialect="spark", counts_table=view,
+        )
+    )

@@ -121,3 +121,25 @@ def test_all_null_group_yields_null_percentiles():
         ).fetchall()
     )
     assert got == native == {"a": 2.0, "allnull": None}
+
+
+def test_local_counts_form_identical(spark):
+    """percentile_interp_spark (counts collected once into a
+    LocalRelation — the 100 TB path that saves the third fact-table
+    scan, PERCENTILE_r10.md) must be bit-identical to the 3-scan SQL
+    form at sf0.001."""
+    from bq_duckdb_spark.operators.percentile import (
+        percentile_interp_spark,
+        percentile_interp_sql,
+    )
+
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    q = {"p50": 0.5, "p95": 0.95}
+    sql_form = spark.sql(percentile_interp_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", q, dialect="spark"))
+    local_form = percentile_interp_spark(
+        spark, "lineitem", "l_returnflag", "l_extendedprice", q)
+    a = sorted(map(tuple, sql_form.collect()))
+    b = sorted(map(tuple, local_form.collect()))
+    assert a == b

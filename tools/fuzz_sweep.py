@@ -14,7 +14,13 @@ k-means centroids. Each fix is pinned in the operators/oracles with a
 regressing.
 
 Usage: python tools/fuzz_sweep.py [out.txt] [n_seeds] [start_seed]
+       python tools/fuzz_sweep.py out.txt --seeds 0,1,105,106
 Defaults: FUZZDATA_check.txt 3 0
+
+The --seeds form powers the round-10+ rotating gate: pinned regression
+seeds (the ones that found the 31 round-9 divergences) run every round,
+plus fresh seeds derived from the round number so each round explores
+new corners (tools/gates.py picks 100 + 10*round + i).
 
 Writes one line per seed (pass/fail/rows-only + failures) plus a
 verdict line; exit 1 if any seed has failures. Corpora are generated
@@ -70,15 +76,19 @@ def run_seed(seed: int, out) -> dict:
 
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "FUZZDATA_check.txt"
-    n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    if len(sys.argv) > 2 and sys.argv[2] == "--seeds":
+        seeds = [int(s) for s in sys.argv[3].split(",")]
+    else:
+        n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        seeds = list(range(start, start + n_seeds))
     results = []
     with open(os.path.join(REPO, out_path), "w") as out:
         out.write(
-            f"data-fuzz sweep: {n_seeds} randomized corpora "
-            f"(seeds {start}..{start + n_seeds - 1}), full contract each\n\n"
+            f"data-fuzz sweep: {len(seeds)} randomized corpora "
+            f"(seeds {seeds}), full contract each\n\n"
         )
-        for seed in range(start, start + n_seeds):
+        for seed in seeds:
             results.append(run_seed(seed, out))
         bad = [r for r in results if not r["ok"]]
         verdict = "GREEN" if not bad else f"RED ({len(bad)} seed(s) failing)"

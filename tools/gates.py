@@ -12,8 +12,9 @@ Stages (each also writes its own log artifact):
 3. oracle sweep at sf1               → ORACLE_sf1_r{N}.log   (.sf1,
    same fences; skipped unless the corpus dir exists)
 4. plan audit over the contract      → PLAN_AUDIT_r{N}.txt
-4b. randomized data-fuzz sweep       → FUZZDATA_r{N}.txt (2 seeded
-    hostile-value corpora x full contract — tools/fuzz_sweep.py)
+4b. randomized data-fuzz sweep       → FUZZDATA_r{N}.txt (pinned
+    regression seeds 0,1 + two fresh per-round rotating seeds
+    100+10*round+i, full contract each — tools/fuzz_sweep.py)
 5. full pytest                       → PYTEST_r{N}.log
 6. bench at sf0.1                    → BENCH_local_r{N}.json
    The bench stage is a real gate since round 9: it fails on (a) total
@@ -188,10 +189,36 @@ def main():
     }
     summary: dict = {"round": rnd, "stages": {}, "started_unix": int(time.time())}
 
+    # Per-stage delegate artifacts: when a stage is skipped but its
+    # per-round artifact already exists (ran green in-session under a
+    # separate invocation), the summary must POINT at that log and carry
+    # its parsed result instead of recording a bare "skipped" — a gate
+    # artifact either contains the stage or names the log it delegates
+    # to (round-9 verdict, "What's wrong" item 2).
+    delegate_logs = {
+        "sf01": f"ORACLE_sf01_r{rnd}.log",
+        "hostile": f"ORACLE_adv_r{rnd}.log",
+        "sf1": f"ORACLE_sf1_r{rnd}.log",
+        "fuzz": f"FUZZDATA_r{rnd}.txt",
+    }
+
+    def _delegated(name):
+        log = delegate_logs.get(name)
+        if not log or not os.path.exists(f"{REPO}/{log}"):
+            return {"skipped": True}
+        out = {"skipped": True, "delegated": log}
+        if name == "fuzz":
+            m = re.search(r"verdict: (\w+)", open(f"{REPO}/{log}").read())
+            out["verdict"] = m.group(1) if m else "missing"
+        else:
+            out.update(_parse_oracle(f"{REPO}/{log}"))
+        return out
+
     def stage(name, fn):
         if name in skip:
-            summary["stages"][name] = {"skipped": True}
-            print(f"[gates] {name}: skipped", flush=True)
+            summary["stages"][name] = _delegated(name)
+            print(f"[gates] {name}: skipped -> {summary['stages'][name]}",
+                  flush=True)
             return
         print(f"[gates] {name}: running...", flush=True)
         summary["stages"][name] = fn()
@@ -237,9 +264,19 @@ def main():
     stage("plans", plans)
 
     def fuzz():
+        # pinned regression seeds (0,1 found most of the 31 round-9
+        # divergences) run every round; two FRESH seeds rotate with the
+        # round number so each round explores new corners of the value
+        # space while the known-hostile corners stay covered
+        try:
+            fresh_base = 100 + 10 * int(rnd)
+        except ValueError:
+            fresh_base = 100
+        seeds = f"0,1,{fresh_base},{fresh_base + 1}"
         log = f"{REPO}/FUZZDATA_r{rnd}.txt"
         rc, secs = _run(
-            [sys.executable, "tools/fuzz_sweep.py", f"FUZZDATA_r{rnd}.txt", "2"],
+            [sys.executable, "tools/fuzz_sweep.py", f"FUZZDATA_r{rnd}.txt",
+             "--seeds", seeds],
             f"{REPO}/.fuzz_sweep_stdout.log",
             env_extra={"SPARK_GRAFT_CPUS": "32",
                        "CHECK_ORACLE_TIMEOUT_S": "600"},
@@ -247,7 +284,8 @@ def main():
         txt = open(log).read() if os.path.exists(log) else ""
         m = re.search(r"verdict: (\w+)", txt)
         return {"rc": rc, "verdict": m.group(1) if m else "missing",
-                "sec": round(secs, 1), "log": os.path.basename(log)}
+                "seeds": seeds, "sec": round(secs, 1),
+                "log": os.path.basename(log)}
 
     stage("fuzz", fuzz)
 
@@ -298,7 +336,13 @@ def main():
 
     def stage_green(name, s):
         if s.get("skipped"):
-            return True
+            # a delegated stage is green only if the log it points at is;
+            # a bare skip (no artifact this round) stays neutral
+            if "delegated" not in s:
+                return True
+            if name == "fuzz":
+                return s.get("verdict") == "GREEN"
+            return s.get("fail") == 0 and not s.get("timeouts")
         if name in ("sf01", "hostile", "sf1"):
             return s.get("fail") == 0 and s.get("rc") == 0 and not s.get("timeouts")
         if name == "plans":
