@@ -371,6 +371,124 @@ class Gen:
             f"SELECT k, a0 FROM ({inner[1]}) d WHERE {p[1]}",
         )
 
+    # -- hostile-value shapes (round 10: compose the SQL-path fuzzer
+    # with the gen_fuzz data classes — NULL text, NULL keys, boundary
+    # decimals — so the dialect shim is exercised on the values the
+    # data fuzzer proved dangerous). Renderings use the SAFE pairings
+    # from the round-9 divergence catalog (explicit NULLS FIRST,
+    # coalesced concat args, no narrowing decimal casts, no ÷) — the
+    # point is to fuzz OUR shim on hostile values, not to re-test known
+    # engine-semantics gaps the oracles already pin. -------------------
+
+    # exact short-decimal boundary literals (half-up boundaries, the
+    # truncation trap value, negative zero)
+    HOSTILE_DECIMALS = ["0.05", "0.15", "2.675", "36043.665", "-0.0",
+                        "0.00005", "123.4565"]
+    HOSTILE_STRINGS = ["NULL", "''", "'a b'", "' '", "'ÑU'", "'zz q'"]
+
+    def hostile_cte(self):
+        """Inline literal table h(k BIGINT, d NUMERIC-ish, s STRING)
+        with NULLs in every column, rendered per-dialect (BQ type names
+        vs DuckDB's). Row count 6-9, seeded."""
+        n = self.r.randint(6, 9)
+        rows_bq, rows_dk = [], []
+        for i in range(n):
+            k = "NULL" if self.r.random() < 0.25 else str(self.r.randint(0, 4))
+            d = ("NULL" if self.r.random() < 0.25
+                 else self.pick(self.HOSTILE_DECIMALS))
+            s = self.pick(self.HOSTILE_STRINGS)
+            rows_bq.append(
+                f"SELECT CAST({k} AS INT64) AS k, "
+                f"CAST({d} AS NUMERIC) AS d, CAST({s} AS STRING) AS s"
+            )
+            rows_dk.append(
+                f"SELECT CAST({k} AS BIGINT) AS k, "
+                f"CAST({d} AS DECIMAL(38,9)) AS d, CAST({s} AS VARCHAR) AS s"
+            )
+        return (
+            "h AS (" + " UNION ALL ".join(rows_bq) + ")",
+            "h AS (" + " UNION ALL ".join(rows_dk) + ")",
+        )
+
+    def hostile_null_agg_query(self):
+        """GROUP BY a NULLable key: NULL groups must survive; COUNT(col)
+        skips NULLs while COUNT(*) keeps them."""
+        cte = self.hostile_cte()
+        having = ""
+        if self.r.random() < 0.5:
+            having = f" HAVING COUNT(*) >= {self.r.randint(1, 2)}"
+        key = self.pick(["s", "k"])
+        sql = (
+            "WITH {cte} SELECT {key} AS g, COUNT(*) AS n_all, "
+            "COUNT(d) AS n_d, SUM(k) AS sum_k, MIN(s) AS min_s "
+            "FROM h GROUP BY {key}" + having
+        )
+        return (
+            sql.format(cte=cte[0], key=key),
+            sql.format(cte=cte[1], key=key),
+        )
+
+    def hostile_null_text_query(self):
+        """NULL text through the scalar-function shim: IS NULL
+        predicates, COALESCE, NULL-safe CONCAT (args coalesced on both
+        sides — raw concat NULL semantics genuinely differ per engine),
+        LENGTH/UPPER of NULL."""
+        cte = self.hostile_cte()
+        p = self.pick([
+            ("s IS NULL", "s IS NULL"),
+            ("s IS NOT NULL", "s IS NOT NULL"),
+            ("k IS NULL OR s IS NOT NULL", "k IS NULL OR s IS NOT NULL"),
+            ("COALESCE(s, 'x') <> 'x'", "COALESCE(s, 'x') <> 'x'"),
+        ])
+        sql = (
+            "WITH {cte} SELECT COALESCE(s, '?') AS c0, "
+            "CONCAT(COALESCE(s, ''), '|', CAST(COALESCE(k, -1) AS "
+            "{strty})) AS c1, LENGTH(s) AS c2, UPPER(s) AS c3 "
+            "FROM h WHERE {p}"
+        )
+        return (
+            sql.format(cte=cte[0], p=p[0], strty="STRING"),
+            sql.format(cte=cte[1], p=p[1], strty="VARCHAR"),
+        )
+
+    def hostile_decimal_agg_query(self):
+        """Boundary decimals through exact NUMERIC aggregation: sums
+        and rounds stay in decimal space (exact, order-independent), so
+        any divergence is a shim bug, not float noise."""
+        cte = self.hostile_cte()
+        sql = (
+            "WITH {cte} SELECT COALESCE(k, -1) AS g, "
+            "SUM(d) AS sum_d, ROUND(SUM(d), 2) AS sum_d2, "
+            "MIN(d) AS min_d, MAX(d) AS max_d, COUNT(d) AS n_d "
+            "FROM h GROUP BY k"
+        )
+        return (sql.format(cte=cte[0]), sql.format(cte=cte[1]))
+
+    def hostile_window_query(self):
+        """Windows ordered by NULLable keys: Spark/BQ ASC = NULLS
+        FIRST, DuckDB defaults NULLS LAST — the oracle side must spell
+        NULLS FIRST (divergence-catalog fix), and the unique tiebreak
+        column makes the order total so ROW_NUMBER is deterministic."""
+        cte = self.hostile_cte()
+        fn = self.pick(["ROW_NUMBER()", "COUNT(d)", "SUM(COALESCE(k,0))"])
+        frame = (" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                 if fn != "ROW_NUMBER()" else "")
+        # rn (from a unique inner row_number over a total order) is the
+        # tiebreak that makes the window order deterministic
+        sql = (
+            "WITH {cte}, hn AS (SELECT h.*, ROW_NUMBER() OVER ("
+            "ORDER BY k{nf1}, d{nf2}, s{nf3}) AS rn FROM h) "
+            "SELECT rn, {fn} OVER (ORDER BY d{nf2}, rn{frame}) AS w "
+            "FROM hn"
+        )
+        return (
+            sql.format(cte=cte[0], fn=fn, frame=frame,
+                       nf1="", nf2="", nf3=""),
+            sql.format(cte=cte[1], fn=fn, frame=frame,
+                       nf1=" NULLS FIRST", nf2=" NULLS FIRST",
+                       nf3=" NULLS FIRST"),
+        )
+
     def query(self):
         return self.pick(
             [
@@ -388,6 +506,10 @@ class Gen:
                 self.window_query,
                 self.window_query,
                 self.qualify_like_query,
+                self.hostile_null_agg_query,
+                self.hostile_null_text_query,
+                self.hostile_decimal_agg_query,
+                self.hostile_window_query,
             ]
         )()
 

@@ -89,6 +89,13 @@ BASELINE_WARN_RATIO = 1.10
 # have CIs comparable to their runtimes; the floor stops 50 ms "CI
 # violations" from failing the gate).
 REGRESSION_RATIO_FLOOR = 1.20
+# trimmed-mean baseline, rebased at round 9 (BENCH_r09 value_trimmed,
+# methodology v2 — see BASELINE.md "Bench reference numbers"): drift
+# beyond 1.25x is recorded as a warning (the per-query CI check is the
+# failing gate; this is the basket-level drift flag that lets best-of-N
+# comparisons retire).
+TRIMMED_BASELINE = 15.852
+TRIMMED_WARN_RATIO = 1.25
 
 
 def _baseline_total():
@@ -138,7 +145,8 @@ def _bench_verdict(parsed, rnd):
     trimmed/ci fields — fall back to median / spread/2 so the check
     works across the format change."""
     out = {"baseline_ratio": None, "baseline_exceeded": False,
-           "baseline_warn": False, "regressions": [], "prior_bench": None}
+           "baseline_warn": False, "trimmed_baseline_ratio": None,
+           "trimmed_warn": False, "regressions": [], "prior_bench": None}
     if not parsed:
         return out
     base = _baseline_total()
@@ -148,6 +156,11 @@ def _bench_verdict(parsed, rnd):
         out["baseline_ratio"] = ratio
         out["baseline_exceeded"] = ratio > BASELINE_HARD_RATIO
         out["baseline_warn"] = ratio > BASELINE_WARN_RATIO
+    trimmed = parsed.get("value_trimmed")
+    if trimmed:
+        t_ratio = round(trimmed / TRIMMED_BASELINE, 3)
+        out["trimmed_baseline_ratio"] = t_ratio
+        out["trimmed_warn"] = t_ratio > TRIMMED_WARN_RATIO
 
     prior, prior_fn = _prior_bench(rnd)
     if prior:

@@ -13,8 +13,21 @@ scaling. Embeddings replicate with a per-replica deterministic value
 tweak for the same reason.
 
 Usage: python tools/scaling_probe.py [out_path]
+       python tools/scaling_probe.py --deep [out_path]
 Writes one line per (operator, tier): name, rows, seconds; then a
 summary of time-growth vs data-growth per operator.
+
+--deep is the round-10 decade push (VERDICT r9 item 4): the standard
+curves stop at 625k docs / 3M lineitem; --deep probes the four paths
+the 100 TB story leans on hardest — minhash BANDING, substring dedup,
+pointer-jumped connected COMPONENTS, and two-phase heavy hitters — at
+625k and 3.125M docs (synth625x, one decade past synth125x), plus the
+TPC-H fact-join subset at 6M and 60M lineitem rows (synth100x).
+Tiers are written to /tmp parquet (not localCheckpoint) so the deep
+corpora don't occupy executor storage memory while operators run.
+Deepest-tier timings are single-run (the exponent over a 5x span moves
+~0.06 per 10% timing noise — acceptable; a second run would double a
+~25 min probe).
 """
 
 from __future__ import annotations
@@ -121,7 +134,113 @@ def synth_tpch(spark, base_dir: str, copies: int, out_dir: str) -> str:
     return out_dir
 
 
+def deep_probe(out_path: str) -> None:
+    """Round-10 decade push: banding / substring-dedup / components /
+    heavy-hitters at 625k and 3.125M docs; TPC-H fact joins at 6M and
+    60M lineitem rows. See module docstring (--deep)."""
+    import math
+
+    spark = get_spark(app_name="scaling-deep", cpus="32")
+    from bq_duckdb_spark.ext import dedup, heavyhitters, pipeline
+
+    def build_docs_tier(src_dir: str, copies: int, tag: str, dst: str) -> str:
+        if not os.path.exists(os.path.join(dst, "documents.parquet", "_SUCCESS")):
+            synth_docs(spark, src_dir, copies, tag=tag).repartition(32) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(dst, "documents.parquet"))
+        return dst
+
+    t25 = build_docs_tier("/root/testdata/sf0.1", 25, "r", "/tmp/deep_docs25x")
+    t125 = build_docs_tier(t25, 5, "d", "/tmp/deep_docs125x")
+    t625 = build_docs_tier(t125, 5, "e", "/tmp/deep_docs625x")
+
+    def doc_ops(docs):
+        return {
+            "minhash_banding": lambda: dedup.minhash_candidate_pairs(
+                docs, "text", "doc_id"),
+            "substring_dedup": lambda: pipeline.substring_dedup(
+                docs, "text", "doc_id", k=8, hash_windows=True),
+            "components": lambda: dedup.connected_components(
+                dedup.minhash_candidate_pairs(docs, "text", "doc_id")),
+            "heavy_hitters": lambda: heavyhitters.heavy_hitters(
+                docs.select(F.explode(
+                    F.expr("split(trim(text), '\\\\s+')")).alias("t")),
+                "t", s=1000),
+        }
+
+    lines = [
+        "deep scaling probe (round 10): one decade past the standard "
+        "curves",
+        "docs: 125k -> 625k -> 3.125M (synth rewrites, no planted dups); "
+        "TPC-H: 600k -> 6M -> 60M lineitem",
+        "single timed run per (op, tier) after one warm-up of the "
+        "smallest tier per op",
+        "",
+    ]
+    results: dict[str, dict[str, float]] = {}
+    doc_tiers = [("125k", t25), ("625k", t125), ("3.125M", t625)]
+    # warm every op once on the smallest tier: codegen + Python worker
+    # spin-up must not inflate the small-tier timings (that would
+    # UNDERstate the growth exponents)
+    warm_docs = spark.read.parquet(os.path.join(t25, "documents.parquet"))
+    for mk in doc_ops(warm_docs).values():
+        mk().write.format("noop").mode("overwrite").save()
+    for tier, d in doc_tiers:
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n = docs.count()
+        for name, mk in doc_ops(docs).items():
+            t0 = time.time()
+            mk().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            results.setdefault(name, {})[tier] = dt
+            lines.append(f"{tier:7s} {name:16s} rows={n:8d} {dt:7.2f}s")
+            print(lines[-1], flush=True)
+
+    tpch_queries = ["q06_forecast_revenue", "q09_product_profit",
+                    "q18_large_volume"]
+    from bq_duckdb_spark import contract_tpch
+    tq = contract_tpch.queries()
+    tpch_tiers = [("600k", "/root/testdata/sf0.1")]
+    for copies, label in ((10, "6M"), (100, "60M")):
+        dst = f"/tmp/deep_tpch{copies}x"
+        if not os.path.exists(os.path.join(dst, "lineitem.parquet", "_SUCCESS")):
+            synth_tpch(spark, "/root/testdata/sf0.1", copies, dst)
+        tpch_tiers.append((label, dst))
+    for name in tpch_queries:  # warm-up, same rationale as doc ops
+        tq[name](spark, "/root/testdata/sf0.1").write.format("noop") \
+            .mode("overwrite").save()
+    for tier, sf_dir in tpch_tiers:
+        for name in tpch_queries:
+            t0 = time.time()
+            tq[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            dt = time.time() - t0
+            results.setdefault(name, {})[tier] = dt
+            lines.append(f"{tier:7s} {name:26s} {dt:7.2f}s")
+            print(lines[-1], flush=True)
+
+    lines.append("")
+    lines.append("growth exponents (alpha in time ~ data^alpha; "
+                 "1.0 = linear, <1 sublinear):")
+    spans = [("125k", "625k", 5.0), ("625k", "3.125M", 5.0),
+             ("600k", "6M", 10.0), ("6M", "60M", 10.0)]
+    for name, by_tier in sorted(results.items()):
+        for a, b, factor in spans:
+            if a in by_tier and b in by_tier and by_tier[a] > 0:
+                alpha = math.log(by_tier[b] / by_tier[a]) / math.log(factor)
+                lines.append(
+                    f"  {name:26s} {a:>6s}->{b:<7s} "
+                    f"{by_tier[b] / by_tier[a]:5.2f}x time per {factor:.0f}x "
+                    f"data  alpha={alpha:5.2f}")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nwrote {out_path}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--deep":
+        deep_probe(sys.argv[2] if len(sys.argv) > 2 else "SCALING_deep.txt")
+        return
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r4.txt"
     spark = get_spark(app_name="scaling-probe", cpus="32")
 
