@@ -216,9 +216,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick: LSH-gated embedding pairs -> hash-min connected components ->
     every vector labelled (cluster_id = component min, is_canonical).
     Oracle: same pairs via _lsh_pair_ctes, components via unrolled
-    pointer-doubling label propagation (components_ctes — 16 rounds
-    cover diameters to 2^16; the earlier recursive closure OOM'd at
-    sf1). Beyond-reference: the reference stops at pair output."""
+    Shiloach-Vishkin hash-min (components_ctes — relax + parent hook +
+    jump, ~log2(component size) rounds measured, non-convergence
+    surfaced by a loud sentinel row; the earlier recursive closure
+    OOM'd at sf1, and the pre-round-10 hook-less chain was silently
+    wrong on a fuzz seed-201 eccentricity-28 component).
+    Beyond-reference: the reference stops at pair output."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_near_dup_pairs(
         emb, threshold=0.3, use_lsh=True, dim=64
@@ -236,9 +239,10 @@ def _dedup_clusters_oracle() -> str:
     # unrolled hash-min label propagation, NOT WITH RECURSIVE: the
     # recursive reach closure enumerates every (node, reachable-label)
     # pair and OOM'd the 24 GB oracle fence at sf1 on the 600k-edge
-    # embedding graph (ORACLE_sf1_r7 finding); the pointer-doubling
+    # embedding graph (ORACLE_sf1_r7 finding); the Shiloach-Vishkin
     # chain (shared builder, ext/contract_portable.components_ctes) is
-    # the same recipe the text-clusters oracle has used since round 4
+    # the same recipe the text-clusters oracle uses (hook step + loud
+    # convergence sentinel added round 10 after fuzz seed 201)
     from bq_duckdb_spark.ext.contract_portable import components_ctes
 
     return f"""
@@ -253,6 +257,8 @@ SELECT v.vec_id,
        CAST(coalesce(l.cl, v.vec_id) AS BIGINT) AS cluster_id,
        v.vec_id = coalesce(l.cl, v.vec_id) AS is_canonical
 FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.node
+UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false
+FROM lab_unconverged WHERE n > 0
 """
 
 

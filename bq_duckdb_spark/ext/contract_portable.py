@@ -242,13 +242,32 @@ def dedup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def components_ctes(rounds: int = 16) -> str:
     """Connected-components CTE chain from an ``edges(src, dst)`` CTE
     (callers must also provide the reversed edges) to a final
-    ``lab(node, cl)`` — hash-min label propagation with pointer
-    doubling, NO ``WITH RECURSIVE`` (whose ``reach`` closure enumerates
-    every (node, reachable-label) pair: ~30 s at sf0.1, superlinear
-    beyond, and observed OOM at sf1 on the 600k-edge embedding graph).
-    Each round does (a) an edge relax (min label over neighbours) and
-    (b) a pointer jump (``lbl := lbl(lbl)``), so label reach doubles
-    per round: 16 rounds covers diameters up to 2^16."""
+    ``lab(node, cl)`` — Shiloach-Vishkin-style hash-min, NO ``WITH
+    RECURSIVE`` (whose ``reach`` closure enumerates every (node,
+    reachable-label) pair: ~30 s at sf0.1, superlinear beyond, and
+    observed OOM at sf1 on the 600k-edge embedding graph).
+
+    Each round does (a) an edge relax (min label over neighbours),
+    (b) parent hooking (a node's PREVIOUS label learns the node's new
+    min — the Shiloach-Vishkin step that makes reach compound), and
+    (c) a pointer jump (``lbl := lbl(lbl)``). gen_fuzz finding (seed
+    201, round 10): without (b), reach grows ~1 hop/round — a 394-node
+    random near-dup component with eccentricity 28 needed 19 rounds and
+    the unrolled 16 returned SILENTLY WRONG labels (the old docstring's
+    "reach doubles per round" claim was false). With hooking the
+    measured convergence on a hostile panel (random gnp, paths/cycles/
+    trees to 10k nodes with permuted ids) is <= ceil(log2(n)) + 2
+    rounds, so 16 rounds covers components to ~2^14 nodes — far beyond
+    any banded near-dup component at the tested SFs, and pinned by
+    tests/test_components_oracle.py against a union-find ground truth.
+
+    Also emits ``lab_unconverged(n)``: at the fixpoint labels are
+    constant across every edge, so n > 0 proves non-convergence.
+    Callers SHOULD append an impossible sentinel row gated on it
+    (``UNION ALL SELECT -1, ... FROM lab_unconverged WHERE n > 0``) so
+    an under-converged oracle fails the sweep loudly and diagnosably
+    instead of hash-mismatching on ordinary-looking rows — the SQL twin
+    of the Spark side's raise-on-non-convergence (dedup.py)."""
     prop = []
     prev = "lab0"
     for i in range(1, rounds + 1):
@@ -260,8 +279,15 @@ def components_ctes(rounds: int = 16) -> str:
             f"JOIN {prev} l ON l.node = e.dst) GROUP BY node)"
         )
         prop.append(
+            f"hook{i} AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM ("
+            f"SELECT node, lbl FROM relax{i} "
+            f"UNION ALL "
+            f"SELECT p.lbl AS node, m.lbl AS lbl FROM {prev} p "
+            f"JOIN relax{i} m ON m.node = p.node) GROUP BY node)"
+        )
+        prop.append(
             f"lab{i} AS MATERIALIZED (SELECT a.node, b.lbl "
-            f"FROM relax{i} a JOIN relax{i} b ON b.node = a.lbl)"
+            f"FROM hook{i} a JOIN hook{i} b ON b.node = a.lbl)"
         )
         prev = f"lab{i}"
     return (
@@ -269,6 +295,9 @@ def components_ctes(rounds: int = 16) -> str:
         "UNION SELECT dst, dst FROM edges), "
         + ", ".join(prop)
         + f", lab AS (SELECT node, min(lbl) AS cl FROM {prev} GROUP BY node)"
+        + ", lab_unconverged AS (SELECT count(*) AS n FROM edges e "
+        "JOIN lab a ON a.node = e.src JOIN lab b ON b.node = e.dst "
+        "WHERE a.cl <> b.cl)"
     )
 
 
@@ -294,7 +323,9 @@ def _text_clusters_oracle(rounds: int = 16) -> str:
         f"{components_ctes(rounds)} "
         "SELECT d.doc_id, CAST(coalesce(l.cl, d.doc_id) AS BIGINT) AS cluster_id, "
         "d.doc_id = coalesce(l.cl, d.doc_id) AS is_canonical "
-        "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node"
+        "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node "
+        "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false "
+        "FROM lab_unconverged WHERE n > 0"
     )
 
 
