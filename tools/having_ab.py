@@ -69,9 +69,12 @@ def _child(arm: str) -> None:
 
     spark = get_spark(app_name=f"having-ab-{arm}", cpus=CPUS)
     _build(spark, arm).write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    _build(spark, arm).write.format("noop").mode("overwrite").save()
-    print(json.dumps({"arm": arm, "sec": round(time.time() - t0, 3)}))
+    runs = []
+    for _ in range(5):
+        t0 = time.time()
+        _build(spark, arm).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    print(json.dumps({"arm": arm, "sec": round(statistics.median(runs), 3)}))
 
 
 def main() -> None:
