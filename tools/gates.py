@@ -22,6 +22,10 @@ Stages (each also writes its own log artifact):
    any per-query trimmed-mean regression beyond the combined 95% CIs
    AND a 1.2x ratio floor vs the prior round's committed bench. A
    >1.10x baseline ratio is recorded as a warning without failing.
+   A flagged regression listed in BENCH_ATTRIBUTIONS.json (root-caused
+   via a committed A/B doc, accepted as a semantics price) moves to
+   "regressions_attributed" — reported, not gate-breaking — while it
+   stays under the attribution's max_sec ceiling.
    A stage that hits its wall-clock budget records rc=124 + red and the
    summary still lands (no traceback abort).
 
@@ -146,7 +150,8 @@ def _bench_verdict(parsed, rnd):
     works across the format change."""
     out = {"baseline_ratio": None, "baseline_exceeded": False,
            "baseline_warn": False, "trimmed_baseline_ratio": None,
-           "trimmed_warn": False, "regressions": [], "prior_bench": None}
+           "trimmed_warn": False, "regressions": [],
+           "regressions_attributed": [], "prior_bench": None}
     if not parsed:
         return out
     base = _baseline_total()
@@ -178,12 +183,35 @@ def _bench_verdict(parsed, rnd):
                 continue
             band = new_ci.get(name, 0.0) + old_ci.get(name, 0.0)
             if new > old + band and new > old * REGRESSION_RATIO_FLOOR:
-                out["regressions"].append({
+                rec = {
                     "query": name, "prior": old, "now": new,
                     "ci_band": round(band, 3),
                     "ratio": round(new / old, 2),
-                })
+                }
+                att = _attributions().get(name)
+                if att and new <= att.get("max_sec", 0):
+                    # root-caused + accepted with a committed A/B doc;
+                    # still reported, no longer gate-breaking — but only
+                    # under the attribution's ceiling, so a FURTHER
+                    # slowdown re-fires the gate
+                    rec["attribution"] = att.get("doc")
+                    out["regressions_attributed"].append(rec)
+                else:
+                    out["regressions"].append(rec)
     return out
+
+
+def _attributions():
+    """BENCH_ATTRIBUTIONS.json: regressions with a committed A/B
+    root-cause doc, accepted as a deliberate semantics price (see the
+    file's _doc key). Missing/unreadable file -> empty (fail closed:
+    everything stays gate-breaking)."""
+    try:
+        with open(f"{REPO}/BENCH_ATTRIBUTIONS.json") as f:
+            data = json.load(f)
+        return {k: v for k, v in data.items() if not k.startswith("_")}
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def main():
