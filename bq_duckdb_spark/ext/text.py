@@ -161,11 +161,19 @@ def tf_idf(
         F.first("doc_len").alias("doc_len"),
     )
     n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
-    term_df = doc_terms.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df_t")
-    )
+    # df_t as a COUNT WINDOW over term instead of a groupBy("term") +
+    # self-join: doc_terms is unique on (id, term) by construction, so
+    # count(*) over (partition by term) equals countDistinct(id) per
+    # term — same BIGINT, same tfidf bits. The round-9 join form could
+    # not reuse the doc_terms exchange across the two sides (Spark
+    # plans self-join sides independently), so the scan + tokenizer +
+    # explode + (id, term) aggregation ran TWICE over the corpus; the
+    # window form runs them once and adds only the term-partition
+    # shuffle the join side needed anyway (plan: 4 Exchange + 2
+    # Generate -> 3 Exchange + 1 Generate, guide §2.4).
+    w_term = Window.partitionBy("term")
     return (
-        doc_terms.join(term_df, "term")
+        doc_terms.withColumn("df_t", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,

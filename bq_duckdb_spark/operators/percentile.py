@@ -88,9 +88,36 @@ def percentile_cont_scalable(
         .cast("long")
         .alias("__off"),
     )
+    # Round-10: bracket ranks + interpolation weights are per-GROUP
+    # constants of (n, q) — compute them HERE (one row per group)
+    # instead of inlining the DECIMAL floor/ceil/frac arithmetic into
+    # the per-row filter and aggregate CASEs (the round-9 form evaluated
+    # them on every ranked row). Expressions are textually identical,
+    # and the explicit DOUBLE cast of the weight is the same cast the
+    # old ``__v * (1.0 - (k - floor(k)))`` performed implicitly, so
+    # results are bit-equal (pinned by tests/test_plans.py and the
+    # cross-engine oracle).
+    bracket_cols = [
+        F.expr(e).alias(a)
+        for i, q in enumerate(quantiles)
+        for e, a in (
+            (f"CAST(floor((__n - 1) * {q!r}) AS BIGINT)", f"__f{i}"),
+            (f"CAST(ceil((__n - 1) * {q!r}) AS BIGINT)", f"__c{i}"),
+            (
+                f"CAST(1.0 - (((__n - 1) * {q!r}) - "
+                f"floor((__n - 1) * {q!r})) AS DOUBLE)",
+                f"__wf{i}",
+            ),
+            (
+                f"CAST((((__n - 1) * {q!r}) - "
+                f"floor((__n - 1) * {q!r})) AS DOUBLE)",
+                f"__wc{i}",
+            ),
+        )
+    ]
     totals = counts.groupBy("__g").agg(
         F.sum("__cnt").cast("long").alias("__n")
-    )
+    ).select("__g", "__n", *bracket_cols)
 
     # eqNullSafe (<=>) keeps these broadcast HASH joins (EqualNullSafe
     # is an equi-join key for Spark's hash-join extraction) while letting
@@ -111,28 +138,26 @@ def percentile_cont_scalable(
         .withColumn("__rn", (F.col("__off") + F.col("__lrn") - 1).cast("long"))
     )
 
-    # keep only ranks that can bracket some requested quantile; the
-    # quantile literals stay SQL DECIMALs (exact k and frac) — the same
-    # arithmetic the window-form q_percentiles hash-matches the oracle
-    # with, so both twins interpolate identically
+    # keep only ranks that can bracket some requested quantile — a plain
+    # BIGINT IN-list over the precomputed bracket columns (the decimal
+    # k/frac arithmetic ran once per group in ``totals`` above); the
+    # quantile literals stay SQL DECIMALs there, so both twins still
+    # interpolate identically
     keep = " OR ".join(
-        f"__rn IN (CAST(floor((__n - 1) * {q!r}) AS BIGINT), "
-        f"CAST(ceil((__n - 1) * {q!r}) AS BIGINT))"
-        for q in quantiles
+        f"__rn IN (__f{i}, __c{i})" for i in range(len(quantiles))
     )
     picked = ranked.where(F.expr(keep))
 
     aggs = []
-    for i, q in enumerate(quantiles):
-        k = f"((__n - 1) * {q!r})"
+    for i in range(len(quantiles)):
         aggs.append(
             F.sum(
                 F.expr(
-                    f"CASE WHEN __rn = CAST(floor({k}) AS BIGINT) "
-                    f"THEN __v * (1.0 - ({k} - floor({k}))) ELSE 0.0 END "
-                    f"+ CASE WHEN __rn = CAST(ceil({k}) AS BIGINT) "
-                    f"AND ceil({k}) <> floor({k}) "
-                    f"THEN __v * ({k} - floor({k})) ELSE 0.0 END"
+                    f"CASE WHEN __rn = __f{i} "
+                    f"THEN __v * __wf{i} ELSE 0.0 END "
+                    f"+ CASE WHEN __rn = __c{i} "
+                    f"AND __c{i} <> __f{i} "
+                    f"THEN __v * __wc{i} ELSE 0.0 END"
                 )
             ).alias(f"p_{i}")
         )
@@ -194,23 +219,46 @@ def percentile_interp_sql(
     def k(q):
         return f"(n - 1) * {q}"
 
-    def term(q):
+    # Round-10 optimization (guide §1.2 "per-task work"): the bracketing
+    # ranks and interpolation weights depend only on (n, q), yet the
+    # round-9 template inlined the DECIMAL floor/ceil/frac arithmetic
+    # into the join condition and both aggregate CASEs — evaluated per
+    # ROW of the ranking window's output (every row of the fact table).
+    # Hoisting them into the per-GROUP ``brk`` relation leaves the
+    # per-row work at one BIGINT IN-list probe and a weight multiply;
+    # the arithmetic EXPRESSIONS are textually unchanged (same decimal
+    # k, same frac, same implicit-turned-explicit DOUBLE cast the old
+    # ``v * (1.0 - (k - floor(k)))`` performed), so every picked row,
+    # every addend, and every output bit is identical on both engines —
+    # verified by tests/test_percentile_anchor.py (native
+    # percentile_cont anchor) and the cross-engine oracle gate.
+    bracket_cols = ", ".join(
+        f"CAST(floor({k(q)}) AS BIGINT) AS __f{i}, "
+        f"CAST(ceil({k(q)}) AS BIGINT) AS __c{i}, "
+        f"CAST(1.0 - ({k(q)} - floor({k(q)})) AS DOUBLE) AS __wf{i}, "
+        f"CAST(({k(q)} - floor({k(q)})) AS DOUBLE) AS __wc{i}"
+        for i, q in enumerate(quantiles.values())
+    )
+    carry_cols = ", ".join(
+        f"c.__f{i}, c.__c{i}, c.__wf{i}, c.__wc{i}"
+        for i in range(len(quantiles))
+    )
+    in_list = ", ".join(
+        f"c.__{kind}{i}" for i in range(len(quantiles)) for kind in ("f", "c")
+    )
+
+    def term(i):
         return (
-            f"CASE WHEN rn = CAST(floor({k(q)}) AS BIGINT) "
-            f"THEN v * (1.0 - ({k(q)} - floor({k(q)}))) ELSE 0.0 END "
-            f"+ CASE WHEN rn = CAST(ceil({k(q)}) AS BIGINT) "
-            f"AND ceil({k(q)}) <> floor({k(q)}) "
-            f"THEN v * ({k(q)} - floor({k(q)})) ELSE 0.0 END"
+            f"CASE WHEN CAST(rn AS BIGINT) = __f{i} "
+            f"THEN v * __wf{i} ELSE 0.0 END "
+            f"+ CASE WHEN CAST(rn AS BIGINT) = __c{i} "
+            f"AND __c{i} <> __f{i} "
+            f"THEN v * __wc{i} ELSE 0.0 END"
         )
 
-    brackets = ", ".join(
-        f"CAST({f}({k(q)}) AS BIGINT)"
-        for q in quantiles.values()
-        for f in ("floor", "ceil")
-    )
     aggs = ", ".join(
-        f"floor(sum({term(q)}) * 10000 + 0.5) / 10000 AS {name}"
-        for name, q in quantiles.items()
+        f"floor(sum({term(i)}) * 10000 + 0.5) / 10000 AS {name}"
+        for i, name in enumerate(quantiles)
     )
     out_cols = ", ".join(f"a.{name}" for name in quantiles)
     counts_def = (
@@ -223,6 +271,10 @@ def percentile_interp_sql(
 WITH counts AS (
     {counts_def}
 ),
+brk AS (
+    SELECT {group_col}, {bracket_cols}
+    FROM counts
+),
 ranked AS (
     SELECT {group_col}, {value_col} AS v,
            row_number() OVER (PARTITION BY {group_col}
@@ -230,16 +282,16 @@ ranked AS (
     FROM {table} WHERE {value_col} IS NOT NULL
 ),
 picked AS (
-    SELECT {hint}r.{group_col}, r.v, r.rn, c.n
-    FROM ranked r JOIN counts c ON r.{group_col} {eq} c.{group_col}
-    WHERE CAST(r.rn AS BIGINT) IN ({brackets})
+    SELECT {hint}r.{group_col}, r.v, r.rn, {carry_cols}
+    FROM ranked r JOIN brk c ON r.{group_col} {eq} c.{group_col}
+    WHERE CAST(r.rn AS BIGINT) IN ({in_list})
 ),
 agg AS (
     SELECT {group_col}, {aggs}
     FROM picked GROUP BY {group_col}
 )
 SELECT {hint_a}c.{group_col}, {out_cols}
-FROM counts c LEFT JOIN agg a ON c.{group_col} {eq} a.{group_col}
+FROM brk c LEFT JOIN agg a ON c.{group_col} {eq} a.{group_col}
 """
 
 
