@@ -30,8 +30,12 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from bench import BENCH_QUERIES
+from bench import BENCH_QUERIES, TWIN_QUERIES
 from bq_duckdb_spark import get_spark
+
+# round-10: twins audited too — they are benched every round, and their
+# multi-branch plans are exactly where un-reused exchanges would hide
+AUDIT_QUERIES = BENCH_QUERIES + TWIN_QUERIES
 
 _MB = 1024 * 1024
 
@@ -54,7 +58,7 @@ def _run_queries(sf_dir: str, log_dir: str) -> None:
     )
     qs = entrymod.queries()
     sc = spark.sparkContext
-    for name in BENCH_QUERIES:
+    for name in AUDIT_QUERIES:
         fn = qs.get(name)
         if fn is None:
             continue
@@ -135,7 +139,7 @@ def main() -> None:
         f"{'input_mb':>9s} {'spill_mb':>9s} {'tasks':>6s}",
     ]
     js: dict[str, dict[str, float]] = {}
-    for name in BENCH_QUERIES:
+    for name in AUDIT_QUERIES:
         d = agg.get(name)
         if d is None:
             continue
