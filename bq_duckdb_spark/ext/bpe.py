@@ -30,30 +30,61 @@ from pyspark.sql import functions as F
 
 _TOKENS = "split(trim({col}), '\\\\s+')"
 
+_SEP = chr(31)  # unit separator: never appears in whitespace-split tokens
+_MARK = chr(30)  # record separator: symbol-START marker (same contract)
 
-def _merge_fold(sym: Column, left: str, right: str) -> Column:
-    """Replace every non-overlapping left-to-right (left, right) symbol
-    pair with their concatenation — the standard greedy BPE merge, as a
-    single JVM aggregate fold over the symbol array.
+# lineage-truncation interval for the trainer: a merge pass is now ONE
+# tiny replace() expression, so plans stay shallow for many rounds and
+# the eager per-round localCheckpoint (a full extra Spark job per merge)
+# is only needed occasionally to stop very long trainings from
+# re-running hundreds of map passes per round
+_TRAIN_CKPT_EVERY = 16
 
-    The input column is referenced exactly ONCE: k stacked merges must
-    grow the expression linearly in k, not 5^k (a multi-reference fold
-    — size guard + slice + init — exploded the analyzed tree when
-    nested under apply_bpe's per-word transform).  The fold therefore
-    starts from an empty accumulator and uses try_element_at, which
-    yields NULL (not an ANSI error) while the accumulator is empty."""
-    merged = left + right
+# decode: frames are <MARK>symbol<SEP>, so splitting on runs of the two
+# control chars recovers the symbol stream (plus ""-artifacts at the
+# string edges, stripped by array_remove — "" is never a legal symbol)
+_DECODE_RE = f"[{_SEP}{_MARK}]+"
 
-    def step(acc: Column, x: Column) -> Column:
-        is_pair = (F.try_element_at(acc, F.lit(-1)) == F.lit(left)) & (
-            x == F.lit(right)
-        )
-        return F.when(
-            is_pair,
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))),
-        ).otherwise(F.concat(acc, F.array(x)))
 
-    return F.aggregate(sym, F.expr("CAST(array() AS ARRAY<STRING>)"), step)
+def _enc_syms(sym: Column) -> Column:
+    """Frame a symbol array as ``<MARK>s1<SEP><MARK>s2<SEP>...`` — every
+    symbol carries BOTH its own start marker and end separator, so a
+    literal substring match of two adjacent frames is exactly a
+    whole-symbol-pair match (a one-sided encoding is wrong: with plain
+    ``s1<SEP>s2`` the merge pattern ``b<SEP>b`` also matches the TAIL of
+    a longer symbol like ``ab`` — caught by
+    test_apply_bpe_duckdb_oracle_parity_random)."""
+    return F.concat(F.lit(_MARK), F.concat_ws(_SEP + _MARK, sym), F.lit(_SEP))
+
+
+def _merge_pass(enc: Column, left: str, right: str) -> Column:
+    """One greedy BPE merge pass over a frame-encoded symbol string:
+    replace every ``<MARK>left<SEP><MARK>right<SEP>`` with
+    ``<MARK>left+right<SEP>``, left-to-right, non-overlapping.
+    ``replace()`` is exactly the greedy fold's scan: it resumes AFTER
+    each replacement, so the merged frame is never re-matched within
+    the same pass (as the pattern's left it would need
+    ``left+right == left``; as its right it sits in already-emitted
+    output, which ``replace`` does not rescan), and each match consumes
+    two COMPLETE frames, so chained merges of adjacent pairs still fire
+    (no boundary characters are shared between neighbouring matches).
+
+    Same greedy semantics as the DuckDB oracle's encoded fold
+    (apply_bpe_oracle_expr), moved onto Spark's codegen'd literal-scan
+    ``replace`` instead of the round-9 ``F.aggregate`` fold:
+    higher-order functions are CodegenFallback (interpreted), and the
+    fold's ``concat(slice(acc, ...), ...)`` step copied the accumulator
+    array per SYMBOL — O(word_len²) interpreted work per word per
+    merge, vs one O(word_len) native scan here (guide §4.1: prefer
+    built-ins; measured on text_bpe/text_bpe_apply, see
+    OPTIMIZATION_r10.md). Precondition shared with the oracle encoding:
+    symbols never contain chr(30)/chr(31), which whitespace-split
+    tokens of the supported corpora satisfy."""
+    return F.replace(
+        enc,
+        F.lit(_MARK + left + _SEP + _MARK + right + _SEP),
+        F.lit(_MARK + left + right + _SEP),
+    )
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,7 +115,7 @@ def train_bpe_merges(
     # not once per round
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for round_no in range(n_merges):
         pairs = (
             "CASE WHEN size(s) < 2 THEN array() "
             "ELSE transform(sequence(0, size(s) - 2), "
@@ -103,18 +134,42 @@ def train_bpe_merges(
             break
         left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
         merges.append((left, right, cnt))
-        words = words.withColumn("s", _merge_fold(F.col("s"), left, right))
-        # truncate lineage so round k's plan is not k folds deep
-        words = words.localCheckpoint(eager=True)
+        # apply the merge as one encoded-string replace pass (see
+        # _merge_pass); ``s`` is non-empty and control-char-free by
+        # construction (split of a non-empty whitespace-delimited word)
+        words = words.withColumn(
+            "s",
+            F.array_remove(
+                F.split(
+                    _merge_pass(_enc_syms(F.col("s")), left, right),
+                    _DECODE_RE,
+                ),
+                "",
+            ),
+        )
+        # truncate lineage only every _TRAIN_CKPT_EVERY rounds: a merge
+        # pass is one flat replace() now, so re-running the (map-only)
+        # passes since the last checkpoint is cheaper than paying an
+        # eager materialization JOB every round (the round-9 fold form
+        # checkpointed each round, doubling the job count per merge)
+        if (round_no + 1) % _TRAIN_CKPT_EVERY == 0:
+            words = words.localCheckpoint(eager=True)
     return merges
 
 
 def segment_word(sym: Column, merges: list[tuple[str, str, int]]) -> Column:
     """Apply a learned merge list to a symbol array, in merge order —
-    k nested JVM folds, map-only."""
+    k chained encoded-string replace passes (see _merge_pass), map-only.
+    Symbols must be non-empty and SEP-free (true for character splits
+    of whitespace-delimited words). NULL in → NULL out; [] in → [] out
+    (the empty encoding "" round-trips through ``array_remove``, since
+    "" is never a legitimate symbol)."""
+    enc = _enc_syms(sym)
     for left, right, _ in merges:
-        sym = _merge_fold(sym, left, right)
-    return sym
+        enc = _merge_pass(enc, left, right)
+    return F.when(sym.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.array_remove(F.split(enc, _DECODE_RE), "")
+    )
 
 
 def apply_bpe(
@@ -125,14 +180,33 @@ def apply_bpe(
 ) -> DataFrame:
     """Tokenize each document with the learned BPE vocabulary: flat
     subword array per document (word-internal merges only, matching the
-    trainer).  Map-only — scales with input splits."""
+    trainer).  Map-only — scales with input splits.
+
+    The whole document is encoded ONCE — each word framed per symbol
+    (see _enc_syms), words joined by an extra SEP — and every merge is
+    a single document-level ``replace`` pass: a merge pattern
+    ``<MARK>l<SEP><MARK>r<SEP>`` can never straddle the word boundary
+    (the junction reads ``<SEP><SEP><MARK>``, and the pattern never has
+    two adjacent SEPs), so word-internal semantics are preserved while
+    the per-merge cost drops from one interpreted O(len²) fold per WORD
+    (the round-9 ``F.aggregate`` form) to one codegen'd native scan per
+    DOCUMENT. The final regex split on control-char runs collapses the
+    framing back into the flat subword stream. NULL documents stay
+    NULL; a document with no words yields [] ("" is never a legitimate
+    subword, so ``array_remove`` only strips the framing artifacts)."""
     toks = _TOKENS.format(col=text_col)
     words = F.filter(F.expr(toks), lambda w: w != F.lit(""))
-    per_word = F.transform(words, lambda w: segment_word(F.split(w, ""), merges))
-    return df.withColumn(out_col, F.flatten(per_word))
-
-
-_SEP = chr(31)  # unit separator: never appears in whitespace-split tokens
+    enc_words = F.transform(words, lambda w: _enc_syms(F.split(w, "")))
+    doc = F.concat_ws(_SEP, enc_words)
+    for left, right, _ in merges:
+        doc = _merge_pass(doc, left, right)
+    flat = F.array_remove(F.split(doc, _DECODE_RE), "")
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("array<string>")
+        ).otherwise(flat),
+    )
 
 
 def apply_bpe_oracle_expr(merges: list[tuple[str, str, int]]) -> str:
@@ -145,10 +219,11 @@ def apply_bpe_oracle_expr(merges: list[tuple[str, str, int]]) -> str:
     (VARCHAR), so the symbol LIST is encoded as a unit-separator-joined
     string: the fold appends ``SEP||x``, or — when the accumulator ends
     with symbol ``left`` and ``x = right`` — rewrites the tail to the
-    merged symbol. That is exactly _merge_fold's greedy left-to-right
-    non-overlapping semantics; stacked merges re-split and re-fold, so
-    the expression grows linearly in the merge count like the Spark
-    side."""
+    merged symbol. That is exactly _merge_pass's greedy left-to-right
+    non-overlapping semantics on the same encoding (the Spark side now
+    runs it as a literal ``replace`` scan); stacked merges re-split and
+    re-fold, so the expression grows linearly in the merge count like
+    the Spark side."""
     syms = "string_split(w, '')"
     for left, right, _ in merges:
         enc = (

@@ -156,3 +156,29 @@ def test_apply_bpe_duckdb_oracle_parity_random(spark):
     )
     for k in got:
         assert got[k] == want[k], f"doc {k}: {rows[k][1]!r}: {got[k]!r} != {want[k]!r}"
+
+
+def test_merge_pass_frame_anchoring(spark):
+    """Regression pin for the round-10 replace-based merge pass: the
+    frame encoding must anchor WHOLE symbols. A one-sided encoding let
+    the merge pattern (b, b) match the tail of the multi-char symbol
+    'ab' (word 'aabbac' after merge (a, b): a|ab|b|a|c must NOT become
+    a|abb|a|c), and chained adjacent pairs must still all merge within
+    one pass ('abab' + (a, b) -> ab|ab; 'aaa' + (a, a) -> aa|a,
+    greedy left-to-right non-overlapping)."""
+    df = spark.createDataFrame(
+        [(1, "aabbac"), (2, "abab"), (3, "aaa")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe.apply_bpe(
+            df, [("a", "b", 0), ("b", "b", 0)], "text"
+        ).collect()
+    }
+    assert out[1] == ["a", "ab", "b", "a", "c"]
+    assert out[2] == ["ab", "ab"]
+    out2 = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe.apply_bpe(df, [("a", "a", 0)], "text").collect()
+    }
+    assert out2[3] == ["aa", "a"]
