@@ -532,11 +532,18 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single aggregate row exploded per column, never a job per
     column."""
     from bq_duckdb_spark.ext import validate as v
+    from bq_duckdb_spark.ext.dedup import widen_small_scan
 
-    li = _t(spark, sf_dir, "lineitem")
-    out = v.profile_table(
-        li, ["l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"]
-    )
+    cols = ["l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"]
+    # project FIRST (only the profiled columns cross the widen shuffle —
+    # guide §2.3), then widen: the multi-countDistinct aggregate plans
+    # as an Expand (one duplicate of every row per distinct column), and
+    # over a single-row-group parquet file that 6x row blowup ran on ONE
+    # scan task (stage-profiled at 8.0 s executor time on 3 tasks,
+    # round 10). widen_small_scan is metadata-gated: no-op at scale,
+    # where file splits already parallelize the scan.
+    li = widen_small_scan(_t(spark, sf_dir, "lineitem").select(*cols))
+    out = v.profile_table(li, cols)
     # the mean is a cross-order float aggregate — round it 4dp for the
     # contract pin (the raw l_discount mean at sf0.01 lands within an
     # ulp-reassociation of a 6dp rounding boundary, so an unrounded pin
