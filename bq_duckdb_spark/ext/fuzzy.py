@@ -57,6 +57,7 @@ def fuzzy_pairs_d1(
     str_col: str,
     id_col: str,
     max_bucket: int = 1000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs of rows whose ``str_col`` values are within Levenshtein
     distance 1 (including exact duplicates, distance 0).
@@ -79,8 +80,18 @@ def fuzzy_pairs_d1(
         "fz_s",
         F.explode_outer(F.expr(deletion_variants_expr("fz_s"))).alias("fz_v"),
     ).select(F.xxhash64("fz_v").alias("vh"), "fz_id", "fz_s")
+    # Pin the bucket exchange's parallelism (round-10 stage profile:
+    # AQE coalesced it to 4 tasks on byte size, serializing the
+    # compute-dense in-bucket pair expansion + levenshtein verify that
+    # pipeline on top of it). repartition(n, vh) is the partitioning the
+    # groupBy requires, so it replaces the ENSURE_REQUIREMENTS exchange;
+    # nothing is lost map-side because collect_list partials do not
+    # shrink data anyway. REPARTITION_BY_NUM is exempt from AQE
+    # coalescing; default n = cluster parallelism.
+    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bucketed = (
-        variants.groupBy("vh")
+        variants.repartition(npart, "vh")
+        .groupBy("vh")
         .agg(
             F.slice(
                 F.array_sort(

@@ -47,6 +47,7 @@ def exact_jaccard_join(
     id_col: str,
     threshold: float,
     shingle_k: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold —
     exact: provably identical to the brute-force all-pairs result.
@@ -56,6 +57,15 @@ def exact_jaccard_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
+    # widen tiny single-file corpora before shingling (metadata-gated
+    # no-op at scale, like every sibling dedup operator): the sh/prefix
+    # subtree below is referenced by BOTH self-join sides and the verify,
+    # and Spark plans each reference independently — an un-widened
+    # single-row-group scan re-shingled the corpus 3x on ONE task each
+    # (round-10 stage profile: 3 serial stages of 1.3-1.8 s)
+    from bq_duckdb_spark.ext.dedup import widen_small_scan
+
+    df = widen_small_scan(df)
     sh = _with_poly_shingle_hashes(df, text_col, shingle_k, out="sh").select(
         F.col(id_col).alias("doc"), "sh"
     )
@@ -69,8 +79,22 @@ def exact_jaccard_join(
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     byrarity = Window.partitionBy("doc").orderBy("df", "s")
     perdoc = Window.partitionBy("doc")
+    # Pin the per-doc window exchange's parallelism (round-10 stage
+    # profile: AQE coalesced it to ONE task — the shingled corpus is few
+    # MB at small SF — and, because everything downstream of it
+    # (rarity-ranking windows, the candidate join with the broadcast
+    # prefix side, the pair distinct, the exact verify) pipelines on
+    # this same hash(doc) partitioning with no further exchange, the
+    # whole compute-dense tail of the operator serialized with it).
+    # ``repartition(n, doc)`` is the partitioning the windows REQUIRE,
+    # so this replaces the ENSURE_REQUIREMENTS exchange rather than
+    # adding one, and REPARTITION_BY_NUM is exempt from AQE coalescing.
+    npart = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
     ranked = (
         ex.join(freq, "s")
+        .repartition(npart, "doc")
         .withColumn("sz", F.count(F.lit(1)).over(perdoc))
         .withColumn("rk", F.row_number().over(byrarity))
     )
