@@ -969,18 +969,32 @@ def connected_components(
     node's connected component. The output is fully deterministic (mins
     only), independent of partitioning and iteration order.
 
-    Hash-min label propagation: every node starts labelled with its own
-    id; each round a node takes the min of its label and its
-    neighbors' labels. Converges in O(component diameter) rounds —
-    near-dup clusters are dense and shallow (dup groups, not social
-    graphs), so the practical round count is 2-4. Each round is one
-    join + one groupBy shuffle over the EDGE list (edges ~ candidate
-    pairs, already sub-linear in corpus size from banding), never over
-    the corpus. Lineage is truncated per round with localCheckpoint —
-    iterative plans otherwise grow exponentially in the optimizer; on a
+    Shiloach-Vishkin-style hash-min (relax + parent hook + pointer
+    jump), the SAME recurrence the unrolled DuckDB oracle uses
+    (ext/contract_portable.components_ctes). Every node starts labelled
+    with its own id; each round
+
+    (a) RELAX: a node takes the min of its label and its neighbors'
+        labels — one join + groupBy shuffle over the EDGE list (edges ~
+        candidate pairs, already sub-linear in corpus size from
+        banding), never over the corpus;
+    (b) HOOK: a node's PREVIOUS label learns the node's new min — the
+        Shiloach-Vishkin step that makes reach COMPOUND. Without it,
+        reach grows ~1 hop per round and a digit-walk name chain needed
+        15 measured rounds at sf0.1 (cc_probe, round 11); with it the
+        measured convergence on the same graphs is <= ceil(log2(n)) + 2
+        rounds. Node-table-sized join only — no extra edge pass;
+    (c) JUMP: lbl := lbl(lbl) over the hooked labels.
+
+    All three steps are monotone non-increasing mins over node ids, so
+    any fixpoint of the symmetric relax is the component min and the
+    label sum strictly decreases until fixpoint — the convergence
+    probe. Each intermediate is truncated with a LAZY localCheckpoint
+    (plan becomes a LogicalRDD immediately; the RDD materializes inside
+    the round's single probe job), so one round costs ONE job instead
+    of the former eager-checkpoint + probe pair, and self-joins do not
+    duplicate lineage (the round-10 double-jump dead end). On a
     cluster, set a reliable checkpoint dir and swap for checkpoint().
-    Convergence detection costs one tiny sum-aggregate action per
-    round: the label sum is strictly decreasing until fixpoint.
 
     Reference parity: the reference engine stops at pair output
     (no cluster resolver); this is part of the beyond-reference
@@ -993,48 +1007,51 @@ def connected_components(
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # this first action materializes edges + labels as a side effect
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     if prev_sum is None:  # no edges at all
         return labels.select("node", F.col("lbl").alias("cluster_id"))
     converged = False
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nbl"))
+    for it in range(max_iter):
+        # (a) relax: min over own label and incoming neighbor labels
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
         )
-        stepped = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nbl", "lbl")).alias("lbl"),
+        relax = (
+            labels.union(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=False)
+        if it == 0:
+            # round-1 hook is an exact no-op (every previous label IS
+            # the node itself, so the hook message set equals relax) —
+            # skip its shuffle
+            hooked = relax
+        else:
+            # (b) hook: the previous label learns the node's new min
+            hook_msgs = (
+                labels.withColumnRenamed("lbl", "plbl")
+                .join(relax, "node")
+                .select(F.col("plbl").alias("node"), "lbl")
             )
-        )
-        # pointer-jump shortcut: lbl <- min(lbl, lbl[lbl]). Plain
-        # neighbor-min alone needs O(component diameter) rounds, and a
-        # path-shaped near-dup chain longer than max_iter silently got
-        # WRONG labels (gen_fuzz seed 7: a 1000-vector gaussian corpus
-        # chained past 25 hops). With shortcutting, label distance
-        # halves per round on top of the neighbor step — 25 rounds
-        # cover diameters past 2^25.
-        jump = stepped.select(
-            F.col("node").alias("jn"), F.col("lbl").alias("jl")
-        )
+            hooked = (
+                relax.union(hook_msgs)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            ).localCheckpoint(eager=False)
+        # (c) jump: lbl <- lbl(lbl). Inner join is exact: every label is
+        # a node id, and hooked covers every node.
+        jump = hooked.select(F.col("node").alias("jn"), F.col("lbl").alias("jl"))
         new_labels = (
-            stepped.join(jump, stepped.lbl == jump.jn, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("jl", "lbl")).alias("lbl"),
-            )
+            hooked.join(jump, hooked.lbl == jump.jn)
+            .select("node", F.col("jl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
         new_sum = new_labels.agg(F.sum("lbl")).first()[0]
         old = labels
         labels = new_labels
