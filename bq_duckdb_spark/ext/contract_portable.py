@@ -379,8 +379,16 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale; every number is value-checked (portable hash family
     end to end)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
-    sh = dp._with_poly_shingle_hashes(docs, "text", _K, out="sh").select(
-        F.col("doc_id"), "sh"
+    # ONE lazily-checkpointed shingle pass feeds ground truth (both
+    # self-join sides), banding, and verify — un-checkpointed, Spark
+    # planned the shingle subtree 5x (truth a-side, truth b-side,
+    # candidate banding, and both verify passes)
+    sh = (
+        dp._with_poly_shingle_hashes(
+            dp.widen_small_scan(docs), "text", _K, out="sh"
+        )
+        .select(F.col("doc_id"), "sh")
+        .localCheckpoint(eager=False)
     )
     a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("sb"))
@@ -390,13 +398,25 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(jac) >= 0.3)
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
-    cands = dp.portable_minhash_pairs(
-        docs, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_K
-    ).agg(F.count(F.lit(1)).alias("n_candidates"))
-    found = dp.portable_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.3,
-        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=_K,
-    ).agg(F.count(F.lit(1)).alias("n_found"))
+    cand_pairs = dp._minhash_pairs_from_shingles(
+        sh, "doc_id", _NUM_HASHES, _BANDS, max_bucket=1000, sh_col="sh"
+    )
+    cands = cand_pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
+    found = (
+        cand_pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .where(
+            F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))")
+            >= 0.3
+        )
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
     return (
         true_pairs.crossJoin(cands)
         .crossJoin(found)

@@ -167,15 +167,32 @@ def portable_minhash_pairs(
     """MinHash+LSH banding candidates, portable-hash family. Same scale
     shape as dedup.minhash_candidate_pairs: ONE shuffle on (band,
     bucket), in-bucket pair expansion, ``max_bucket`` cap, distinct."""
+    sh = _with_poly_shingle_hashes(widen_small_scan(df), text_col, shingle_k, "__sh")
+    return _minhash_pairs_from_shingles(
+        sh, id_col, num_hashes, bands, max_bucket, sh_col="__sh"
+    )
+
+
+def _minhash_pairs_from_shingles(
+    sh_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    sh_col: str = "__sh",
+) -> DataFrame:
+    """Banding + in-bucket pair expansion over an ALREADY-hashed shingle
+    frame ``(id_col, sh_col)`` — split out so _candidate_shingle_pairs
+    can band and verify from ONE shingle pass instead of re-tokenizing
+    the corpus per consumer."""
     a, b = poly_hash_coeffs(num_hashes)
     rows = num_hashes // bands
-    sh = _with_poly_shingle_hashes(widen_small_scan(df), text_col, shingle_k, "__sh")
     buckets = ", ".join(
         f"named_struct('band', {i}, 'bucket', "
-        f"{band_bucket_expr('__sh', a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], 'spark')})"
+        f"{band_bucket_expr(sh_col, a[i * rows:(i + 1) * rows], b[i * rows:(i + 1) * rows], 'spark')})"
         for i in range(bands)
     )
-    banded = sh.select(
+    banded = sh_df.select(
         # _outer: plain explode would inline all 32 perm-min scans into an
         # inferred pre-Generate filter, tripling the dominant cost (see
         # ext/dedup.py banding comment)
@@ -205,26 +222,36 @@ def _candidate_shingle_pairs(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, sh_a, sh_b) for every portable-LSH candidate pair —
-    the shared long-format single-join verify feeding both the Jaccard
-    and containment twins: banded candidates (one shuffle, never
-    all-pairs), then ONE join carries each pair's two shingle sets."""
+    the shared verify feeding both the Jaccard and containment twins.
+
+    The shingle table is hashed ONCE into a lazily localCheckpointed
+    proxy (guide §8: compute the lightweight artifact one time, reuse it
+    everywhere): the banding, the a-side and the b-side verify all read
+    the same materialized ``(id, sh)`` — the previous shape re-tokenized
+    and re-hashed the whole corpus a second time for the verify and then
+    sort-aggregated exploded member rows carrying full shingle arrays
+    (SortAggregate over max(array) — measured in plans/r11/
+    text_containment_before.txt). Two hash joins replace that explode +
+    array-sort shuffle."""
     df = widen_small_scan(df)
-    cands = portable_minhash_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+    sh = (
+        _with_poly_shingle_hashes(df, text_col, shingle_k, "sh")
+        .select(F.col(id_col).alias("__id"), "sh")
+        .localCheckpoint(eager=False)
     )
-    sh = _with_poly_shingle_hashes(df, text_col, shingle_k, "sh").select(
-        F.col(id_col).alias("__id"), "sh"
-    )
-    member = cands.select(
-        "id_a", "id_b", F.explode_outer(F.array("id_a", "id_b")).alias("__id")
+    cands = _minhash_pairs_from_shingles(
+        sh, "__id", num_hashes, bands, max_bucket, sh_col="sh"
     )
     return (
-        member.join(sh, "__id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.max(F.when(F.col("__id") == F.col("id_a"), F.col("sh"))).alias("sh_a"),
-            F.max(F.when(F.col("__id") == F.col("id_b"), F.col("sh"))).alias("sh_b"),
+        cands.join(
+            sh.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
         )
+        .join(
+            sh.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
     )
 
 

@@ -287,8 +287,15 @@ def dsir_weights(
         )
         return ex.groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
 
-    tc = bucket_counts(target, "n_t")
-    bc = bucket_counts(corpus, "n_b")
+    # lazy localCheckpoint: the count tables are <= n_buckets rows, but
+    # WITHOUT it Spark plans every reference independently — the totals
+    # re-ran the full corpus explode+aggregate a second time (5 parquet
+    # scans / 4 feature explodes in plans/r11/corpus_dsir_before.txt,
+    # zero ReusedExchange). Checkpointed, each corpus is featurized once
+    # for counting; totals and the weight join read the materialized
+    # 4096-row tables.
+    tc = bucket_counts(target, "n_t").localCheckpoint(eager=False)
+    bc = bucket_counts(corpus, "n_b").localCheckpoint(eager=False)
     totals = (
         tc.agg(F.sum("n_t").cast("double").alias("tot_t"))
         .crossJoin(bc.agg(F.sum("n_b").cast("double").alias("tot_b")))
