@@ -294,8 +294,20 @@ def dsir_weights(
     # zero ReusedExchange). Checkpointed, each corpus is featurized once
     # for counting; totals and the weight join read the materialized
     # 4096-row tables.
+    # the corpus itself is featurized ONCE into a checkpointed
+    # (id, bucket) table: background counts and the per-doc scoring
+    # join both read it instead of re-running the explode
+    bfeat = (
+        corpus.select(F.col(id_col), F.explode_outer(F.expr(feats)).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     tc = bucket_counts(target, "n_t").localCheckpoint(eager=False)
-    bc = bucket_counts(corpus, "n_b").localCheckpoint(eager=False)
+    bc = (
+        bfeat.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .localCheckpoint(eager=False)
+    )
     totals = (
         tc.agg(F.sum("n_t").cast("double").alias("tot_t"))
         .crossJoin(bc.agg(F.sum("n_b").cast("double").alias("tot_b")))
@@ -313,9 +325,7 @@ def dsir_weights(
         )
     )
     return (
-        corpus.select(F.col(id_col), F.explode_outer(F.expr(feats)).alias("bucket"))
-        .filter(F.col("bucket").isNotNull())
-        .join(F.broadcast(weights), "bucket")
+        bfeat.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(F.sum("w").alias("dsir"))
     )
