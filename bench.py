@@ -292,6 +292,14 @@ def main() -> None:
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
                 "load_factor": round(load_factor, 3),
                 "value_calibrated": round(total / load_factor, 3),
+                # round 11, additions-only: the same session-load
+                # normalization applied to the TRIMMED total, so the
+                # gates' basket-level drift flag can compare a
+                # variance-robust statistic instead of the raw trimmed
+                # sum (cross-session trimmed drift of untouched
+                # sub-second queries was the dominant error term in the
+                # round-10 driver comparison)
+                "value_trimmed_calibrated": round(total_trimmed / load_factor, 3),
             }
         )
     )

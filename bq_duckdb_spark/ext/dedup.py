@@ -372,6 +372,7 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     max_bucket: int = 1000,
     dedup: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each
     band, and emit candidate id-pairs that share any band bucket.
@@ -428,6 +429,15 @@ def minhash_candidate_pairs(
     # aggregation's partitioning (one exchange total, verified in
     # tests/test_plans.py); result is identical (both keep the
     # max_bucket smallest ids — the window adds only a bounded sort).
+    # pin the (band, bucket) exchange the window/aggregation needs:
+    # repartition(n, keys) replaces the ENSURE_REQUIREMENTS exchange and
+    # REPARTITION_BY_NUM is exempt from AQE byte-based coalescing, which
+    # otherwise serialized the compute-dense cap + collect + in-bucket
+    # pair-expansion tail onto ONE task (stage_profile, round 11 — the
+    # same coalescing pattern round 10 fixed in setjoin/fuzzy). n stays
+    # scale-adaptive via defaultParallelism.
+    n_parts = num_partitions or banded.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n_parts, "band", "bucket")
     w = Window.partitionBy("band", "bucket").orderBy(id_col)
     bucketed = (
         banded.withColumn("__rn", F.row_number().over(w))
@@ -844,6 +854,7 @@ def blocked_pairs_from_fp(
     n_blocks: int = 4,
     max_bucket: int = 1000,
     emit: str = "first_band",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for every pair within ``max_hamming`` on a
     precomputed ``simhash`` column — the banding core both SimHash paths
@@ -881,6 +892,11 @@ def blocked_pairs_from_fp(
         id_col, "simhash",
         F.col("bb.band").alias("band"), F.col("bb.key").alias("key"),
     )
+    # pin the (band, key) exchange (see minhash_candidate_pairs): keeps
+    # the in-bucket pair expansion + xor verify off a single
+    # AQE-coalesced task
+    n_parts = num_partitions or banded.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n_parts, "band", "key")
     bucketed = (
         banded.groupBy("band", "key")
         .agg(

@@ -180,6 +180,7 @@ def _minhash_pairs_from_shingles(
     bands: int,
     max_bucket: int,
     sh_col: str = "__sh",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Banding + in-bucket pair expansion over an ALREADY-hashed shingle
     frame ``(id_col, sh_col)`` — split out so _candidate_shingle_pairs
@@ -198,6 +199,10 @@ def _minhash_pairs_from_shingles(
         # ext/dedup.py banding comment)
         id_col, F.explode_outer(F.expr(f"array({buckets})")).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    # pin the (band, bucket) exchange (see dedup.minhash_candidate_pairs):
+    # keeps the in-bucket pair expansion off a single AQE-coalesced task
+    n_parts = num_partitions or banded.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n_parts, "band", "bucket")
     bucketed = (
         banded.groupBy("band", "bucket")
         .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))

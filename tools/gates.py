@@ -161,9 +161,19 @@ def _bench_verdict(parsed, rnd):
         out["baseline_ratio"] = ratio
         out["baseline_exceeded"] = ratio > BASELINE_HARD_RATIO
         out["baseline_warn"] = ratio > BASELINE_WARN_RATIO
+    # round 11: prefer the calibration-normalized trimmed total when the
+    # bench emits it (value_trimmed_calibrated = value_trimmed /
+    # load_factor) — cross-session load drift on untouched sub-second
+    # queries was the dominant error term in the round-10 driver
+    # comparison, and the raw trimmed sum would eventually false-fire
+    # this flag on session variance alone. The raw ratio is still
+    # recorded alongside for continuity with rounds 9-10.
     trimmed = parsed.get("value_trimmed")
+    trimmed_cal = parsed.get("value_trimmed_calibrated") or trimmed
     if trimmed:
-        t_ratio = round(trimmed / TRIMMED_BASELINE, 3)
+        out["trimmed_baseline_ratio_raw"] = round(trimmed / TRIMMED_BASELINE, 3)
+    if trimmed_cal:
+        t_ratio = round(trimmed_cal / TRIMMED_BASELINE, 3)
         out["trimmed_baseline_ratio"] = t_ratio
         out["trimmed_warn"] = t_ratio > TRIMMED_WARN_RATIO
 
